@@ -1,0 +1,25 @@
+"""sparkspatial — a PySpark-native spatial-join + tiling engine.
+
+A from-scratch re-creation of the analytical capabilities of
+orbisgis/orbisanalysis (reference surveyed in SURVEY.md) as idiomatic
+PySpark DataFrame operators over web-scale page corpora:
+
+- hierarchical cell index (H3/S2-style, dependency-free)      -> cells
+- vectorized WKB geometry kernel (numpy, no native deps)      -> geom
+- page -> point extraction (Arrow-batched, byte-deterministic)-> extract
+- zone builders (fromArea / fromPlace analogs)                -> zones
+- cell-partitioned broadcast-or-shuffle spatial join          -> join
+- kNN via k-ring cell expansion + distance re-rank            -> knn
+- raster<->vector hierarchical tiling / grid indicators       -> tiles
+- skew handling (cell histograms + salting)                   -> skew
+- OSM-table transform parity (points/lines/polygons, pivot)   -> transform
+- building/road/traffic indicator layers                      -> layers
+- training-data ops (dedup, minhash/simhash, lang-id, ...)    -> text
+- embedding similarity search (brute-force + LSH-bucketed)    -> sim
+- per-partition lineage + resumable checkpoints               -> checkpoint
+
+Pure Python, `spark-submit --py-files`-shippable: no JARs, no native
+wheels beyond numpy/pandas/pyarrow (all standard on Spark clusters).
+"""
+
+__version__ = "0.1.0"

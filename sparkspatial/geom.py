@@ -1,0 +1,515 @@
+"""Vectorized geometry kernel: WKB codec + predicates, pure numpy.
+
+The reference delegates all geometry to H2GIS/JTS (ST_MAKEPOLYGON,
+ST_CONTAINS, ST_INTERSECTION, ST_LINEMERGE, ... — SURVEY.md §2.7).
+This container has no shapely/JTS, so the engine carries its own
+minimal, dependency-free kernel:
+
+- standard OGC WKB encode/decode (Point, LineString, Polygon,
+  Multi*, GeometryCollection; little-endian),
+- even-odd raycast point-in-polygon (vectorized over points; handles
+  holes and multipolygons — semantics of ST_CONTAINS for points,
+  Transform.groovy:433-434),
+- bbox, shoelace area / ring orientation,
+- Liang-Barsky polyline clip and Sutherland-Hodgman polygon clip
+  against rectangles (ST_INTERSECTION with a zone envelope,
+  Data.groovy:278),
+- linemerge (ST_LINEMERGE, Transform.groovy:361,382),
+- haversine distance.
+
+Geometry values cross the JVM<->Python boundary as WKB ``binary``
+columns; decoded numpy form exists only inside Arrow-batched pandas
+UDFs. The decoded form is a tagged tuple::
+
+    ("Point", (x, y))
+    ("LineString", ndarray[N,2])
+    ("Polygon", [ring0, ring1, ...])          # ring = ndarray[N,2], closed
+    ("MultiPoint" | "MultiLineString" | "MultiPolygon" | "GeometryCollection", [...])
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterable, Sequence
+
+import numpy as np
+
+__all__ = [
+    "wkb_dumps", "wkb_loads", "wkt_dumps", "wkt_loads",
+    "point_wkb", "box_wkb", "bounds", "geom_type", "num_geometries",
+    "points_in_rings", "points_in_geom", "geom_intersects_box",
+    "clip_polyline_box", "clip_polygon_box", "linemerge",
+    "ring_area", "is_ccw", "ensure_closed", "polyline_length",
+    "haversine_deg", "EARTH_RADIUS_M",
+]
+
+EARTH_RADIUS_M = 6371008.8
+
+_TYPE_CODES = {
+    "Point": 1, "LineString": 2, "Polygon": 3,
+    "MultiPoint": 4, "MultiLineString": 5, "MultiPolygon": 6,
+    "GeometryCollection": 7,
+}
+_CODE_TYPES = {v: k for k, v in _TYPE_CODES.items()}
+
+
+# ---------------------------------------------------------------- WKB codec
+
+def wkb_dumps(geom) -> bytes:
+    """Tagged-tuple geometry -> little-endian OGC WKB bytes."""
+    tag, body = geom
+    out = bytearray()
+    out += b"\x01" + struct.pack("<I", _TYPE_CODES[tag])
+    if tag == "Point":
+        out += struct.pack("<dd", float(body[0]), float(body[1]))
+    elif tag == "LineString":
+        arr = np.asarray(body, dtype=np.float64)
+        out += struct.pack("<I", len(arr)) + arr.tobytes()
+    elif tag == "Polygon":
+        out += struct.pack("<I", len(body))
+        for ring in body:
+            arr = np.asarray(ring, dtype=np.float64)
+            out += struct.pack("<I", len(arr)) + arr.tobytes()
+    else:  # Multi* / GeometryCollection
+        out += struct.pack("<I", len(body))
+        for sub in body:
+            out += wkb_dumps(sub)
+    return bytes(out)
+
+
+def _loads_at(buf: bytes, off: int):
+    byte_order = buf[off]
+    endian = "<" if byte_order == 1 else ">"
+    (code,) = struct.unpack_from(endian + "I", buf, off + 1)
+    code &= 0xFF  # strip any SRID/Z flags (we only emit plain 2D)
+    tag = _CODE_TYPES[code]
+    off += 5
+    if tag == "Point":
+        x, y = struct.unpack_from(endian + "dd", buf, off)
+        return (tag, (x, y)), off + 16
+    if tag == "LineString":
+        (n,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        arr = np.frombuffer(buf, dtype=(endian + "f8"), count=2 * n, offset=off)
+        return (tag, arr.reshape(n, 2).astype(np.float64)), off + 16 * n
+    if tag == "Polygon":
+        (nr,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(endian + "I", buf, off)
+            off += 4
+            arr = np.frombuffer(buf, dtype=(endian + "f8"), count=2 * n, offset=off)
+            rings.append(arr.reshape(n, 2).astype(np.float64))
+            off += 16 * n
+        return (tag, rings), off
+    (ng,) = struct.unpack_from(endian + "I", buf, off)
+    off += 4
+    subs = []
+    for _ in range(ng):
+        sub, off = _loads_at(buf, off)
+        subs.append(sub)
+    return (tag, subs), off
+
+
+def wkb_loads(buf: bytes):
+    geom, _ = _loads_at(bytes(buf), 0)
+    return geom
+
+
+def point_wkb(x: float, y: float) -> bytes:
+    return wkb_dumps(("Point", (x, y)))
+
+
+def box_wkb(minx: float, miny: float, maxx: float, maxy: float) -> bytes:
+    """Axis-aligned rectangle as a closed CCW Polygon WKB."""
+    ring = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]],
+        dtype=np.float64,
+    )
+    return wkb_dumps(("Polygon", [ring]))
+
+
+# ---------------------------------------------------------------- WKT (fixtures)
+
+def wkt_dumps(geom) -> str:
+    tag, body = geom
+
+    def coords(arr):
+        return ", ".join(f"{x:g} {y:g}" for x, y in np.asarray(arr))
+
+    if tag == "Point":
+        return f"POINT ({body[0]:g} {body[1]:g})"
+    if tag == "LineString":
+        return f"LINESTRING ({coords(body)})"
+    if tag == "Polygon":
+        return "POLYGON (" + ", ".join(f"({coords(r)})" for r in body) + ")"
+    if tag == "MultiLineString":
+        return ("MULTILINESTRING ("
+                + ", ".join(f"({coords(b)})" for _, b in body) + ")")
+    if tag == "MultiPolygon":
+        return ("MULTIPOLYGON ("
+                + ", ".join("(" + ", ".join(f"({coords(r)})" for r in rings) + ")"
+                            for _, rings in body) + ")")
+    if tag == "GeometryCollection":
+        return "GEOMETRYCOLLECTION (" + ", ".join(wkt_dumps(g) for g in body) + ")"
+    raise ValueError(tag)
+
+
+def _parse_coord_list(s: str) -> np.ndarray:
+    pts = []
+    for pair in s.split(","):
+        xy = pair.split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return np.array(pts, dtype=np.float64)
+
+
+def wkt_loads(text: str):
+    """Minimal WKT parser for POINT/LINESTRING/POLYGON/MULTIPOLYGON —
+    enough for the reference fixtures (AbstractOSMTest.groovy:269-309)."""
+    t = text.strip()
+    up = t.upper()
+    if up.startswith("POINT"):
+        arr = _parse_coord_list(t[t.index("(") + 1: t.rindex(")")])
+        return ("Point", (arr[0, 0], arr[0, 1]))
+    if up.startswith("LINESTRING"):
+        return ("LineString", _parse_coord_list(t[t.index("(") + 1: t.rindex(")")]))
+    if up.startswith("POLYGON"):
+        inner = t[t.index("(") + 1: t.rindex(")")]
+        rings = [_parse_coord_list(part)
+                 for part in _split_paren_groups(inner)]
+        return ("Polygon", rings)
+    if up.startswith("MULTIPOLYGON"):
+        inner = t[t.index("(") + 1: t.rindex(")")]
+        polys = []
+        for grp in _split_paren_groups(inner):
+            rings = [_parse_coord_list(part) for part in _split_paren_groups(grp)]
+            polys.append(("Polygon", rings))
+        return ("MultiPolygon", polys)
+    raise ValueError(f"unsupported WKT: {text[:40]}")
+
+
+def _split_paren_groups(s: str) -> list[str]:
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+# ---------------------------------------------------------------- properties
+
+def geom_type(geom) -> str:
+    return geom[0]
+
+
+def num_geometries(geom) -> int:
+    tag, body = geom
+    return len(body) if tag in ("MultiPoint", "MultiLineString", "MultiPolygon",
+                                "GeometryCollection") else 1
+
+
+def bounds(geom) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) — the `&&` MBR of the reference."""
+    tag, body = geom
+    if tag == "Point":
+        x, y = body
+        return x, y, x, y
+    if tag == "LineString":
+        arr = np.asarray(body)
+        return (arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max())
+    if tag == "Polygon":
+        arr = np.asarray(body[0])
+        return (arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max())
+    bs = [bounds(sub) for sub in body]
+    return (min(b[0] for b in bs), min(b[1] for b in bs),
+            max(b[2] for b in bs), max(b[3] for b in bs))
+
+
+def ensure_closed(ring: np.ndarray) -> np.ndarray:
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive), planar degrees^2."""
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) / 2.0)
+
+
+def is_ccw(ring: np.ndarray) -> bool:
+    return ring_area(ring) > 0
+
+
+def polyline_length(arr: np.ndarray) -> float:
+    a = np.asarray(arr, dtype=np.float64)
+    if len(a) < 2:
+        return 0.0
+    d = np.diff(a, axis=0)
+    return float(np.sqrt((d ** 2).sum(axis=1)).sum())
+
+
+# ---------------------------------------------------------------- predicates
+
+def points_in_rings(px: np.ndarray, py: np.ndarray,
+                    rings: Sequence[np.ndarray]) -> np.ndarray:
+    """Even-odd raycast: bool mask of points inside a (multi-ring) polygon.
+
+    Vectorized over points; loops over the small number of rings/edges.
+    Holes flip parity naturally. Points exactly on an edge follow the
+    half-open crossing rule (deterministic, matches the brute-force
+    oracle which uses the same function).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        r = ensure_closed(np.asarray(ring, dtype=np.float64))
+        x0, y0 = r[:-1, 0], r[:-1, 1]
+        x1, y1 = r[1:, 0], r[1:, 1]
+        for i in range(len(x0)):
+            cond = (y0[i] > py) != (y1[i] > py)
+            if not cond.any():
+                continue
+            t = (py - y0[i]) / (y1[i] - y0[i])
+            cross = cond & (px < x0[i] + t * (x1[i] - x0[i]))
+            inside ^= cross
+    return inside
+
+
+def points_in_geom(px: np.ndarray, py: np.ndarray, geom) -> np.ndarray:
+    """Point-in-(Multi)Polygon for the tagged-tuple geometry."""
+    tag, body = geom
+    if tag == "Polygon":
+        return points_in_rings(px, py, body)
+    if tag == "MultiPolygon":
+        out = np.zeros(len(np.asarray(px)), dtype=bool)
+        for sub in body:
+            out |= points_in_rings(px, py, sub[1])
+        return out
+    raise ValueError(f"points_in_geom expects polygonal geometry, got {tag}")
+
+
+def _segs_intersect_box(p: np.ndarray, q: np.ndarray,
+                        minx, miny, maxx, maxy) -> np.ndarray:
+    """Bool per segment: does [p,q] intersect the rectangle?  Liang-Barsky."""
+    dx = q[:, 0] - p[:, 0]
+    dy = q[:, 1] - p[:, 1]
+    t0 = np.zeros(len(p))
+    t1 = np.ones(len(p))
+    ok = np.ones(len(p), dtype=bool)
+    for d, lo, hi in ((dx, minx - p[:, 0], maxx - p[:, 0]),
+                      (dy, miny - p[:, 1], maxy - p[:, 1])):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tlo = np.where(d != 0, lo / d, -np.inf)
+            thi = np.where(d != 0, hi / d, np.inf)
+        tmin = np.minimum(tlo, thi)
+        tmax = np.maximum(tlo, thi)
+        para_out = (d == 0) & ((lo > 0) | (hi < 0))
+        ok &= ~para_out
+        t0 = np.maximum(t0, np.where(d != 0, tmin, 0.0))
+        t1 = np.minimum(t1, np.where(d != 0, tmax, 1.0))
+    return ok & (t0 <= t1)
+
+
+def geom_intersects_box(geom, minx, miny, maxx, maxy) -> bool:
+    """Exact geometry-vs-rectangle intersects (ST_INTERSECTS vs envelope,
+    Data.groovy:177). Rectangle is closed (boundary counts)."""
+    tag, body = geom
+    if tag == "Point":
+        x, y = body
+        return minx <= x <= maxx and miny <= y <= maxy
+    if tag == "LineString":
+        arr = np.asarray(body)
+        if ((arr[:, 0] >= minx) & (arr[:, 0] <= maxx)
+                & (arr[:, 1] >= miny) & (arr[:, 1] <= maxy)).any():
+            return True
+        return bool(_segs_intersect_box(arr[:-1], arr[1:], minx, miny, maxx, maxy).any())
+    if tag == "Polygon":
+        shell = ensure_closed(body[0])
+        if bool(_segs_intersect_box(shell[:-1], shell[1:], minx, miny, maxx, maxy).any()):
+            return True
+        # rectangle fully inside polygon, or polygon fully inside rectangle
+        if points_in_rings(np.array([minx]), np.array([miny]), body)[0]:
+            return True
+        return bool(((shell[:, 0] >= minx) & (shell[:, 0] <= maxx)
+                     & (shell[:, 1] >= miny) & (shell[:, 1] <= maxy)).any())
+    return any(geom_intersects_box(sub, minx, miny, maxx, maxy) for sub in body)
+
+
+# ---------------------------------------------------------------- clipping
+
+def clip_polyline_box(arr: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """Clip a polyline to a rectangle -> list of polyline pieces
+    (Liang-Barsky per segment, pieces re-stitched when contiguous).
+    Semantics of `ST_INTERSECTION(line, envelope)` (Data.groovy:278)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if len(a) < 2:
+        return []
+    p, q = a[:-1], a[1:]
+    dx = q[:, 0] - p[:, 0]
+    dy = q[:, 1] - p[:, 1]
+    t0 = np.zeros(len(p))
+    t1 = np.ones(len(p))
+    ok = np.ones(len(p), dtype=bool)
+    for d, lo, hi in ((dx, minx - p[:, 0], maxx - p[:, 0]),
+                      (dy, miny - p[:, 1], maxy - p[:, 1])):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tlo = np.where(d != 0, lo / d, -np.inf)
+            thi = np.where(d != 0, hi / d, np.inf)
+        tmin = np.minimum(tlo, thi)
+        tmax = np.maximum(tlo, thi)
+        para_out = (d == 0) & ((lo > 0) | (hi < 0))
+        ok &= ~para_out
+        t0 = np.maximum(t0, np.where(d != 0, tmin, 0.0))
+        t1 = np.minimum(t1, np.where(d != 0, tmax, 1.0))
+    ok &= t0 <= t1
+    pieces: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(p)):
+        if not ok[i]:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = []
+            continue
+        s = p[i] + t0[i] * np.array([dx[i], dy[i]])
+        e = p[i] + t1[i] * np.array([dx[i], dy[i]])
+        if cur and np.allclose(cur[-1], s):
+            cur.append(e)
+        else:
+            if len(cur) >= 2:
+                pieces.append(np.array(cur))
+            cur = [s, e]
+    if len(cur) >= 2:
+        pieces.append(np.array(cur))
+    return pieces
+
+
+def clip_polygon_box(rings: Sequence[np.ndarray],
+                     minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """Sutherland-Hodgman clip of each ring against a rectangle.
+
+    Correct for the reference's use case (clip a layer to the
+    rectangular zone envelope). Degenerate results (<4 pts) dropped.
+    """
+    def clip_ring(ring, edge):
+        out = []
+        n = len(ring)
+        for i in range(n):
+            cur, nxt = ring[i], ring[(i + 1) % n]
+            cin, nin = edge(cur), edge(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(_isect(cur, nxt, edge))
+            elif nin:
+                out.append(_isect(cur, nxt, edge))
+        return out
+
+    def _isect(a, b, edge):
+        # edge is one of the four half-planes; solve for boundary crossing
+        (axis, val, keep_ge) = edge.meta
+        d = b[axis] - a[axis]
+        t = (val - a[axis]) / d
+        return a + t * (b - a)
+
+    def mk_edge(axis, val, keep_ge):
+        def e(pt):
+            return pt[axis] >= val if keep_ge else pt[axis] <= val
+        e.meta = (axis, val, keep_ge)
+        return e
+
+    edges = [mk_edge(0, minx, True), mk_edge(0, maxx, False),
+             mk_edge(1, miny, True), mk_edge(1, maxy, False)]
+    out_rings = []
+    for ring in rings:
+        r = ensure_closed(np.asarray(ring, dtype=np.float64))[:-1]
+        pts = [r[i] for i in range(len(r))]
+        for edge in edges:
+            pts = clip_ring(pts, edge)
+            if not pts:
+                break
+        if len(pts) >= 3:
+            arr = np.array(pts)
+            out_rings.append(ensure_closed(arr))
+    return out_rings
+
+
+# ---------------------------------------------------------------- linemerge
+
+def linemerge(lines: Iterable[np.ndarray]) -> list[np.ndarray]:
+    """Merge a set of polylines into maximal paths by joining shared
+    endpoints (ST_LINEMERGE, Transform.groovy:361,382).
+
+    Greedy graph walk with deterministic ordering: endpoints are matched
+    exactly (OSM way endpoints share node coordinates exactly).
+    Used per-relation inside applyInPandas — groups are small, scalar
+    Python here is off the hot path.
+    """
+    segs = [np.asarray(l, dtype=np.float64) for l in lines if len(np.asarray(l)) >= 2]
+    if not segs:
+        return []
+
+    def key(pt):
+        return (float(pt[0]), float(pt[1]))
+
+    unused = set(range(len(segs)))
+    endpoints: dict[tuple, list[int]] = {}
+    for i, s in enumerate(segs):
+        endpoints.setdefault(key(s[0]), []).append(i)
+        endpoints.setdefault(key(s[-1]), []).append(i)
+
+    merged = []
+    for start in range(len(segs)):
+        if start not in unused:
+            continue
+        unused.discard(start)
+        path = segs[start]
+        # extend forward then backward until no continuation
+        extended = True
+        while extended:
+            extended = False
+            for endpt, reverse_path in ((key(path[-1]), False), (key(path[0]), True)):
+                cands = [i for i in endpoints.get(endpt, []) if i in unused]
+                if len(cands) != 1:
+                    continue  # junction or dead end — stop (JTS semantics)
+                i = cands[0]
+                seg = segs[i]
+                unused.discard(i)
+                if key(seg[0]) == endpt:
+                    ext = seg[1:]
+                elif key(seg[-1]) == endpt:
+                    ext = seg[::-1][1:]
+                else:
+                    continue
+                if reverse_path:
+                    path = np.vstack([ext[::-1], path])
+                else:
+                    path = np.vstack([path, ext])
+                extended = True
+        merged.append(path)
+    return merged
+
+
+# ---------------------------------------------------------------- distance
+
+def haversine_deg(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in meters, vectorized over degree arrays."""
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))

@@ -1,0 +1,237 @@
+"""The spatial join engine: cell-partitioned filter-and-refine.
+
+Re-creation of the reference's RTREE-accelerated spatial joins
+(`a.the_geom && b.the_geom AND ST_CONTAINS/ST_INTERSECTS(...)`,
+Transform.groovy:422-444, Data.groovy:177,278) as a Spark plan:
+
+1. **Cover** (vector->raster): each polygon explodes into the grid
+   cells its bbox covers (cells.covering_cells_many). Polygons whose
+   cover would exceed ``max_cells_per_poly`` coarsen individually, so
+   the cover stays bounded regardless of zone size — the RTREE-node
+   analog.
+2. **Coarse join**: points compute their cell per resolution present
+   on the polygon side (pure JVM arithmetic) and equi-join on
+   ``cell`` — semantically the reference's `&&` bbox prefilter, but
+   expressed as a Catalyst equi-join: broadcast when the cover is
+   small, shuffle-hash otherwise, AQE-replannable.
+3. **Bbox prefilter** (JVM, whole-stage codegen): exact envelope test
+   before anything crosses into Python.
+4. **Refine** (Arrow): even-odd point-in-polygon over decoded WKB in a
+   mapInPandas batch — the `ST_CONTAINS` exact predicate. Each
+   distinct polygon decodes once per batch; points test vectorized.
+5. **Skew**: hot cells (sampled histogram) salt the join key —
+   see skew.py.
+
+At 100 TB: the only wide exchange is the equi-join shuffle on
+``(cell[, salt])``; everything upstream is narrow, the refine is a
+map-side operator on the join output, and the polygon side (zones,
+admin boundaries: 10^2..10^6 rows) broadcasts in the common case.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells, geom, skew
+
+DEFAULT_RES = 12              # ~0.088 deg cells (~9.8 km at equator)
+MAX_CELLS_PER_POLY = 64
+BROADCAST_MAX_COVER_ROWS = 2_000_000
+
+
+def cover_polygons(polys: DataFrame, poly_id: str = "zone_id",
+                   wkb_col: str = "the_geom_wkb",
+                   res: int = DEFAULT_RES,
+                   max_cells_per_poly: int = MAX_CELLS_PER_POLY) -> DataFrame:
+    """Polygon DataFrame -> exploded (poly cols..., cell, minx..maxy).
+
+    Carries the WKB through the explode so refinement needs no second
+    join with the polygon table (standard replication trade-off from
+    the distributed spatial-join literature).
+    """
+    out_schema = (f"{poly_id} string, the_geom_wkb binary, cell long, "
+                  "minx double, miny double, maxx double, maxy double")
+
+    def _cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wkbs, cell_l, bxs = [], [], [], []
+            for pid, w in zip(pdf[poly_id].values, pdf[wkb_col].values):
+                g = geom.wkb_loads(bytes(w))
+                minx, miny, maxx, maxy = geom.bounds(g)
+                r = res
+                while r > 0:
+                    n = 1 << r
+                    nx = (int(np.floor((maxx + 180.0) / 360.0 * n))
+                          - int(np.floor((minx + 180.0) / 360.0 * n)) + 1)
+                    ny = (int(np.floor((maxy + 90.0) / 180.0 * n))
+                          - int(np.floor((miny + 90.0) / 180.0 * n)) + 1)
+                    if nx * ny <= max_cells_per_poly:
+                        break
+                    r -= 1
+                cc = cells.covering_cells(minx, miny, maxx, maxy, r)
+                ids.extend([pid] * len(cc))
+                wkbs.extend([bytes(w)] * len(cc))
+                cell_l.append(cc)
+                bxs.extend([(minx, miny, maxx, maxy)] * len(cc))
+            cell_arr = (np.concatenate(cell_l) if cell_l
+                        else np.empty(0, np.int64))
+            b = np.array(bxs, dtype=np.float64).reshape(-1, 4)
+            yield pd.DataFrame({
+                poly_id: ids, "the_geom_wkb": wkbs, "cell": cell_arr,
+                "minx": b[:, 0], "miny": b[:, 1],
+                "maxx": b[:, 2], "maxy": b[:, 3],
+            })
+
+    return polys.mapInPandas(_cover, schema=out_schema)
+
+
+def point_cells(points: DataFrame, res_list: list[int],
+                lat_col: str = "lat", lon_col: str = "lon",
+                cell_col: str = "cell") -> DataFrame:
+    """Attach cell ids for every polygon-side resolution (pure JVM).
+
+    One resolution: a single codegen'd column. Several: explode over
+    the (tiny) array of ancestor cells.
+    """
+    exprs = [F.expr(cells.cell_sql(lat_col, lon_col, r)) for r in sorted(set(res_list))]
+    if len(exprs) == 1:
+        return points.withColumn(cell_col, exprs[0])
+    return points.withColumn(cell_col, F.explode(F.array(*exprs)))
+
+
+def _refine_exact(joined: DataFrame, lat_col: str, lon_col: str,
+                  keep_cols: list[str]) -> DataFrame:
+    """Vectorized point-in-polygon refinement on the coarse-join output."""
+    schema_fields = []
+    for f in joined.schema.fields:
+        if f.name in keep_cols:
+            schema_fields.append(f)
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in schema_fields)
+    names = [f.name for f in schema_fields]
+
+    def _ref(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[bytes, object] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[names]
+                continue
+            pdf = pdf.reset_index(drop=True)
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            mask = np.zeros(len(pdf), dtype=bool)
+            wkb_vals = pdf["the_geom_wkb"].values
+            keys = pd.Series([bytes(w) for w in wkb_vals])
+            for wkb_bytes, idx in keys.groupby(keys).groups.items():
+                g = cache.get(wkb_bytes)
+                if g is None:
+                    g = geom.wkb_loads(wkb_bytes)
+                    cache[wkb_bytes] = g
+                ii = np.asarray(idx)
+                mask[ii] = geom.points_in_geom(px[ii], py[ii], g)
+            yield pdf.loc[mask, names]
+
+    return joined.mapInPandas(_ref, schema=out_schema)
+
+
+def spatial_join(points: DataFrame, polys: DataFrame, *,
+                 point_id_cols: list[str] | None = None,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 poly_id: str = "zone_id", wkb_col: str = "the_geom_wkb",
+                 how: str = "inner", refine: str = "exact",
+                 res: int = DEFAULT_RES,
+                 max_cells_per_poly: int = MAX_CELLS_PER_POLY,
+                 broadcast: bool | None = None,
+                 salt: bool = False,
+                 hot_threshold: int = skew.DEFAULT_HOT_THRESHOLD,
+                 keep_poly_cols: list[str] | None = None) -> DataFrame:
+    """Point-in-polygon spatial join (J5/J6 of SURVEY.md §2.3).
+
+    Parameters
+    ----------
+    how : inner | left | left_semi | left_anti
+        `left_anti` is the reference's hole-less-outer branch pattern
+        (`b.id_relation IS NULL`, Transform.groovy:437-442).
+    refine : exact | bbox
+        `bbox` skips the Python refinement when polygons are known
+        axis-aligned rectangles (zone envelopes) — the whole join then
+        stays JVM-side.
+    broadcast : None -> decide by counting the polygon side (it is the
+        small side by contract); True/False to force.
+    salt : salt hot cells before the shuffle join (skew.py). Only
+        meaningful on the shuffle path — a broadcast join has no
+        per-key reducer to overload.
+    """
+    point_id_cols = point_id_cols or ["url"]
+    keep_poly_cols = keep_poly_cols if keep_poly_cols is not None else [poly_id]
+
+    cover = cover_polygons(polys, poly_id=poly_id, wkb_col=wkb_col,
+                           res=res, max_cells_per_poly=max_cells_per_poly).persist()
+
+    # one action: cover size (broadcast decision) + resolutions present
+    stats = cover.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(F.shiftright(F.col("cell"), 58)).alias("res_set")).collect()[0]
+    res_list = [int(r) for r in stats.res_set] or [res]
+
+    if broadcast is None:
+        broadcast = stats.n <= BROADCAST_MAX_COVER_ROWS
+
+    pts = point_cells(points, res_list, lat_col=lat_col, lon_col=lon_col)
+
+    join_keys = ["cell"]
+    if salt and not broadcast:
+        hist = skew.cell_histogram(pts, "cell", sample_fraction=0.01,
+                                   min_count=max(1, hot_threshold // 200))
+        plan = skew.plan_salts(hist, "cell", hot_threshold=hot_threshold)
+        pts = skew.salt_points(pts, plan, id_cols=point_id_cols)
+        cover = skew.salt_cover(cover, plan)
+        join_keys = ["cell", "salt"]
+
+    right = F.broadcast(cover) if broadcast else cover
+    coarse = pts.join(right, on=join_keys, how="inner")
+
+    # JVM-side envelope prefilter before anything reaches Python
+    coarse = coarse.where(
+        (F.col(lon_col) >= F.col("minx")) & (F.col(lon_col) <= F.col("maxx"))
+        & (F.col(lat_col) >= F.col("miny")) & (F.col(lat_col) <= F.col("maxy")))
+
+    point_cols = [c for c in points.columns]
+    keep = point_cols + [c for c in keep_poly_cols if c not in point_cols]
+
+    if refine == "bbox":
+        matched = coarse.select(*keep)
+    else:
+        matched = _refine_exact(coarse, lat_col, lon_col, keep)
+
+    # a point matches a polygon in exactly one cover cell (single res
+    # per polygon), so no pair-dedup is needed on the inner path
+    if how == "inner":
+        return matched
+    if how == "left_semi":
+        ids = matched.select(*point_id_cols).distinct()
+        return points.join(ids, on=point_id_cols, how="left_semi")
+    if how == "left_anti":
+        ids = matched.select(*point_id_cols).distinct()
+        return points.join(ids, on=point_id_cols, how="left_anti")
+    if how == "left":
+        poly_side = matched.select(
+            *point_id_cols,
+            *[c for c in keep if c not in point_cols])
+        return points.join(poly_side, on=point_id_cols, how="left")
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def spatial_join_bbox_sql(points_sql: str, zones_values_sql: str,
+                          lat_expr: str, lon_expr: str) -> str:
+    """Helper for oracle parity: ANSI-SQL equivalent of a rect-zone
+    spatial join (DuckDB side of the driver's correctness gate)."""
+    return (f"SELECT p.*, z.zone_id FROM ({points_sql}) p "
+            f"JOIN ({zones_values_sql}) z "
+            f"ON {lat_expr} >= z.miny AND {lat_expr} <= z.maxy "
+            f"AND {lon_expr} >= z.minx AND {lon_expr} <= z.maxx")

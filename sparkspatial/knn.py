@@ -1,0 +1,137 @@
+"""kNN via k-ring cell expansion with exact distance re-rank.
+
+Extension beyond the reference (SURVEY.md §2.3: "kNN is required by the
+north_rule"). For each query point: candidates are points whose cell
+lies in the query's k-ring; candidates re-rank by exact haversine; the
+result is certified exact when the k-th distance fits inside the
+guaranteed-covered window of the searched ring, else the ring doubles
+and only the unsatisfied queries re-run (a shrinking driver loop,
+each round a broadcast join of the remaining query ring-cells).
+
+Ties break deterministically by (distance, point id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import cells, geom
+
+# conservative meters-per-degree bounds (min over the globe for lat;
+# cos-scaled at the window's worst latitude for lon)
+MIN_M_PER_DEG_LAT = 110_567.0
+
+
+def _ring_cells_df(spark, queries_pdf: pd.DataFrame, ring: int, res: int):
+    """Driver-side expansion of query points into their k-ring cells."""
+    rows = []
+    qcell = cells.encode(queries_pdf["qlat"].to_numpy(),
+                         queries_pdf["qlon"].to_numpy(), res)
+    for i, qc in enumerate(qcell):
+        for c in cells.kring(int(qc), ring):
+            rows.append((queries_pdf["qid"].iloc[i],
+                         float(queries_pdf["qlat"].iloc[i]),
+                         float(queries_pdf["qlon"].iloc[i]), int(c)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["qid", "qlat", "qlon", "cell"]),
+        "qid string, qlat double, qlon double, cell long")
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
+             res: int = 10, point_id: str = "url",
+             lat_col: str = "lat", lon_col: str = "lon",
+             qid_col: str = "qid", qlat_col: str = "qlat",
+             qlon_col: str = "qlon",
+             initial_ring: int = 1, max_ring: int = 64) -> DataFrame:
+    """Exact kNN: returns (qid, point_id, dist_m, rnk) with rnk 1..k.
+
+    `queries` is expected to be small (it collects to the driver to
+    build ring-cell candidate tables); `points` is the big side and is
+    only ever touched through cell-equi-joins + window top-k.
+    """
+    spark = points.sparkSession
+    pts = points.withColumn("cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
+
+    q_pdf = (queries.select(F.col(qid_col).cast("string").alias("qid"),
+                            F.col(qlat_col).alias("qlat"),
+                            F.col(qlon_col).alias("qlon"))
+             .toPandas())
+
+    cell_h_deg = 180.0 / (1 << res)
+    cell_w_deg = 360.0 / (1 << res)
+
+    results: list[DataFrame] = []
+    ring = initial_ring
+    remaining = q_pdf
+    while len(remaining) > 0:
+        ring_df = _ring_cells_df(spark, remaining, ring, res)
+        cand = pts.join(F.broadcast(ring_df), on="cell", how="inner")
+
+        dist = 2.0 * F.lit(geom.EARTH_RADIUS_M) * F.asin(F.sqrt(
+            F.pow(F.sin(F.radians(F.col(lat_col) - F.col("qlat")) / 2), 2)
+            + F.cos(F.radians(F.col("qlat"))) * F.cos(F.radians(F.col(lat_col)))
+            * F.pow(F.sin(F.radians(F.col(lon_col) - F.col("qlon")) / 2), 2)))
+        cand = cand.withColumn("dist_m", dist)
+
+        w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(),
+                                              F.col(point_id).asc())
+        topk = (cand.withColumn("rnk", F.row_number().over(w))
+                    .where(F.col("rnk") <= k)
+                    .select("qid", "qlat", "qlon", point_id, "dist_m", "rnk"))
+
+        got = topk.groupBy("qid", "qlat", "qlon").agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist_m").alias("dmax")).toPandas()
+
+        if len(got) < len(remaining):
+            got = remaining.merge(got, on=["qid", "qlat", "qlon"], how="left")
+            got["n"] = got["n"].fillna(0)
+            got["dmax"] = got["dmax"].fillna(np.inf)
+
+        # certification: everything within dmax must lie inside the ring
+        # window. Guaranteed covered radius (meters, conservative):
+        lat_abs = np.abs(got["qlat"].to_numpy()) + ring * cell_h_deg
+        m_per_deg_lon = 111_320.0 * np.cos(np.radians(np.minimum(lat_abs, 89.9)))
+        cover_m = np.minimum(ring * cell_h_deg * MIN_M_PER_DEG_LAT,
+                             ring * cell_w_deg * m_per_deg_lon)
+        ok = (got["n"].to_numpy() >= k) & (got["dmax"].to_numpy() < cover_m)
+        ok_ids = set(got.loc[ok, "qid"])
+        if ok_ids:
+            done_df = topk.where(F.col("qid").isin([str(x) for x in ok_ids]))
+            results.append(done_df.select("qid", point_id, "dist_m", "rnk"))
+        remaining = remaining[~remaining["qid"].isin(ok_ids)].reset_index(drop=True)
+        if len(remaining) > 0 and ring >= max_ring:
+            # fewer than k points (or max ring hit): accept what exists
+            rest = topk.join(
+                spark.createDataFrame(remaining[["qid"]]), "qid", "left_semi")
+            results.append(rest.select("qid", point_id, "dist_m", "rnk"))
+            break
+        ring *= 2
+
+    if not results:
+        return spark.createDataFrame(
+            [], f"qid string, {point_id} string, dist_m double, rnk int")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int, *,
+                   point_id: str = "url", lat_col: str = "lat",
+                   lon_col: str = "lon", qid_col: str = "qid",
+                   qlat_col: str = "qlat", qlon_col: str = "qlon") -> DataFrame:
+    """Cross-join oracle (FIXTURES.md B.5) — small inputs only."""
+    dist = 2.0 * F.lit(geom.EARTH_RADIUS_M) * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.col(lat_col) - F.col(qlat_col)) / 2), 2)
+        + F.cos(F.radians(F.col(qlat_col))) * F.cos(F.radians(F.col(lat_col)))
+        * F.pow(F.sin(F.radians(F.col(lon_col) - F.col(qlon_col)) / 2), 2)))
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist_m").asc(),
+                                            F.col(point_id).asc())
+    return (queries.crossJoin(points)
+            .withColumn("dist_m", dist)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select(F.col(qid_col).alias("qid"), point_id, "dist_m", "rnk"))

@@ -1,0 +1,143 @@
+"""Zone builders — the analog of Loader.fromArea / fromPlace.
+
+The reference turns an envelope/polygon or a Nominatim place name into
+a one-row `zone` table plus a `zone_envelope` table expanded by a
+meter distance (Loader.groovy:71-136, 152-218; envelope expansion at
+Loader.groovy:100,182 via GeographyUtilities.expandEnvelopeByMeters).
+Here zones are plain DataFrames ``(zone_id, the_geom_wkb, minx, miny,
+maxx, maxy)`` — the envelope columns double as the coarse `&&` filter
+the join engine consumes, and place lookup reads a bundled gazetteer
+DataFrame instead of the network (AbstractOSMTest's Nominatim mock,
+AbstractOSMTest.groovy:118-214, made first-class).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from . import geom
+
+WGS84_EARTH_RADIUS_M = 6378137.0
+
+ZONE_SCHEMA = ("zone_id string, the_geom_wkb binary, "
+               "minx double, miny double, maxx double, maxy double")
+
+
+def expand_envelope_meters(minx: float, miny: float, maxx: float, maxy: float,
+                           distance_m: float) -> tuple[float, float, float, float]:
+    """Expand a lon/lat envelope by a distance in meters.
+
+    Spherical approximation: one degree of latitude is
+    ``R * pi / 180`` meters; longitude shrinks by cos(latitude of the
+    envelope center) — the same approximation class as the reference's
+    GeographyUtilities.expandEnvelopeByMeters (Loader.groovy:100).
+    """
+    if distance_m == 0:
+        return minx, miny, maxx, maxy
+    dlat = distance_m / (WGS84_EARTH_RADIUS_M * math.pi / 180.0)
+    midlat = math.radians((miny + maxy) / 2.0)
+    dlon = dlat / max(math.cos(midlat), 1e-12)
+    return minx - dlon, miny - dlat, maxx + dlon, maxy + dlat
+
+
+def zone_row(zone_id: str, g, distance_m: float = 0.0) -> Row:
+    """Tagged-tuple polygon geometry -> zone Row (envelope expanded)."""
+    minx, miny, maxx, maxy = geom.bounds(g)
+    minx, miny, maxx, maxy = expand_envelope_meters(minx, miny, maxx, maxy, distance_m)
+    return Row(zone_id=zone_id, the_geom_wkb=bytearray(geom.wkb_dumps(g)),
+               minx=float(minx), miny=float(miny),
+               maxx=float(maxx), maxy=float(maxy))
+
+
+def from_area(spark: SparkSession, area, zone_id: str = "zone",
+              distance_m: float = 0.0) -> DataFrame:
+    """Envelope tuple (minx,miny,maxx,maxy) or tagged polygon -> 1-row
+    zones DataFrame (Loader.fromArea semantics, Loader.groovy:71-136)."""
+    if isinstance(area, tuple) and len(area) == 4:
+        minx, miny, maxx, maxy = area
+        g = geom.wkb_loads(geom.box_wkb(minx, miny, maxx, maxy))
+    else:
+        g = area
+    return spark.createDataFrame([zone_row(zone_id, g, distance_m)], ZONE_SCHEMA)
+
+
+def builtin_gazetteer(spark: SparkSession) -> DataFrame:
+    """Small deterministic place->polygon lookup (no-network analog of
+    Utilities.getAreaFromPlace, Utilities.groovy:77-130)."""
+    places = {
+        # name: (minx, miny, maxx, maxy) - toy but stable
+        "redon": (-2.12, 47.62, -2.02, 47.72),
+        "paris": (2.22, 48.81, 2.47, 48.90),
+        "new york": (-74.26, 40.49, -73.70, 40.92),
+        "vannes": (-2.81, 47.63, -2.70, 47.69),
+    }
+    rows = []
+    for name, (minx, miny, maxx, maxy) in sorted(places.items()):
+        g = geom.wkb_loads(geom.box_wkb(minx, miny, maxx, maxy))
+        rows.append(Row(place=name, the_geom_wkb=bytearray(geom.wkb_dumps(g)),
+                        minx=minx, miny=miny, maxx=maxx, maxy=maxy))
+    return spark.createDataFrame(
+        rows, "place string, the_geom_wkb binary, "
+              "minx double, miny double, maxx double, maxy double")
+
+
+def normalize_place(name: str) -> str:
+    """Place-name normalization (Loader.groovy:167 regex analog)."""
+    import re
+    return re.sub(r"[^a-zA-Z0-9 _-]", "", name.strip().lower())
+
+
+def from_place(spark: SparkSession, place: str,
+               gazetteer: DataFrame | None = None,
+               distance_m: float = 0.0) -> DataFrame:
+    """Place name -> 1-row zones DataFrame via gazetteer lookup
+    (Loader.fromPlace semantics, Loader.groovy:152-218)."""
+    gaz = gazetteer if gazetteer is not None else builtin_gazetteer(spark)
+    norm = normalize_place(place)
+    hit = gaz.where(gaz.place == norm).limit(1).collect()
+    if not hit:
+        raise ValueError(f"place not found in gazetteer: {place!r}")
+    row = hit[0]
+    minx, miny, maxx, maxy = expand_envelope_meters(
+        row.minx, row.miny, row.maxx, row.maxy, distance_m)
+    return spark.createDataFrame(
+        [Row(zone_id=norm, the_geom_wkb=row.the_geom_wkb,
+             minx=float(minx), miny=float(miny),
+             maxx=float(maxx), maxy=float(maxy))], ZONE_SCHEMA)
+
+
+def synthetic_zones(spark: SparkSession, n: int = 64,
+                    include_hotspots: bool = True) -> DataFrame:
+    """Deterministic synthetic zone set for tests/bench (FIXTURES.md B.2):
+    disjoint rectangles across the geocode band, a polygon with a hole,
+    an overlapping pair, and rectangles over the hotspot centers."""
+    rows = []
+    rng = np.random.RandomState(42)
+    for i in range(n):
+        # centers spread over the non-hot geocode band
+        cx = -175.0 + (i * 353.0) % 350.0 + rng.uniform(0, 1)
+        cy = -55.0 + (i * 97.0) % 110.0 + rng.uniform(0, 1)
+        w = 0.5 + (i % 7) * 0.45
+        h = 0.5 + (i % 5) * 0.4
+        g = geom.wkb_loads(geom.box_wkb(cx - w, cy - h, cx + w, cy + h))
+        rows.append(zone_row(f"z{i:03d}", g))
+    if include_hotspots:
+        # cover the 5x5 hot-center lattice (geocode.py: lat 40.1..40.9,
+        # lon -74.3..-73.5) so hot cells hit the join
+        g = geom.wkb_loads(geom.box_wkb(-74.8, 39.6, -73.0, 41.4))
+        rows.append(zone_row("zhot", g))
+        # polygon with a hole inside the hot box (J5 contains semantics)
+        shell = np.array([[-74.6, 39.8], [-73.2, 39.8], [-73.2, 41.2],
+                          [-74.6, 41.2], [-74.6, 39.8]])
+        hole = np.array([[-74.1, 40.2], [-73.7, 40.2], [-73.7, 40.7],
+                         [-74.1, 40.7], [-74.1, 40.2]])
+        rows.append(zone_row("zhole", ("Polygon", [shell, hole])))
+        # overlapping pair (a point may match 2 zones)
+        g1 = geom.wkb_loads(geom.box_wkb(-74.5, 40.0, -73.9, 40.6))
+        g2 = geom.wkb_loads(geom.box_wkb(-74.2, 40.3, -73.6, 40.9))
+        rows.append(zone_row("zov_a", g1))
+        rows.append(zone_row("zov_b", g2))
+    return spark.createDataFrame(rows, ZONE_SCHEMA)

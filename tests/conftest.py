@@ -1,0 +1,27 @@
+"""Shared pytest fixtures: Spark session + deterministic synthetic fixtures."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from sparkspatial.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    s = get_spark(app="sparkspatial-tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,200 @@
+"""Spatial engine tests: extraction, join (vs brute force), tiles, kNN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkspatial import cells, extract, geom, join, tiles, zones
+from sparkspatial.geocode import geocode_pandas
+from sparkspatial.knn import knn_bruteforce, knn_join
+
+
+@pytest.fixture(scope="module")
+def points_df(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("url"),
+        F.col("source").alias("domain"), "lang")
+    return extract.geotag(pages, "domain", "url").persist()
+
+
+@pytest.fixture(scope="module")
+def zones_df(spark):
+    return zones.synthetic_zones(spark, n=48).persist()
+
+
+def brute_force_pairs(points_pdf: pd.DataFrame, zones_pdf: pd.DataFrame) -> set:
+    """Oracle: decode every zone, test every point (numpy PIP)."""
+    out = set()
+    for _, z in zones_pdf.iterrows():
+        g = geom.wkb_loads(bytes(z.the_geom_wkb))
+        mask = geom.points_in_geom(points_pdf["lon"].to_numpy(),
+                                   points_pdf["lat"].to_numpy(), g)
+        for u in points_pdf.loc[mask, "url"]:
+            out.add((u, z.zone_id))
+    return out
+
+
+# ---------------------------------------------------------------- extraction
+
+def test_extract_text_byte_identity():
+    text = "Hello world — spatial page about Paris"
+    html = extract.make_html(text, [(48.85, 2.35)])
+    assert extract.extract_text(html) == text
+
+
+def test_extract_points_markers(spark):
+    rows = [("u1", extract.make_html("a", [(10.5, -20.25), (48.0, 2.0)])),
+            ("u2", extract.make_html("b", [])),
+            ("u3", extract.make_html("c", [(-33.9, 151.2)]))]
+    pages = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in rows], "url string, html binary")
+    got = extract.extract_points(pages).orderBy("url", "lat").collect()
+    assert [(r.url, r.lat, r.lon) for r in got] == [
+        ("u1", 10.5, -20.25), ("u1", 48.0, 2.0), ("u3", -33.9, 151.2)]
+
+
+def test_extract_text_udf_matches_python(spark):
+    # texts must be whitespace-normalized (extract_text collapses ws)
+    texts = ["short one", "longer text with spacing", "unicode é λ 漢字"]
+    rows = [(f"u{i}", bytearray(extract.make_html(t, [(1.0, 2.0)])), t)
+            for i, t in enumerate(texts)]
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+    out = extract.extract_text_udf(pages).collect()
+    for r in out:
+        assert r.text_extracted == r.text  # byte-identical invariant
+
+
+# ---------------------------------------------------------------- spatial join
+
+def test_spatial_join_matches_bruteforce_broadcast(spark, points_df, zones_df):
+    got = join.spatial_join(points_df, zones_df, how="inner", broadcast=True)
+    pairs = {(r.url, r.zone_id) for r in got.select("url", "zone_id").collect()}
+    want = brute_force_pairs(points_df.toPandas(), zones_df.toPandas())
+    assert pairs == want
+    assert len(pairs) > 0
+
+
+def test_spatial_join_shuffle_and_salted_same_result(spark, points_df, zones_df):
+    base = join.spatial_join(points_df, zones_df, how="inner", broadcast=True)
+    want = {(r.url, r.zone_id) for r in base.select("url", "zone_id").collect()}
+    shuffled = join.spatial_join(points_df, zones_df, how="inner", broadcast=False)
+    got1 = {(r.url, r.zone_id) for r in shuffled.select("url", "zone_id").collect()}
+    salted = join.spatial_join(points_df, zones_df, how="inner",
+                               broadcast=False, salt=True, hot_threshold=10)
+    got2 = {(r.url, r.zone_id) for r in salted.select("url", "zone_id").collect()}
+    assert got1 == want
+    assert got2 == want
+
+
+def test_spatial_join_modes(spark, points_df, zones_df):
+    inner = join.spatial_join(points_df, zones_df, how="inner", broadcast=True)
+    semi = join.spatial_join(points_df, zones_df, how="left_semi", broadcast=True)
+    anti = join.spatial_join(points_df, zones_df, how="left_anti", broadcast=True)
+    left = join.spatial_join(points_df, zones_df, how="left", broadcast=True)
+    n_pts = points_df.count()
+    matched_urls = {r.url for r in inner.select("url").distinct().collect()}
+    assert semi.count() == len(matched_urls)
+    assert anti.count() == n_pts - len(matched_urls)
+    assert left.count() == inner.count() + anti.count()
+    assert set(semi.columns) == set(points_df.columns)
+
+
+def test_spatial_join_hole_semantics(spark):
+    # point inside the hole must NOT match zhole but a shifted one does
+    zdf = zones.synthetic_zones(spark, n=0, include_hotspots=True)
+    pts = spark.createDataFrame(
+        [("in_hole", 40.45, -73.9), ("in_shell", 40.0, -73.5)],
+        "url string, lat double, lon double")
+    got = join.spatial_join(pts, zdf, how="inner", broadcast=True)
+    by_url = {}
+    for r in got.collect():
+        by_url.setdefault(r.url, set()).add(r.zone_id)
+    assert "zhole" not in by_url.get("in_hole", set())
+    assert "zhole" in by_url.get("in_shell", set())
+    # overlapping pair: both zones match a point in the overlap region
+    pts2 = spark.createDataFrame([("ov", 40.45, -74.05)],
+                                 "url string, lat double, lon double")
+    got2 = {r.zone_id for r in
+            join.spatial_join(pts2, zdf, broadcast=True).collect()}
+    assert {"zov_a", "zov_b"} <= got2
+
+
+def test_spatial_join_bbox_refine_equals_exact_for_rects(spark, points_df):
+    # rectangles only -> bbox refinement must equal exact refinement
+    zdf = zones.synthetic_zones(spark, n=24, include_hotspots=False)
+    exact = join.spatial_join(points_df, zdf, refine="exact", broadcast=True)
+    bbox = join.spatial_join(points_df, zdf, refine="bbox", broadcast=True)
+    a = {(r.url, r.zone_id) for r in exact.select("url", "zone_id").collect()}
+    b = {(r.url, r.zone_id) for r in bbox.select("url", "zone_id").collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------- tiles
+
+def test_grid_indicators_rollup_consistent(spark, points_df):
+    gi = tiles.grid_indicators(points_df, res=8, rollup_res=[5],
+                               domain_col="domain", lang_col="lang").persist()
+    fine = gi.where(F.col("res") == 8)
+    coarse = gi.where(F.col("res") == 5)
+    assert fine.agg(F.sum("page_count")).first()[0] == points_df.count()
+    assert coarse.agg(F.sum("page_count")).first()[0] == points_df.count()
+    # parent rollup equals re-aggregating fine level in pandas
+    fine_pdf = fine.select("cell", "page_count").toPandas()
+    fine_pdf["pcell"] = cells.parent(fine_pdf["cell"].to_numpy(), 5)
+    want = fine_pdf.groupby("pcell")["page_count"].sum().to_dict()
+    got = {r.cell: r.page_count for r in coarse.collect()}
+    assert got == want
+    # lang histogram sums to page_count at the fine level
+    row = fine.where(F.col("lang_histogram").isNotNull()).first()
+    assert sum(row.lang_histogram.values()) == row.page_count
+
+
+def test_cell_geometry_roundtrip(spark, points_df):
+    pts = tiles.assign_cells(points_df.limit(20), res=9)
+    withgeo = tiles.cell_geometry(pts).collect()
+    for r in withgeo:
+        g = geom.wkb_loads(bytes(r.cell_wkb))
+        assert g[0] == "Polygon"
+        assert r.cell_minx <= r.lon <= r.cell_maxx
+        assert r.cell_miny <= r.lat <= r.cell_maxy
+        # re-rasterizing the cell polygon yields the same cell
+        rc = cells.encode(np.array([(r.cell_miny + r.cell_maxy) / 2]),
+                          np.array([(r.cell_minx + r.cell_maxx) / 2]), 9)[0]
+        assert rc == r.cell
+
+
+def test_tessellate_zone(spark):
+    zdf = zones.synthetic_zones(spark, n=0, include_hotspots=True).toPandas()
+    hot = zdf[zdf.zone_id == "zhot"].iloc[0]
+    tess = tiles.tessellate_zone(bytes(hot.the_geom_wkb), res=8)
+    assert len(tess) > 0
+    # every tessellation cell intersects the zone bbox
+    minlon, minlat, maxlon, maxlat = cells.cell_bounds(tess["cell"].to_numpy())
+    assert (maxlon >= hot.minx).all() and (minlon <= hot.maxx).all()
+
+
+# ---------------------------------------------------------------- kNN
+
+def test_knn_matches_bruteforce(spark, points_df):
+    queries = spark.createDataFrame(
+        [("q0", 40.5, -74.0), ("q1", 40.9, -73.6), ("q2", -10.0, 100.0),
+         ("q3", 48.85, 2.35)],
+        "qid string, qlat double, qlon double")
+    got = knn_join(points_df, queries, k=5, res=8)
+    want = knn_bruteforce(points_df, queries, k=5)
+    g = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6)) for r in got.collect()}
+    w = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_knn_fewer_than_k(spark):
+    pts = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("b", 0.1, 0.1)], "url string, lat double, lon double")
+    q = spark.createDataFrame([("q", 0.0, 0.05)],
+                              "qid string, qlat double, qlon double")
+    got = knn_join(pts, q, k=5, res=6, max_ring=4)
+    assert got.count() == 2  # only two points exist
