@@ -9,7 +9,8 @@ Queries derive a web-page corpus from the provided tables
 (FIXTURES.md B.4: ``url = source || '/' || doc_id``), geotag it with
 the canonical cross-engine arithmetic geocode (sparkspatial/geocode.py)
 and run the engine's operators; oracles re-state the semantics in
-DuckDB-dialect ANSI SQL.
+DuckDB-dialect ANSI SQL. Query names map to SURVEY.md §2 operator ids
+(J5 spatial join, A2 pivot, O2 union-align, ...).
 """
 
 from __future__ import annotations
@@ -19,17 +20,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkspatial import extract, join, tiles, zones
-from sparkspatial.geocode import lat_sql, lon_sql, url_sql
 from sparkspatial import cells as cellmod
+from sparkspatial import extract, join, knn, layers, sim, text, tiles
+from sparkspatial import transform, zones
+from sparkspatial.geocode import lat_sql, lon_sql, url_sql
+from sparkspatial.hashing import h32_duckdb_sql, h32_spark_sql
 
 # ---------------------------------------------------------------------------
 # shared derivations
 # ---------------------------------------------------------------------------
 
-# oracle-visible zone set: axis-aligned rectangles over the geocode
-# bands (5 hot-lattice zones + 8 cold-band zones). Chosen with edges
-# that derived points cannot hit exactly.
 # Edges end in a ten-thousandth in {1,3,7,9}: derived points sit on a
 # 0.0005-degree lattice, so no point can ever fall exactly on an edge
 # (keeps raycast vs BETWEEN boundary semantics out of the comparison).
@@ -48,6 +48,12 @@ ORACLE_ZONES = [
     ("cold_h", 0.0101, -10.0309, 170.1303, 49.9903),
     ("band_s", -179.9301, -59.9707, 179.9301, -50.0707),
 ]
+
+WGAEN_TYPES = ["Motorway", "Trunk road", "Major main road", "Main road",
+               "Small main road", "Collecting road", "Service road",
+               "Dead-end road"]
+
+SPEED_STRINGS = ["72", "72 MPH", "72 kmh", "25kmh", "72 knots", "", None]
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +78,6 @@ def _zones_df(spark: SparkSession) -> DataFrame:
 
 
 def _duck_points_cte() -> str:
-    """DuckDB CTE producing (url, domain, lang, doc_id, lat, lon)."""
     u = url_sql("source", "doc_id", "duckdb")
     return (
         "pts AS (SELECT "
@@ -90,11 +95,53 @@ def _duck_zones_cte() -> str:
             f"(SELECT * FROM (VALUES {vals}))")
 
 
+def _roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived road rows: one per document, WGAEN type from h32(source),
+    maxspeed string from the truth-table pool, oneway from doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    type_arr = ", ".join(f"'{t}'" for t in WGAEN_TYPES)
+    ms_arr = ", ".join("NULL" if s is None else f"'{s}'"
+                       for s in SPEED_STRINGS)
+    return docs.selectExpr(
+        "doc_id",
+        f"element_at(array({type_arr}), "
+        f"CAST({h32_spark_sql('source')} % 8 + 1 AS INT)) AS wgaen_type",
+        f"element_at(array({ms_arr}), CAST(doc_id % 7 + 1 AS INT)) "
+        "AS maxspeed_str",
+        "doc_id % 2 = 0 AS oneway")
+
+
+def _duck_roads_cte() -> str:
+    type_arr = ", ".join(f"'{t}'" for t in WGAEN_TYPES)
+    ms_arr = ", ".join("NULL" if s is None else f"'{s}'"
+                       for s in SPEED_STRINGS)
+    h = h32_duckdb_sql("source")
+    return (
+        "roads AS (SELECT doc_id, "
+        f"[{type_arr}][CAST({h} % 8 + 1 AS INT)] AS wgaen_type, "
+        f"[{ms_arr}][CAST(doc_id % 7 + 1 AS INT)] AS maxspeed_str, "
+        "doc_id % 2 = 0 AS oneway FROM documents)"
+    )
+
+
+def _duck_traffic_cte() -> str:
+    cols = ("wgaen_type, t_maxspeed, day_nb_vh, day_nb_hours, ev_nb_vh, "
+            "ev_nb_hours, night_nb_vh, night_nb_hours, day_percent_hv, "
+            "ev_percent_hv, night_percent_hv, day_percent_lv, "
+            "ev_percent_lv, night_percent_lv")
+    vals = ", ".join(
+        "('" + r[0] + "', " + ", ".join(
+            (repr(v) if not isinstance(v, float) else f"{v!r}e0")
+            for v in r[1:]) + ")"
+        for r in layers.TRAFFIC_PROPERTIES)
+    return f"traffic({cols}) AS (SELECT * FROM (VALUES {vals}))"
+
+
 # ---------------------------------------------------------------------------
-# queries
+# spatial queries (J5/J6 join, anti branch, grid agg, rollup, kNN)
 # ---------------------------------------------------------------------------
 
-def q_spatial_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_spatial_join_counts(spark, sf_dir):
     """J5/J6: engine spatial join, per-zone page counts."""
     pts = _points(spark, sf_dir)
     zdf = _zones_df(spark)
@@ -105,7 +152,7 @@ def q_spatial_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("zone_id"))
 
 
-def q_spatial_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_spatial_join_pairs(spark, sf_dir):
     """J5 row-level: exact (url, zone_id) match set."""
     pts = _points(spark, sf_dir)
     zdf = _zones_df(spark)
@@ -113,15 +160,33 @@ def q_spatial_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("url", "zone_id"))
 
 
-def q_spatial_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 anti branch (Transform.groovy:437-442 pattern): pages in no zone."""
+def q_spatial_join_shuffle_salted(spark, sf_dir):
+    """J5 at-scale path: shuffle join with hot-cell salting — must
+    produce the identical pair set as the broadcast plan."""
+    pts = _points(spark, sf_dir)
+    zdf = _zones_df(spark)
+    return (join.spatial_join(pts, zdf, how="inner", broadcast=False,
+                              salt=True, hot_threshold=50)
+            .select("url", "zone_id"))
+
+
+def q_spatial_antijoin(spark, sf_dir):
+    """J5 anti branch (Transform.groovy:437-442 pattern)."""
     pts = _points(spark, sf_dir)
     zdf = _zones_df(spark)
     return (join.spatial_join(pts, zdf, how="left_anti", broadcast=True)
             .select("url", "lat", "lon"))
 
 
-def q_grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_spatial_semijoin(spark, sf_dir):
+    """J2-style semi-join reduction through the spatial engine."""
+    pts = _points(spark, sf_dir)
+    zdf = _zones_df(spark)
+    return (join.spatial_join(pts, zdf, how="left_semi", broadcast=True)
+            .select("url"))
+
+
+def q_grid_counts(spark, sf_dir):
     """Grid aggregation: page counts per res-7 cell."""
     pts = _points(spark, sf_dir)
     g = tiles.assign_cells(pts, res=7)
@@ -129,7 +194,7 @@ def q_grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
-def q_grid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_grid_rollup(spark, sf_dir):
     """Hierarchical rollup: res-9 counts re-aggregated to res-5 parents."""
     pts = _points(spark, sf_dir)
     g = tiles.assign_cells(pts, res=9)
@@ -140,13 +205,221 @@ def q_grid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarse.orderBy("cell")
 
 
+def q_grid_lang_histogram(spark, sf_dir):
+    """Grid indicators with language breakdown (exploded shape)."""
+    pts = _points(spark, sf_dir)
+    g = tiles.assign_cells(pts, res=6)
+    return (g.groupBy("cell", "lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("domain").alias("n_domains")))
+
+
+def q_knn(spark, sf_dir):
+    """kNN via k-ring expansion + certified re-rank (north_rule op)."""
+    pts = _points(spark, sf_dir)
+    queries = (pts.where("doc_id % 97 = 0")
+               .selectExpr("url AS qid", "lat AS qlat", "lon AS qlon"))
+    out = knn.knn_join(pts, queries, k=5, res=8)
+    return out.select("qid", F.col("url").alias("neighbor"), "rnk")
+
+
+def q_zone_envelope(spark, sf_dir):
+    """S3 fromArea parity: zone + envelope expanded by meters."""
+    zdf = zones.from_area(spark, (2.25, 48.81, 2.42, 48.90),
+                          zone_id="paris", distance_m=1000.0)
+    return zdf.select("zone_id", "minx", "miny", "maxx", "maxy")
+
+
+# ---------------------------------------------------------------------------
+# relational / transform queries (F1, A2, O2, J8, J9)
+# ---------------------------------------------------------------------------
+
+def _eav(spark, sf_dir):
+    """EAV tag table derived from events (entity=event_id)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.selectExpr(
+        "event_id AS id",
+        "stack(2, 'etype', event_type, 'bucket', "
+        "CAST(CAST(FLOOR(value / 1e2) AS INT) AS STRING)) "
+        "AS (tag_key, tag_value)")
+
+
+_EAV_DUCK = """
+    eav AS (
+        SELECT event_id AS id, 'etype' AS tag_key,
+               event_type AS tag_value FROM events
+        UNION ALL
+        SELECT event_id AS id, 'bucket' AS tag_key,
+               CAST(CAST(FLOOR(value / 1e2) AS INT) AS VARCHAR) AS tag_value
+        FROM events)
+"""
+
+
+def q_tag_filter(spark, sf_dir):
+    """F1 createWhereFilter semantics over an EAV table."""
+    eav = _eav(spark, sf_dir)
+    pred, _ = transform.create_where_filter(
+        {"etype": ["purchase", "signup"], "bucket": "1"})
+    return (eav.where(pred)
+            .groupBy("tag_key", "tag_value")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("tag_key", "tag_value"))
+
+
+def q_tag_pivot(spark, sf_dir):
+    """A2 dynamic pivot: EAV -> wide MAX(tag_value) per key."""
+    eav = _eav(spark, sf_dir)
+    return transform.tag_pivot(eav, "id", ["etype", "bucket"]).orderBy("id")
+
+
+def q_union_align(spark, sf_dir):
+    """O2 union with null-padded schema alignment (TU:149-172)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = part.select("p_partkey", "p_brand")
+    b = part.select("p_partkey", F.col("p_type").alias("p_kind"))
+    return transform.union_align(a, b)
+
+
+def q_broadcast_lookup(spark, sf_dir):
+    """J8 broadcast dimension join: revenue per nation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("n_name"))
+
+
+def q_speed_parse(spark, sf_dir):
+    """getSpeedInKmh over derived maxspeed strings (golden truth table
+    applied at scale; OSMNoiseTests.groovy:125-140)."""
+    roads = _roads(spark, sf_dir)
+    return roads.select(
+        "doc_id", "maxspeed_str",
+        layers.speed_kmh_col(F.col("maxspeed_str")).alias("speed_kmh"))
+
+
+def q_traffic_wgaen(spark, sf_dir):
+    """J9 + J8 + A7: WG-AEN traffic layer over derived roads."""
+    roads = (_roads(spark, sf_dir)
+             .select("doc_id", "wgaen_type", "oneway",
+                     F.when(layers.speed_kmh_col(F.col("maxspeed_str")) > 0,
+                            layers.speed_kmh_col(F.col("maxspeed_str"))
+                            .cast("int")).alias("maxspeed")))
+    out = layers.wgaen_road_traffic(roads)
+    return out.select("doc_id", "wgaen_type", "maxspeed",
+                      "day_lv_hour", "day_hv_hour", "day_hv_speed",
+                      "night_lv_hour", "ev_lv_hour", "ev_hv_speed")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (dedup family, text analysis, ANN)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.exact_dedup(docs).orderBy("fp")
+
+
+def q_token_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id", text.token_count_sql("text", "spark") + " AS n_tokens")
+
+
+def q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id", text.lang_id_sql("text", "spark") + " AS lang_pred")
+
+
+def q_quality_score(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id", text.quality_score_sql("text", "spark") + " AS quality")
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id", text.fingerprint_sql("text", "spark") + " AS fp")
+
+
+def q_minhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.minhash_signatures(docs, n_hashes=8).orderBy("doc_id")
+
+
+def q_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.simhash(docs).orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact shingle Jaccard for consecutive-id candidate pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b") \
+        .join(docs.selectExpr("doc_id AS id_b"), "id_b", "left_semi")
+    return text.token_jaccard_pairs(docs, pairs).orderBy("id_a")
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings (exact ANN baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return sim.cosine_topk(emb, queries, k=5).select("qid", "vec_id", "rnk")
+
+
+def q_extract_roundtrip(spark, sf_dir):
+    """Byte-identity invariant: extract_text(make_html(text)) vs the
+    normalized text, per url (input_hint per-row invariant)."""
+    pages = _pages(spark, sf_dir).withColumn(
+        "html", F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                                  F.lit("</body></html>")), "utf-8"))
+    out = extract.extract_text_udf(pages, "html")
+    # extract_text collapses whitespace but preserves case
+    ws_norm = F.expr("trim(regexp_replace(text, '\\\\s+', ' '))")
+    return out.select(
+        "url", (F.col("text_extracted") == ws_norm).alias("roundtrip_ok"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_counts": q_spatial_join_counts,
         "spatial_join_pairs": q_spatial_join_pairs,
+        "spatial_join_shuffle_salted": q_spatial_join_shuffle_salted,
         "spatial_antijoin": q_spatial_antijoin,
+        "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
         "grid_rollup": q_grid_rollup,
+        "grid_lang_histogram": q_grid_lang_histogram,
+        "knn": q_knn,
+        "zone_envelope": q_zone_envelope,
+        "tag_filter": q_tag_filter,
+        "tag_pivot": q_tag_pivot,
+        "union_align": q_union_align,
+        "broadcast_lookup": q_broadcast_lookup,
+        "speed_parse": q_speed_parse,
+        "traffic_wgaen": q_traffic_wgaen,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "minhash": q_minhash,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "extract_roundtrip": q_extract_roundtrip,
     }
 
 
@@ -154,34 +427,77 @@ def oracle_sql() -> dict[str, str]:
     pts = _duck_points_cte()
     zon = _duck_zones_cte()
     cell7 = cellmod.cell_sql("lat", "lon", 7)
+    cell6 = cellmod.cell_sql("lat", "lon", 6)
     cell9 = cellmod.cell_sql("lat", "lon", 9)
     parent95 = cellmod.parent_sql("cell", 9, 5, dialect="duckdb")
+
+    join_on = ("p.lat >= z.miny AND p.lat <= z.maxy "
+               "AND p.lon >= z.minx AND p.lon <= z.maxx")
+    pair_sql = f"""
+            WITH {pts}, {zon}
+            SELECT p.url, z.zone_id FROM pts p JOIN zon z ON {join_on}
+        """
+
+    # WG-AEN flow arithmetic: mirror layers.wgaen_road_traffic exactly
+    def flow(nb, pct, hours):
+        return (f"(t.{nb} * t.{pct} / t.{hours}) / "
+                f"(CASE WHEN r.oneway THEN 2e0 ELSE 1e0 END)")
+
+    speed_duck = """
+        (CASE WHEN maxspeed_str IS NULL OR maxspeed_str = ''
+                   OR regexp_extract(maxspeed_str,
+                      '^([0-9]+)( ([a-zA-Z]+))?$', 1) = ''
+              THEN -1e0
+              WHEN lower(regexp_extract(maxspeed_str,
+                   '^([0-9]+)( ([a-zA-Z]+))?$', 3)) = ''
+              THEN CAST(regexp_extract(maxspeed_str,
+                   '^([0-9]+)( ([a-zA-Z]+))?$', 1) AS DOUBLE)
+              WHEN lower(regexp_extract(maxspeed_str,
+                   '^([0-9]+)( ([a-zA-Z]+))?$', 3)) = 'kmh'
+              THEN CAST(regexp_extract(maxspeed_str,
+                   '^([0-9]+)( ([a-zA-Z]+))?$', 1) AS DOUBLE)
+              WHEN lower(regexp_extract(maxspeed_str,
+                   '^([0-9]+)( ([a-zA-Z]+))?$', 3)) = 'mph'
+              THEN CAST(regexp_extract(maxspeed_str,
+                   '^([0-9]+)( ([a-zA-Z]+))?$', 1) AS DOUBLE) * 1.609e0
+              ELSE -1e0 END)
+    """
+
+    mh_aggs = ", ".join(text.minhash_sql_exprs(8, "sh"))
+    sh_duck = text.shingles_sql("text", 3, "duckdb")
+    h32_sh = h32_duckdb_sql("shingle")
+
+    haversine = """
+        2e0 * 6371008.8e0 * asin(sqrt(
+            pow(sin(radians(p.lat - q.qlat) / 2), 2)
+            + cos(radians(q.qlat)) * cos(radians(p.lat))
+            * pow(sin(radians(p.lon - q.qlon) / 2), 2)))
+    """
+
+    import math
+    dlat = 1000.0 / (zones.WGS84_EARTH_RADIUS_M * math.pi / 180.0)
+    midlat = math.radians((48.81 + 48.90) / 2.0)
+    dlon = dlat / math.cos(midlat)
+
     return {
         "spatial_join_counts": f"""
             WITH {pts}, {zon}
-            SELECT z.zone_id,
-                   COUNT(*) AS page_count,
+            SELECT z.zone_id, COUNT(*) AS page_count,
                    COUNT(DISTINCT p.domain) AS n_domains
-            FROM pts p JOIN zon z
-              ON p.lat >= z.miny AND p.lat <= z.maxy
-             AND p.lon >= z.minx AND p.lon <= z.maxx
+            FROM pts p JOIN zon z ON {join_on}
             GROUP BY z.zone_id ORDER BY z.zone_id
         """,
-        "spatial_join_pairs": f"""
-            WITH {pts}, {zon}
-            SELECT p.url, z.zone_id
-            FROM pts p JOIN zon z
-              ON p.lat >= z.miny AND p.lat <= z.maxy
-             AND p.lon >= z.minx AND p.lon <= z.maxx
-        """,
+        "spatial_join_pairs": pair_sql,
+        "spatial_join_shuffle_salted": pair_sql,
         "spatial_antijoin": f"""
             WITH {pts}, {zon}
-            SELECT p.url, p.lat, p.lon
-            FROM pts p
-            WHERE NOT EXISTS (
-                SELECT 1 FROM zon z
-                WHERE p.lat >= z.miny AND p.lat <= z.maxy
-                  AND p.lon >= z.minx AND p.lon <= z.maxx)
+            SELECT p.url, p.lat, p.lon FROM pts p
+            WHERE NOT EXISTS (SELECT 1 FROM zon z WHERE {join_on})
+        """,
+        "spatial_semijoin": f"""
+            WITH {pts}, {zon}
+            SELECT p.url FROM pts p
+            WHERE EXISTS (SELECT 1 FROM zon z WHERE {join_on})
         """,
         "grid_counts": f"""
             WITH {pts}
@@ -193,6 +509,162 @@ def oracle_sql() -> dict[str, str]:
                 SELECT {cell9} AS cell, COUNT(*) AS n FROM pts GROUP BY 1)
             SELECT {parent95} AS cell, CAST(SUM(n) AS BIGINT) AS page_count
             FROM fine GROUP BY 1 ORDER BY 1
+        """,
+        "grid_lang_histogram": f"""
+            WITH {pts}
+            SELECT {cell6} AS cell, lang, COUNT(*) AS n,
+                   COUNT(DISTINCT domain) AS n_domains
+            FROM pts GROUP BY 1, 2
+        """,
+        "knn": f"""
+            WITH {pts}, q AS (
+                SELECT url AS qid, lat AS qlat, lon AS qlon
+                FROM pts WHERE doc_id % 97 = 0),
+            scored AS (
+                SELECT q.qid, p.url AS neighbor, {haversine} AS d
+                FROM q, pts p),
+            ranked AS (
+                SELECT qid, neighbor,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY d ASC, neighbor ASC)
+                       AS rnk
+                FROM scored)
+            SELECT qid, neighbor, CAST(rnk AS INT) AS rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        "zone_envelope": f"""
+            SELECT 'paris' AS zone_id,
+                   CAST({2.25 - dlon!r} AS DOUBLE) AS minx,
+                   CAST({48.81 - dlat!r} AS DOUBLE) AS miny,
+                   CAST({2.42 + dlon!r} AS DOUBLE) AS maxx,
+                   CAST({48.90 + dlat!r} AS DOUBLE) AS maxy
+        """,
+        "tag_filter": f"""
+            WITH {_EAV_DUCK}
+            SELECT tag_key, tag_value, COUNT(*) AS n FROM eav
+            WHERE (lower(tag_key) IN ('etype')
+                   AND tag_value IN ('purchase', 'signup'))
+               OR (lower(tag_key) IN ('bucket') AND tag_value IN ('1'))
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tag_pivot": f"""
+            WITH {_EAV_DUCK}
+            SELECT id,
+                   MAX(CASE WHEN lower(tag_key) = 'etype'
+                            THEN tag_value END) AS etype,
+                   MAX(CASE WHEN lower(tag_key) = 'bucket'
+                            THEN tag_value END) AS bucket
+            FROM eav GROUP BY id ORDER BY id
+        """,
+        "union_align": """
+            SELECT p_partkey, p_brand, NULL AS p_kind FROM part
+            UNION ALL
+            SELECT p_partkey, NULL AS p_brand, p_type AS p_kind FROM part
+        """,
+        "broadcast_lookup": """
+            SELECT n.n_name,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "speed_parse": f"""
+            WITH {_duck_roads_cte()}
+            SELECT doc_id, maxspeed_str, {speed_duck} AS speed_kmh
+            FROM roads
+        """,
+        "traffic_wgaen": f"""
+            WITH {_duck_roads_cte()}, {_duck_traffic_cte()},
+            r AS (SELECT doc_id, wgaen_type, oneway,
+                         -- FLOOR: Spark CAST(double AS INT) truncates,
+                         -- DuckDB rounds; values are positive here
+                         CASE WHEN {speed_duck} > 0
+                              THEN CAST(FLOOR({speed_duck}) AS INT)
+                         END AS maxspeed
+                  FROM roads)
+            SELECT r.doc_id, r.wgaen_type,
+                   COALESCE(r.maxspeed, t.t_maxspeed) AS maxspeed,
+                   {flow('day_nb_vh', 'day_percent_lv', 'day_nb_hours')}
+                       AS day_lv_hour,
+                   {flow('day_nb_vh', 'day_percent_hv', 'day_nb_hours')}
+                       AS day_hv_hour,
+                   CASE WHEN COALESCE(r.maxspeed, t.t_maxspeed) >= 110
+                        THEN 90 ELSE COALESCE(r.maxspeed, t.t_maxspeed) END
+                       AS day_hv_speed,
+                   {flow('night_nb_vh', 'night_percent_lv', 'night_nb_hours')}
+                       AS night_lv_hour,
+                   {flow('ev_nb_vh', 'ev_percent_lv', 'ev_nb_hours')}
+                       AS ev_lv_hour,
+                   CASE WHEN COALESCE(r.maxspeed, t.t_maxspeed) >= 110
+                        THEN 90 ELSE COALESCE(r.maxspeed, t.t_maxspeed) END
+                       AS ev_hv_speed
+            FROM r JOIN traffic t ON r.wgaen_type = t.wgaen_type
+        """,
+        "dedup_exact": f"""
+            SELECT {text.fingerprint_sql('text', 'duckdb')} AS fp,
+                   MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "token_count": f"""
+            SELECT doc_id, {text.token_count_sql('text', 'duckdb')}
+                   AS n_tokens
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, {text.lang_id_sql('text', 'duckdb')} AS lang_pred
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id, {text.quality_score_sql('text', 'duckdb')}
+                   AS quality
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, {text.fingerprint_sql('text', 'duckdb')} AS fp
+            FROM documents
+        """,
+        "minhash": f"""
+            WITH sh AS (
+                SELECT doc_id, unnest({sh_duck}) AS shingle FROM documents),
+            hashed AS (SELECT doc_id, {h32_sh} AS sh FROM sh)
+            SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "simhash": text.simhash_duckdb_sql() + " ORDER BY doc_id",
+        "ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id, unnest({sh_duck}) AS shingle
+                FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+                FROM documents a
+                WHERE EXISTS (SELECT 1 FROM documents b
+                              WHERE b.doc_id = a.doc_id + 1)),
+            inter AS (
+                SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+                FROM pairs p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b
+                         AND a.shingle = b.shingle
+                GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b,
+                   COALESCE(i.n_inter, 0)
+                   / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            ORDER BY p.id_a
+        """,
+        "ann_cosine": sim.cosine_topk_duckdb_sql(5, "vec_id % 50 = 0"),
+        "extract_roundtrip": f"""
+            SELECT {url_sql('source', 'doc_id', 'duckdb')} AS url,
+                   (text = trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                   AS roundtrip_ok
+            FROM documents
         """,
     }
 

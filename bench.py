@@ -1,0 +1,194 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The primary metric (BASELINE.json) is spatial-join + tile-assignment
+throughput in pages/sec. The flagship pipeline is honest end-to-end
+page processing: read a pages corpus (url, html, text, lang) ->
+extract geo markers from the HTML (Arrow mapInPandas UDTF) ->
+cell-encode -> spatial join against zone polygons -> hierarchical tile
+rollup -> count. The pages corpus derives deterministically from
+lineitem (the largest provided table) and is materialized once to a
+local cache OUTSIDE the timed region (it is input data, not work).
+
+Also timed: the shuffle+salted join path, kNN, MinHash+LSH dedup, and
+brute-force ANN — the other headline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+
+def build_pages_cache(spark, sf_dir: str, replicate: int = 1,
+                      n_files: int = 64) -> str:
+    """Materialize the derived pages corpus (not timed).
+
+    `replicate` multiplies the corpus (distinct urls per copy) so the
+    scaling benchmark can size the job to dominate fixed overheads.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkspatial import extract
+    from sparkspatial.geocode import lat_sql, lon_sql
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    suffix = f"_x{replicate}" if replicate > 1 else ""
+    path = os.path.join(CACHE, f"pages_{tag}{suffix}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if replicate > 1:
+        li = (li.withColumn("_rep", F.explode(
+                F.sequence(F.lit(1), F.lit(replicate))))
+              .withColumn("l_linenumber",
+                          F.col("l_linenumber") * 100 + F.col("_rep")))
+    pages = li.select(
+        F.concat(F.lit("sup"), F.col("l_suppkey").cast("string"),
+                 F.lit(".example")).alias("domain"),
+        F.concat(F.lit("sup"), F.col("l_suppkey").cast("string"),
+                 F.lit(".example/"), F.col("l_orderkey").cast("string"),
+                 F.lit("-"), F.col("l_linenumber").cast("string"))
+        .alias("url"),
+        F.col("l_shipdate").alias("warc_ts"),
+        F.concat(F.lit("order line "), F.col("l_orderkey").cast("string"),
+                 F.lit(" qty "), F.col("l_quantity").cast("string"),
+                 F.lit(" flag "), F.col("l_returnflag")).alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("fr"), F.lit("de"),
+                             F.lit("es"), F.lit("zh")),
+                     (F.col("l_orderkey") % 5 + 1).cast("int")).alias("lang"),
+    )
+    pages = (pages
+             .withColumn("lat", F.expr(lat_sql("domain", "url", "spark")))
+             .withColumn("lon", F.expr(lon_sql("domain", "url", "spark"))))
+
+    import pandas as pd
+
+    def _mk_html(it):
+        from sparkspatial.extract import make_html
+        for pdf in it:
+            pdf = pdf.assign(html=[
+                make_html(t, [(la, lo)])
+                for t, la, lo in zip(pdf["text"], pdf["lat"], pdf["lon"])])
+            yield pdf[["url", "warc_ts", "html", "text", "lang", "domain"]]
+
+    out = pages.mapInPandas(
+        _mk_html, schema="url string, warc_ts timestamp, html binary, "
+                         "text string, lang string, domain string")
+    # enough files that the scan stage can use every core at local[32]
+    # (2 big files would cap the extract stage at 2 tasks)
+    out.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_queries(spark, sf_dir: str, pages_path: str):
+    from pyspark.sql import functions as F
+
+    from sparkspatial import extract, join, knn, sim, text, tiles, zones
+
+    zdf = zones.synthetic_zones(spark, n=192).persist()
+    zdf.count()
+    pages = spark.read.parquet(pages_path)
+
+    def pipeline_extract_join_tile():
+        pts = extract.extract_points(pages)
+        matched = join.spatial_join(pts, zdf, how="inner", broadcast=True,
+                                    res=10)
+        g = tiles.assign_cells(matched, res=9)
+        fine = g.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        coarse = (fine.withColumn("p", tiles.parent_col("cell", 9, 5))
+                  .groupBy("p").agg(F.sum("n").alias("n")))
+        return coarse.count()
+
+    pts_jvm = extract.geotag(
+        pages.select("url", "domain", "lang"), "domain", "url").persist()
+    n_pages = pts_jvm.count()
+
+    def join_broadcast():
+        return join.spatial_join(pts_jvm, zdf, how="inner",
+                                 broadcast=True, res=10).count()
+
+    def join_shuffle_salted():
+        return join.spatial_join(pts_jvm, zdf, how="inner", broadcast=False,
+                                 salt=True, res=10).count()
+
+    def knn_query():
+        queries = (pts_jvm.where("xxhash64(url) % 5000 = 0")
+                   .selectExpr("url AS qid", "lat AS qlat", "lon AS qlon"))
+        return knn.knn_join(pts_jvm, queries, k=10, res=10).count()
+
+    def grid_rollup():
+        g = tiles.assign_cells(pts_jvm, res=12)
+        fine = g.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        out = fine
+        for pr in (9, 6, 3):
+            out = (fine.withColumn("p", tiles.parent_col("cell", 12, pr))
+                   .groupBy("p").agg(F.sum("n")))
+        return out.count()
+
+    def dedup_minhash_lsh():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sigs = text.minhash_signatures(docs, n_hashes=16)
+        return text.lsh_candidate_pairs(sigs, bands=4).count()
+
+    def ann_cosine():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.where("vec_id % 20 = 0").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        return sim.cosine_topk(emb, queries, k=10).count()
+
+    timings = {}
+    named = [
+        ("pipeline_extract_join_tile", pipeline_extract_join_tile),
+        ("join_broadcast", join_broadcast),
+        ("join_shuffle_salted", join_shuffle_salted),
+        ("knn", knn_query),
+        ("grid_rollup", grid_rollup),
+        ("dedup_minhash_lsh", dedup_minhash_lsh),
+        ("ann_cosine", ann_cosine),
+    ]
+    for name, fn in named:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings, n_pages
+
+
+def main():
+    os.makedirs(CACHE, exist_ok=True)
+    from sparkspatial.session import get_spark
+
+    spark = get_spark(app="sparkspatial-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = build_pages_cache(spark, SF_DIR)
+    timings, n_pages = bench_queries(spark, SF_DIR, pages_path)
+
+    total = round(sum(timings.values()), 3)
+    pipeline_sec = timings["pipeline_extract_join_tile"]
+    result = {
+        "metric": "spatial-join+tile-assignment throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / pipeline_sec, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,40 @@ def cover_polygons(polys: DataFrame, poly_id: str = "zone_id",
     return polys.mapInPandas(_cover, schema=out_schema)
 
 
+def required_res(polys: DataFrame, poly_id: str, wkb_col: str, res: int,
+                 max_cells_per_poly: int) -> int:
+    """The finest resolution <= `res` at which EVERY polygon's bbox
+    cover fits in `max_cells_per_poly` cells.
+
+    Using one global resolution keeps the point side to a single cell
+    per point (no explode) — the bbox condition inside the hash join
+    cheaply rejects the extra candidates coarse cells admit, which
+    beats multiplying the probe side by the number of resolutions.
+    """
+    def _req(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rs = []
+            for w in pdf[wkb_col].values:
+                g = geom.wkb_loads(bytes(w))
+                minx, miny, maxx, maxy = geom.bounds(g)
+                r = res
+                while r > 0:
+                    n = 1 << r
+                    nx = (int(np.floor((maxx + 180.0) / 360.0 * n))
+                          - int(np.floor((minx + 180.0) / 360.0 * n)) + 1)
+                    ny = (int(np.floor((maxy + 90.0) / 180.0 * n))
+                          - int(np.floor((miny + 90.0) / 180.0 * n)) + 1)
+                    if nx * ny <= max_cells_per_poly:
+                        break
+                    r -= 1
+                rs.append(r)
+            yield pd.DataFrame({"r": rs})
+
+    row = (polys.mapInPandas(_req, schema="r int")
+           .agg(F.min("r").alias("rmin")).collect()[0])
+    return int(row.rmin) if row.rmin is not None else res
+
+
 def point_cells(points: DataFrame, res_list: list[int],
                 lat_col: str = "lat", lon_col: str = "lon",
                 cell_col: str = "cell") -> DataFrame:
@@ -149,7 +183,8 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
                  broadcast: bool | None = None,
                  salt: bool = False,
                  hot_threshold: int = skew.DEFAULT_HOT_THRESHOLD,
-                 keep_poly_cols: list[str] | None = None) -> DataFrame:
+                 keep_poly_cols: list[str] | None = None,
+                 single_res: bool = True) -> DataFrame:
     """Point-in-polygon spatial join (J5/J6 of SURVEY.md §2.3).
 
     Parameters
@@ -169,6 +204,9 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
     """
     point_id_cols = point_id_cols or ["url"]
     keep_poly_cols = keep_poly_cols if keep_poly_cols is not None else [poly_id]
+
+    if single_res:
+        res = required_res(polys, poly_id, wkb_col, res, max_cells_per_poly)
 
     cover = cover_polygons(polys, poly_id=poly_id, wkb_col=wkb_col,
                            res=res, max_cells_per_poly=max_cells_per_poly).persist()

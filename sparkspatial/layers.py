@@ -1,0 +1,440 @@
+"""Indicator layers: buildings, roads, WG-AEN traffic.
+
+Parity port of the osm-noise pipeline semantics (NOT the code):
+
+- first-match tag classification with "! value" negation and
+  second-match -> MAIN_USE         (getTypeAndUse, Data.groovy:450-487;
+  single-value variant getTypeValue, Data.groovy:666-695)
+- wall/roof heights + level fixpoint rules
+  (getHeightWall :494-514, getHeightRoof :607-617, getNbLevels
+  :624-638, formatHeightsAndNbLevels :528-599)
+- maxspeed parsing "([0-9]+)( ([a-zA-Z]+))?" with kmh/mph, -1 on
+  unknown                           (getSpeedInKmh, Data.groovy:420-439;
+  golden truth table OSMNoiseTests.groovy:125-140)
+- road defaulting: type -> "Small main road", oneway=='yes',
+  per-type default maxspeed         (Data.groovy:282-321)
+- WG-AEN traffic: UPDATE-from-lookup + 8-row broadcast join with
+  per-period arithmetic             (Traffic.groovy:94-117,
+  roadDefaultWGAEN.sql values)
+
+The reference executes these as a row-at-a-time JDBC cursor loop with
+batched re-inserts (Data.groovy:181-221, 282-321). Here the whole
+layer is one mapInPandas pass: classification masks evaluate per
+Arrow batch in numpy, preserving the reference's first-match JSON
+iteration order exactly (SURVEY.md §7.3).
+
+The classification mappings below are a condensed, structurally
+identical stand-in for the reference's buildingParams/roadParams.json
+(same rule engine, fewer rows); callers can pass their own dicts.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import geom
+
+# ------------------------------------------------------------------ params
+
+BUILDING_PARAMS = {
+    "h_lev_min": 3,
+    "h_lev_max": 15,
+    "hThresholdLev2": 10,
+    "tags": ["building"],
+    "columns": ["height", "building:height", "roof:height",
+                "building:roof:height", "building:levels", "roof:levels",
+                "building:roof:levels", "building", "amenity", "layer"],
+    "level": {"building": 1, "house": 1, "detached": 1, "residential": 1,
+              "apartments": 1, "historic": 0, "ruins": 0, "commercial": 2,
+              "industrial": 0, "office": 1},
+    "type": {
+        "residential": {"building": ["residential", "apartments", "house",
+                                     "detached", "dormitory"]},
+        "commercial": {"building": ["commercial", "retail", "shop"],
+                       "amenity": ["marketplace"]},
+        "industrial": {"building": ["industrial", "warehouse", "factory"]},
+        "historic": {"building": ["! house"], "amenity": ["monastery"]},
+        "building": {"building": ["yes", "building"]},
+    },
+}
+
+ROAD_PARAMS = {
+    "tags": {"highway": ["motorway", "trunk", "primary", "secondary",
+                         "tertiary", "unclassified", "residential",
+                         "motorway_link", "trunk_link", "primary_link",
+                         "secondary_link", "tertiary_link", "service",
+                         "living_street", "road", "track"]},
+    "columns": ["highway", "surface", "layer", "maxspeed", "oneway"],
+    "type": {
+        "Motorway": {"highway": ["motorway", "motorway_link"]},
+        "Trunk road": {"highway": ["trunk", "trunk_link"]},
+        "Main road": {"highway": ["primary", "primary_link"]},
+        "Small main road": {"highway": ["secondary", "secondary_link"]},
+        "Collecting road": {"highway": ["tertiary", "tertiary_link",
+                                        "unclassified"]},
+        "Service road": {"highway": ["residential"]},
+        "Dead-end road": {"highway": ["service", "living_street"]},
+    },
+    "surface": {
+        "unpaved": {"surface": ["unpaved", "grass_paver"]},
+        "paved": {"surface": ["paved", "asphalt"]},
+        "ground": {"surface": ["ground", "dirt", "earth", "clay"]},
+        "gravel": {"surface": ["gravel", "fine_gravel"]},
+        "concrete": {"surface": ["concrete", "cement"]},
+    },
+    "maxspeed": {"Motorway": 110, "Trunk road": 110, "Main road": 90,
+                 "Small main road": 80, "Collecting road": 50,
+                 "Service road": 30, "Dead-end road": 30},
+}
+
+# WG-AEN default traffic properties (values from the reference's
+# roadDefaultWGAEN.sql seed — an 8-row public lookup table)
+TRAFFIC_PROPERTIES = [
+    # (wgaen_type, maxspeed, day_nb_vh, day_nb_hours, ev_nb_vh,
+    #  ev_nb_hours, night_nb_vh, night_nb_hours, day_percent_hv,
+    #  ev_percent_hv, night_percent_hv, day_percent_lv, ev_percent_lv,
+    #  night_percent_lv)
+    ("Motorway", 130, 26103, 12, 7458, 4, 3729, 8,
+     0.25, 0.35, 0.45, 0.75, 0.65, 0.55),
+    ("Trunk road", 110, 17936, 12, 3826, 4, 2152, 8,
+     0.2, 0.2, 0.2, 0.8, 0.8, 0.8),
+    ("Major main road", 80, 7124, 12, 1069, 4, 712, 8,
+     0.2, 0.15, 0.1, 0.8, 0.85, 0.9),
+    ("Main road", 80, 7124, 12, 1069, 4, 712, 8,
+     0.2, 0.15, 0.1, 0.8, 0.85, 0.9),
+    ("Small main road", 80, 1400, 12, 400, 4, 200, 8,
+     0.15, 0.1, 0.05, 0.85, 0.9, 0.95),
+    ("Collecting road", 50, 700, 12, 200, 4, 100, 8,
+     0.1, 0.06, 0.03, 0.9, 0.94, 0.97),
+    ("Service road", 30, 350, 12, 100, 4, 50, 8,
+     0.05, 0.02, 0.01, 0.95, 0.98, 0.99),
+    ("Dead-end road", 30, 175, 12, 50, 4, 25, 8,
+     0.02, 0.01, 0.0, 0.98, 0.99, 1.0),
+]
+
+TRAFFIC_SCHEMA = ("wgaen_type string, maxspeed int, day_nb_vh int, "
+                  "day_nb_hours int, ev_nb_vh int, ev_nb_hours int, "
+                  "night_nb_vh int, night_nb_hours int, "
+                  "day_percent_hv double, ev_percent_hv double, "
+                  "night_percent_hv double, day_percent_lv double, "
+                  "ev_percent_lv double, night_percent_lv double")
+
+
+def traffic_properties_df(spark) -> DataFrame:
+    return spark.createDataFrame(TRAFFIC_PROPERTIES, TRAFFIC_SCHEMA)
+
+
+# ------------------------------------------------------------------ scalars
+
+_SPEED_RE = re.compile(r"([0-9]+)( ([a-zA-Z]+))?")
+
+
+def speed_kmh(value) -> float:
+    """getSpeedInKmh truth table (OSMNoiseTests.groovy:125-140):
+    None->-1, ''->-1, '72'->72, '72 MPH'->115.848, '72 kmh'->72,
+    '25kmh'->-1, '72 knots'->-1."""
+    if not value:
+        return -1.0
+    m = _SPEED_RE.fullmatch(str(value))
+    if not m:
+        return -1.0
+    speed = int(m.group(1))
+    unit = m.group(3)
+    if not unit:
+        return float(speed)
+    unit = unit.lower()
+    if unit == "kmh":
+        return float(speed)
+    if unit == "mph":
+        return speed * 1.609
+    return -1.0
+
+
+def speed_kmh_col(col):
+    """Pure-Column (JVM) version of speed_kmh — usable in oracle-checked
+    queries; identical semantics to the scalar."""
+    s = F.regexp_extract(col, r"^([0-9]+)( ([a-zA-Z]+))?$", 1)
+    unit = F.lower(F.regexp_extract(col, r"^([0-9]+)( ([a-zA-Z]+))?$", 3))
+    num = s.cast("double")
+    return (F.when(col.isNull() | (col == "") | (s == ""), F.lit(-1.0))
+             .when(unit == "", num)
+             .when(unit == "kmh", num)
+             .when(unit == "mph", num * 1.609)
+             .otherwise(F.lit(-1.0)))
+
+
+def _isfloat(s: pd.Series) -> np.ndarray:
+    return pd.to_numeric(s, errors="coerce").notna().to_numpy()
+
+
+def _tofloat(s: pd.Series) -> np.ndarray:
+    return pd.to_numeric(s, errors="coerce").fillna(0.0).to_numpy(np.float64)
+
+
+def classify_first_match(pdf: pd.DataFrame, mapping: dict,
+                         with_use: bool = False):
+    """Vectorized getTypeAndUse/getTypeValue: iterate (type, key, value)
+    triplets in mapping insertion order; first match sets type, every
+    later match overwrites use (Data.groovy:450-487 exactly, including
+    '! value' negation)."""
+    n = len(pdf)
+    strtype = np.full(n, None, dtype=object)
+    struse = np.full(n, None, dtype=object)
+    for final_key, osmvals in mapping.items():
+        for key, vals in osmvals.items():
+            if key not in pdf.columns:
+                continue
+            colvals = pdf[key]
+            notnull = colvals.notna().to_numpy()
+            for val in vals:
+                if val.startswith("!"):
+                    target = val.replace("! ", "")
+                    m = notnull & (colvals != target).to_numpy()
+                else:
+                    m = notnull & (colvals == val).to_numpy()
+                unset = np.array([t is None for t in strtype])
+                struse[m & ~unset] = final_key
+                strtype[m & unset] = final_key
+    if not with_use:
+        return strtype
+    fill = np.array([u is None for u in struse])
+    struse[fill] = strtype[fill]
+    return strtype, struse
+
+
+def format_heights_and_levels(hw: np.ndarray, hr: np.ndarray,
+                              lev: np.ndarray, lev_from_type: np.ndarray,
+                              h_lev_min: float, h_lev_max: float,
+                              h_threshold_lev2: float):
+    """Vectorized formatHeightsAndNbLevels (Data.groovy:528-599),
+    including Groovy's `lev==1 || lev==2 && hw>threshold` precedence
+    and float level division."""
+    hw = hw.astype(np.float64).copy()
+    hr = hr.astype(np.float64).copy()
+    lev = lev.astype(np.float64).copy()
+
+    m = hw == 0
+    hw = np.where(m & (hr == 0) & (lev == 0), h_lev_min, hw)
+    hw = np.where(m & (hr == 0) & (lev != 0), h_lev_min * lev, hw)
+    hw = np.where(m & (hr != 0), hr, hw)
+
+    m = hr == 0
+    hr = np.where(m & (hw == 0) & (lev == 0), h_lev_min, hr)
+    hr = np.where(m & (hw == 0) & (lev != 0), h_lev_min * lev, hr)
+    hr = np.where(m & (hw != 0), hw, hr)
+
+    rule = (lev_from_type == 1) | ((lev_from_type == 2) & (hw > h_threshold_lev2))
+    m0 = rule & (lev == 0)
+    lev = np.where(m0 & (hw == 0) & (hr == 0), 1.0, lev)
+    lev = np.where(m0 & (hw == 0) & (hr != 0), hr / h_lev_min, lev)
+    lev = np.where(m0 & (hw != 0), hw / h_lev_min, lev)
+    lev = np.where(~rule, 1.0, lev)
+
+    hr = np.where(hw > hr, hw, hr)
+    tmp_hmin = lev * h_lev_min
+    hr = np.where(tmp_hmin > hr, tmp_hmin, hr)
+    tmp_hmax = lev * h_lev_max
+    lev = np.where(rule & (tmp_hmax < hw), hw / h_lev_max, lev)
+    return hw, hr, lev
+
+
+# ------------------------------------------------------------------ layers
+
+_BUILDING_SCHEMA = ("the_geom_wkb binary, id_source string, "
+                    "height_wall float, height_roof float, nb_lev int, "
+                    "type string, main_use string, zindex int")
+
+
+def build_building_layer(polygons: DataFrame, params: dict | None = None,
+                         envelope: tuple | None = None) -> DataFrame:
+    """Transform output (id, the_geom_wkb, pivoted tag cols) ->
+    building layer (Data.groovy:142-229). Explodes multipolygons;
+    drops rows with nb_lev <= 0 or zindex < 0 (Data.groovy:205-208)."""
+    p = params or BUILDING_PARAMS
+    mapping = p["type"]
+    levels = p["level"]
+    h_min, h_max, thr = p["h_lev_min"], p["h_lev_max"], p["hThresholdLev2"]
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            if envelope is not None:
+                minx, miny, maxx, maxy = envelope
+                keep = np.array([
+                    geom.geom_intersects_box(geom.wkb_loads(bytes(w)),
+                                             minx, miny, maxx, maxy)
+                    for w in pdf["the_geom_wkb"].values])
+                pdf = pdf[keep].reset_index(drop=True)
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    columns=["the_geom_wkb", "id_source", "height_wall",
+                             "height_roof", "nb_lev", "type", "main_use",
+                             "zindex"])
+                continue
+
+            def col(name):
+                return pdf[name] if name in pdf.columns \
+                    else pd.Series([None] * n)
+
+            height, b_height = col("height"), col("building:height")
+            r_height, b_r_height = col("roof:height"), col("building:roof:height")
+            b_lev, r_lev, b_r_lev = (col("building:levels"),
+                                     col("roof:levels"),
+                                     col("building:roof:levels"))
+
+            # getHeightWall (Data.groovy:494-514): only nonzero when a
+            # roof height exists; b_* fields take precedence
+            has_h = _isfloat(height) | _isfloat(b_height)
+            has_r = _isfloat(r_height) | _isfloat(b_r_height)
+            base = np.where(_isfloat(b_height), _tofloat(b_height),
+                            _tofloat(height))
+            roof = np.where(_isfloat(b_r_height), _tofloat(b_r_height),
+                            _tofloat(r_height))
+            hw = np.where(has_h & has_r, base - roof, 0.0)
+
+            # getHeightRoof (Data.groovy:607-617)
+            hr = np.where(_isfloat(height), _tofloat(height),
+                          np.where(_isfloat(b_height), _tofloat(b_height), 0.0))
+
+            # getNbLevels (Data.groovy:624-638)
+            add = np.where(_isfloat(r_lev), _tofloat(r_lev),
+                           np.where(_isfloat(b_r_lev), _tofloat(b_r_lev), 0.0))
+            lev = np.where(_isfloat(b_lev), _tofloat(b_lev) + add, 0.0)
+
+            tp, use = classify_first_match(pdf, mapping, with_use=True)
+            tp = np.where([t is None or t == "" for t in tp], "building", tp)
+            use = np.where([u is None for u in use], tp, use)
+            lev_from_type = np.array(
+                [levels.get(t, 0) for t in tp], dtype=np.float64)
+
+            hw, hr, lev = format_heights_and_levels(
+                hw, hr, lev, lev_from_type, h_min, h_max, thr)
+
+            zindex = pd.to_numeric(col("layer"), errors="coerce") \
+                .fillna(0).astype(int).to_numpy()
+
+            keep = (lev > 0) & (zindex >= 0)
+            rows = []
+            for i in np.nonzero(keep)[0]:
+                g = geom.wkb_loads(bytes(pdf["the_geom_wkb"].iloc[i]))
+                subs = g[1] if g[0] == "MultiPolygon" else [g]
+                for sub in subs:
+                    if sub[0] != "Polygon":
+                        continue
+                    rows.append((geom.wkb_dumps(sub), pdf["id"].iloc[i],
+                                 float(hw[i]), float(hr[i]),
+                                 int(lev[i]), tp[i], use[i], int(zindex[i])))
+            yield pd.DataFrame(rows, columns=[
+                "the_geom_wkb", "id_source", "height_wall", "height_roof",
+                "nb_lev", "type", "main_use", "zindex"])
+
+    return polygons.mapInPandas(_mk, schema=_BUILDING_SCHEMA)
+
+
+_ROAD_SCHEMA = ("the_geom_wkb binary, id_source string, wgaen_type string, "
+                "surface string, oneway boolean, maxspeed int, zindex int")
+
+
+def build_road_layer(lines: DataFrame, params: dict | None = None,
+                     envelope: tuple | None = None,
+                     clip: bool = True) -> DataFrame:
+    """Transform lines output -> road layer (Data.groovy:244-328).
+
+    Note: the reference's envelope branch computes
+    `CASE WHEN st_overlaps(...) THEN st_intersection(...) ELSE geom END`
+    (Data.groovy:278) — for line-vs-polygon ST_OVERLAPS is always false
+    under OGC dimension rules, so the reference never actually clips;
+    `clip=True` implements the evident intent (clip lines crossing the
+    envelope), `clip=False` reproduces the literal behavior.
+    """
+    p = params or ROAD_PARAMS
+    mapping = p["type"]
+    surface_map = p["surface"]
+    speed_default = p["maxspeed"]
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=[
+                    "the_geom_wkb", "id_source", "wgaen_type", "surface",
+                    "oneway", "maxspeed", "zindex"])
+                continue
+
+            def col(name):
+                return pdf[name] if name in pdf.columns \
+                    else pd.Series([None] * n)
+
+            tp = classify_first_match(pdf, mapping, with_use=False)
+            tp = np.where([t is None for t in tp], "Small main road", tp)
+            ms = np.array([speed_kmh(v) for v in col("maxspeed")])
+            ms = np.where(ms == -1,
+                          [speed_default.get(t, 30) for t in tp], ms)
+            oneway = (col("oneway") == "yes").to_numpy()
+            surf = classify_first_match(pdf, surface_map, with_use=False)
+            zindex = pd.to_numeric(col("layer"), errors="coerce") \
+                .fillna(0).astype(int).to_numpy()
+
+            rows = []
+            for i in range(n):
+                g = geom.wkb_loads(bytes(pdf["the_geom_wkb"].iloc[i]))
+                pieces = [g[1]] if g[0] == "LineString" else \
+                    [sub[1] for sub in g[1] if sub[0] == "LineString"]
+                if envelope is not None:
+                    minx, miny, maxx, maxy = envelope
+                    if not geom.geom_intersects_box(g, minx, miny, maxx, maxy):
+                        continue
+                    if clip:
+                        pieces = [c for arr in pieces for c in
+                                  geom.clip_polyline_box(arr, minx, miny,
+                                                         maxx, maxy)]
+                for arr in pieces:
+                    rows.append((geom.wkb_dumps(("LineString", arr)),
+                                 pdf["id"].iloc[i], tp[i],
+                                 surf[i], bool(oneway[i]), int(ms[i]),
+                                 int(zindex[i])))
+            yield pd.DataFrame(rows, columns=[
+                "the_geom_wkb", "id_source", "wgaen_type", "surface",
+                "oneway", "maxspeed", "zindex"])
+
+    return lines.mapInPandas(_mk, schema=_ROAD_SCHEMA)
+
+
+def wgaen_road_traffic(roads: DataFrame,
+                       traffic: DataFrame | None = None) -> DataFrame:
+    """WGAEN_ROAD (Traffic.groovy:72-136): default maxspeed from the
+    lookup where NULL (the correlated-subquery UPDATE, :99-101 -> J9
+    left-join + coalesce), then the 8-row broadcast join with
+    per-period flow arithmetic (:103-117)."""
+    spark = roads.sparkSession
+    t = traffic if traffic is not None else traffic_properties_df(spark)
+    t = t.withColumnRenamed("maxspeed", "t_maxspeed")
+    j = roads.join(F.broadcast(t), on="wgaen_type", how="inner")
+    ms = F.coalesce(F.col("maxspeed"), F.col("t_maxspeed")).cast("int")
+    half = F.when(F.col("oneway"), F.lit(2.0)).otherwise(F.lit(1.0))
+
+    def flow(nb, pct, hours):
+        return ((F.col(nb) * F.col(pct) / F.col(hours)) / half)
+
+    hv_speed = F.when(ms >= 110, F.lit(90)).otherwise(ms)
+    return j.select(
+        *[c for c in roads.columns if c != "maxspeed"],
+        ms.alias("maxspeed"),
+        flow("day_nb_vh", "day_percent_lv", "day_nb_hours").alias("day_lv_hour"),
+        flow("day_nb_vh", "day_percent_hv", "day_nb_hours").alias("day_hv_hour"),
+        ms.alias("day_lv_speed"), hv_speed.alias("day_hv_speed"),
+        flow("night_nb_vh", "night_percent_lv", "night_nb_hours").alias("night_lv_hour"),
+        flow("night_nb_vh", "night_percent_hv", "night_nb_hours").alias("night_hv_hour"),
+        ms.alias("night_lv_speed"), hv_speed.alias("night_hv_speed"),
+        flow("ev_nb_vh", "ev_percent_lv", "ev_nb_hours").alias("ev_lv_hour"),
+        flow("ev_nb_vh", "ev_percent_hv", "ev_nb_hours").alias("ev_hv_hour"),
+        ms.alias("ev_lv_speed"), hv_speed.alias("ev_hv_speed"),
+    )

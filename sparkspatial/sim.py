@@ -1,0 +1,207 @@
+"""Embedding similarity search over array<float> columns.
+
+Two paths (task brief "similarity search"):
+
+- :func:`cosine_topk` — exact brute-force top-k: query vectors
+  broadcast against the corpus, dot products computed in a vectorized
+  Arrow batch (numpy matmul per batch — one BLAS call per 64k rows),
+  window top-k per query. The baseline and the oracle.
+- :func:`lsh_topk` — random-hyperplane LSH buckets: deterministic
+  h32-seeded hyperplanes, sign-bit bucket key, exact re-rank within
+  bucket (+ optional multi-probe by flipping one bit). Approximate;
+  its recall against cosine_topk is the test metric. At corpus scale
+  the bucket join replaces the full scan with an equi-join on the
+  bucket key.
+
+Ties break deterministically by (-cos, id).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h32
+
+
+def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from the h32 family."""
+    rng = np.random.RandomState(h32(f"lsh-hyperplanes-{dim}-{n_bits}") % (2**31))
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Exact top-k by cosine: (qid, vec_id, cos, rnk).
+
+    Queries collect to the driver (small by contract) and broadcast
+    into a mapInPandas over the corpus: per Arrow batch one matmul
+    computes all pair scores, then a per-query window takes top-k.
+    Self-matches (qid == vec_id) are excluded.
+    """
+    q_pdf = queries.select(qid_col, qvec_col).toPandas()
+    qids = q_pdf[qid_col].to_numpy()
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in q_pdf[qvec_col]])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    schema = f"qid long, {id_col} long, cos double"
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_b, qmat_b, qnorm_b = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            norm = np.linalg.norm(mat, axis=1)
+            norm[norm == 0] = 1.0
+            cos = (mat @ qmat_b.T) / norm[:, None] / qnorm_b[None, :]
+            n, q = cos.shape
+            yield pd.DataFrame({
+                "qid": np.repeat(qids_b[None, :], n, axis=0).ravel(),
+                id_col: np.repeat(pdf[id_col].to_numpy(), q),
+                "cos": cos.ravel(),
+            })
+
+    scored = corpus.mapInPandas(_score, schema=schema)
+    scored = scored.where(F.col("qid") != F.col(id_col))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def add_lsh_buckets(df: DataFrame, *, vec_col: str = "embedding",
+                    n_bits: int = 8, n_tables: int = 8,
+                    out_col: str = "bucket",
+                    multiprobe: int = 0) -> DataFrame:
+    """Explode each row into `n_tables` (table, bucket) keys.
+
+    Bucket = sign bits against that table's deterministic hyperplanes,
+    packed with the table id. `multiprobe` > 0 additionally emits the
+    n_bits Hamming-1 neighbor buckets per table (query-side recall
+    knob).
+    """
+    schema_in = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} long"])
+
+    def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            if planes is None:
+                planes = [_table_hyperplanes(mat.shape[1], n_bits, t)
+                          for t in range(n_tables)]
+            frames = []
+            for t in range(n_tables):
+                bits = (mat @ planes[t].T) > 0
+                key = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(n_bits):
+                    key |= bits[:, b].astype(np.int64) << b
+                base = np.int64(t) << 32
+                frames.append(pdf[schema_in].assign(**{out_col: base | key}))
+                for m in range(multiprobe):
+                    for b in range(n_bits):
+                        frames.append(pdf[schema_in].assign(
+                            **{out_col: base | (key ^ (1 << b))}))
+                    break  # Hamming-1 only; deeper probes explode rowcount
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(_bucket, schema=out_schema)
+
+
+def _table_hyperplanes(dim: int, n_bits: int, table: int) -> np.ndarray:
+    rng = np.random.RandomState(
+        h32(f"lsh-table-{table}-{dim}-{n_bits}") % (2**31))
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             n_bits: int = 8, n_tables: int = 8,
+             multiprobe: int = 1) -> DataFrame:
+    """Approximate top-k: multi-table LSH bucket join, exact re-rank.
+
+    Recall grows with `n_tables` (independent chances to collide) and
+    `multiprobe` (Hamming-1 query buckets); cost grows linearly in
+    both. At corpus scale the bucket equi-join replaces the full scan.
+    """
+    c = add_lsh_buckets(corpus, vec_col=vec_col, n_bits=n_bits,
+                        n_tables=n_tables)
+    q = add_lsh_buckets(
+        queries.select(F.col(qid_col), F.col(qvec_col).alias(vec_col)),
+        vec_col=vec_col, n_bits=n_bits, n_tables=n_tables,
+        multiprobe=multiprobe)
+    q = q.select(F.col(qid_col).alias("qid"),
+                 F.col(vec_col).alias("_qvec"), "bucket")
+    cand = c.join(F.broadcast(q), on="bucket", how="inner") \
+            .where(F.col("qid") != F.col(id_col))
+
+    schema = f"qid long, {id_col} long, cos double"
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            b = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["_qvec"]])
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = (a * b).sum(axis=1) / na / nb
+            yield pd.DataFrame({"qid": pdf["qid"].to_numpy(),
+                                id_col: pdf[id_col].to_numpy(),
+                                "cos": cos})
+
+    scored = cand.select("qid", id_col, vec_col, "_qvec") \
+        .mapInPandas(_score, schema=schema).dropDuplicates(["qid", id_col])
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def cosine_topk_duckdb_sql(k: int, query_filter: str,
+                           table: str = "embeddings") -> str:
+    """DuckDB oracle for cosine_topk: list_dot_product + window.
+
+    `query_filter`: SQL predicate choosing query rows (e.g.
+    ``vec_id % 50 = 0``). Returns (qid, vec_id, rnk) — cos is excluded
+    from the compared columns because summation order differs between
+    numpy matmul and DuckDB's fold (bit-level fp differences).
+    """
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                   FROM {table} WHERE {query_filter}),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   list_dot_product(e.embedding, q.qvec)
+                   / (sqrt(list_dot_product(e.embedding, e.embedding))
+                      * sqrt(list_dot_product(q.qvec, q.qvec))) AS cos
+            FROM {table} e, q WHERE e.vec_id <> q.qid),
+        ranked AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, vec_id ASC) AS rnk
+            FROM scored)
+        SELECT qid, vec_id, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= {k}
+    """

@@ -1,0 +1,60 @@
+"""Structured Streaming ingestion (engine extension).
+
+The reference is strictly batch ETL (SURVEY.md §2.10) — this module is
+the engine's forward-looking ingestion path: a stream of pages is
+geotagged and aggregated into per-cell windowed counts with a
+watermark for late events. Resumability of *batch* stages lives in
+checkpoint.py; streaming queries use Spark's own checkpointLocation.
+
+All transformations reuse the batch operators (geotag/assign_cells are
+plain column expressions), so stream and batch share one code path —
+the Kappa-style property that matters at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells
+from .geocode import lat_sql, lon_sql
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string, domain string")
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    return (spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def streaming_grid_counts(pages: DataFrame, res: int = 8,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """pages stream -> per-(time-window, cell) page counts.
+
+    Watermark bounds state for late pages; the aggregation is the same
+    cell arithmetic as the batch path (tiles.assign_cells).
+    """
+    geo = (pages
+           .withColumn("lat", F.expr(lat_sql("domain", "url", "spark")))
+           .withColumn("lon", F.expr(lon_sql("domain", "url", "spark")))
+           .withColumn("cell", F.expr(cells.cell_sql("lat", "lon", res))))
+    return (geo.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), F.col("cell"))
+            .agg(F.count(F.lit(1)).alias("page_count"),
+                 F.approx_count_distinct("domain").alias("approx_domains"))
+            .select(F.col("w.start").alias("window_start"), "cell",
+                    "page_count", "approx_domains"))
+
+
+def run_to_memory(stream_df: DataFrame, name: str = "stream_out"):
+    """Drive a bounded stream to completion into an in-memory sink
+    (test/smoke harness)."""
+    q = (stream_df.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return name

@@ -1,0 +1,292 @@
+"""Training-data text operators over web-page corpora.
+
+Beyond-reference ops a 100 TB training-data pipeline needs (task
+brief): deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+language-ID, quality scoring, token counting, fingerprinting.
+
+Design rule: every operator is pure relational algebra + built-in
+functions (JVM, whole-stage codegen) wherever possible, so the same
+semantics are expressible in DuckDB oracle SQL. The only randomness is
+the deterministic h32 hash family; permutations are fixed affine maps
+mod a 61-bit prime, so MinHash signatures are bit-reproducible across
+engines.
+
+Scale notes: exact dedup is one hash-shuffle on a 16-byte key; MinHash
+is explode(shingles) -> partial-agg min per hash (map-side combine
+soaks up the explode); LSH banding turns all-pairs similarity into an
+equi-join on band keys — the standard linear-scan-free near-dup plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h32_duckdb_sql, h32_spark_sql
+
+MERSENNE31 = (1 << 31) - 1
+
+# fixed affine MinHash permutations (a_j, b_j) — generated once from
+# h32 of a versioned seed string, identical in every engine. The
+# modulus is Mersenne-31 so a*(h%p)+b stays < 2^63 (BIGINT-safe in
+# Spark, DuckDB and numpy alike).
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    from .hashing import h32
+
+    out = []
+    for j in range(n_hashes):
+        a = (h32(f"minhash-a-{j}") % (MERSENNE31 - 2)) + 1
+        b = h32(f"minhash-b-{j}") % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+# ------------------------------------------------------------------ basics
+
+def norm_text_sql(col: str, dialect: str = "spark") -> str:
+    """Lower + collapse whitespace.
+
+    Spark's regexp_replace is replace-all; DuckDB needs the 'g' flag.
+    """
+    if dialect == "spark":
+        return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def fingerprint_sql(col: str, dialect: str = "spark") -> str:
+    """Document fingerprint: md5 of normalized text, first 16 hex."""
+    return f"substring(md5({norm_text_sql(col, dialect)}), 1, 16)"
+
+
+def token_count_sql(col: str, dialect: str = "spark") -> str:
+    if dialect == "spark":
+        return (f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+                f"ELSE size(split(trim({col}), '\\\\s+')) END")
+    return (f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the minimum id per normalized-text hash."""
+    h = F.expr(fingerprint_sql(text_col))
+    return (docs.withColumn("fp", h)
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "y"],
+}
+
+
+def _count_word_sql(col: str, word: str, dialect: str = "spark") -> str:
+    """# of occurrences of ' word ' in ' '||text||' ' via length diff."""
+    padded = f"(' ' || {norm_text_sql(col, dialect)} || ' ')"
+    return (f"CAST((length({padded}) - "
+            f"length(replace({padded}, ' {word} ', ''))) / {len(word) + 2} "
+            f"AS BIGINT)")
+
+
+def lang_scores_sql(col: str, dialect: str = "spark") -> dict[str, str]:
+    """Per-language stopword-hit counts (n-gram-heuristic lang-ID)."""
+    return {
+        lang: "(" + " + ".join(_count_word_sql(col, w, dialect)
+                               for w in words) + ")"
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id_sql(col: str, dialect: str = "spark") -> str:
+    """Predicted language: argmax of stopword hits, ties -> lang name
+    order, zero hits -> 'und'. Same semantics in both dialects."""
+    scores = lang_scores_sql(col, dialect)
+    langs = sorted(scores)  # deterministic tie order
+    greatest = "GREATEST(" + ", ".join(scores[l] for l in langs) + ")"
+    exprs = " ".join(
+        f"WHEN {scores[l]} = {greatest} AND {scores[l]} > 0 THEN '{l}'"
+        for l in langs)
+    return f"(CASE {exprs} ELSE 'und' END)"
+
+
+def quality_score_sql(col: str, dialect: str = "spark") -> str:
+    """Quality heuristic in [0,1]: token-length band + punctuation
+    terminal + stopword presence (pure arithmetic, cross-engine)."""
+    ntok = token_count_sql(col, dialect)
+    stop_en = _count_word_sql(col, "the", dialect)
+    punct = (f"(length({col}) - length(replace(replace(replace("
+             f"{col}, '.', ''), '!', ''), '?', '')))")
+    return (f"(CASE WHEN ({ntok}) >= 5 AND ({ntok}) <= 100000 THEN 4e-1 "
+            f"ELSE 0e0 END "
+            f"+ CASE WHEN {punct} > 0 THEN 3e-1 ELSE 0e0 END "
+            f"+ CASE WHEN ({stop_en}) > 0 THEN 3e-1 ELSE 0e0 END)")
+
+
+# ------------------------------------------------------------------ shingles
+
+def shingles_sql(col: str, k: int, dialect: str = "spark") -> str:
+    """k-word shingle array from normalized text.
+
+    Spark: higher-order functions over split(); DuckDB: list lambdas.
+    Documents shorter than k words yield a single shingle of the whole
+    text (so short docs still dedup).
+    """
+    norm = norm_text_sql(col, dialect)
+    if dialect == "spark":
+        toks = f"split({norm}, ' ')"
+        return (f"CASE WHEN size({toks}) < {k} THEN array({norm}) "
+                f"ELSE transform(sequence(1, size({toks}) - {k - 1}), "
+                f"i -> concat_ws(' ', slice({toks}, i, {k}))) END")
+    toks = f"string_split({norm}, ' ')"
+    join = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
+    return (f"CASE WHEN len({toks}) < {k} THEN [{norm}] "
+            f"ELSE (SELECT list_transform(generate_series(1, len(__t) - {k - 1}), "
+            f"i -> {join}) FROM (SELECT {toks} AS __t)) END")
+
+
+def minhash_sql_exprs(n_hashes: int, hash_col: str = "sh") -> list[str]:
+    """Aggregate expressions MIN((a*h+b) % p) per permutation, over an
+    exploded shingle-hash column. Same text both dialects."""
+    return [
+        f"MIN((({a} * ({hash_col} % {MERSENNE31}) + {b}) % {MERSENNE31}))"
+        f" AS mh{j}"
+        for j, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """(id, mh0..mhN) MinHash signature matrix.
+
+    explode(shingles) -> h32 -> groupBy(id) with N partial-agg mins:
+    the explode never shuffles (map-side combine collapses it before
+    the exchange on id).
+    """
+    sh = F.explode(F.expr(shingles_sql(text_col, shingle_k))).alias("shingle")
+    exploded = (docs.select(F.col(id_col), sh)
+                .select(id_col,
+                        F.expr(h32_spark_sql("shingle")).alias("sh"))
+                .dropDuplicates([id_col, "sh"]))
+    aggs = [F.expr(e) for e in minhash_sql_exprs(n_hashes)]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4) -> DataFrame:
+    """Band the signature matrix; docs sharing a band-hash pair up.
+
+    Returns distinct (id_a, id_b), id_a < id_b. The band join is an
+    equi-join on (band_idx, band_hash) — broadcast-or-shuffle by size,
+    AQE-managed; no all-pairs comparison ever materializes.
+    """
+    mh_cols = [c for c in sigs.columns if c.startswith("mh")]
+    rows_per_band = len(mh_cols) // bands
+    band_exprs = []
+    for b in range(bands):
+        chunk = mh_cols[b * rows_per_band:(b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col(c) for c in chunk]).alias("bh")))
+    banded = (sigs.select(id_col, F.explode(F.array(*band_exprs)).alias("e"))
+              .select(id_col, "e.band", "e.bh"))
+    # persist: the self-join would otherwise recompute the full
+    # signature pipeline once per join side
+    banded = banded.persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, on=["band", "bh"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def token_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs — pure relational
+    (explode -> equi-joins -> counts), no UDF.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|)
+    """
+    sh = (docs.select(F.col(id_col),
+                      F.explode(F.expr(shingles_sql(text_col, shingle_k)))
+                      .alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (pairs
+             .join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
+             .join(sh.withColumnRenamed(id_col, "id_b")
+                     .withColumnRenamed("shingle", "shingle_b"),
+                   on="id_b")
+             .where(F.col("shingle") == F.col("shingle_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (pairs
+            .join(inter, on=["id_a", "id_b"], how="left")
+            .na.fill({"n_inter": 0})
+            .join(sizes.withColumnRenamed(id_col, "id_a")
+                       .withColumnRenamed("n", "n_a"), on="id_a")
+            .join(sizes.withColumnRenamed(id_col, "id_b")
+                       .withColumnRenamed("n", "n_b"), on="id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                    .alias("jaccard")))
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_exprs(n_bits: int = 32, hash_col: str = "th") -> list[str]:
+    """Per-bit weighted sums for SimHash over exploded token hashes."""
+    return [
+        f"SUM(CASE WHEN ({hash_col} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS s{b}"
+        for b in range(n_bits)
+    ]
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", n_bits: int = 32) -> DataFrame:
+    """32-bit SimHash: tokens -> h32 -> per-bit majority vote.
+
+    The per-bit sums are 32 partial aggregates over the exploded token
+    stream (map-side combine); the final fold to an int is arithmetic.
+    """
+    toks = (docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.expr(norm_text_sql(text_col)), " "))
+        .alias("tok")))
+    toks = toks.select(id_col, F.expr(h32_spark_sql("tok")).alias("th"))
+    # Spark integer division is DIV
+    aggs = [F.expr(e.replace("//", "DIV")) for e in simhash_exprs(n_bits)]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits))
+    return sums.select(id_col, F.expr(f"({bit_terms})").alias("simhash"))
+
+
+def simhash_duckdb_sql(n_bits: int = 32, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       table: str = "documents") -> str:
+    """DuckDB oracle for :func:`simhash` (same math, list dialect)."""
+    norm = norm_text_sql(text_col, "duckdb")
+    h = h32_duckdb_sql("tok")
+    sums = ", ".join(e for e in simhash_exprs(n_bits, "th"))
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits))
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, unnest(string_split({norm}, ' ')) AS tok
+            FROM {table}),
+        hashed AS (SELECT {id_col}, {h} AS th FROM toks),
+        sums AS (SELECT {id_col}, {sums} FROM hashed GROUP BY {id_col})
+        SELECT {id_col}, ({bit_terms}) AS simhash FROM sums
+    """

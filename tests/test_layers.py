@@ -1,0 +1,181 @@
+"""Layer-parity tests: speed truth table, classification, heights,
+roads + WG-AEN traffic invariants (OSMNoiseTests.groovy analogs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkspatial import geom, layers, transform
+from sparkspatial.fixtures import micro_osm
+
+
+# --------------------------------------------------------------- speed parse
+
+SPEED_TRUTH = [  # OSMNoiseTests.groovy:125-140
+    (None, -1.0), ("", -1.0), ("72", 72.0), ("72 MPH", 115.848),
+    ("72 kmh", 72.0), ("25kmh", -1.0), ("72 knots", -1.0),
+]
+
+
+def test_speed_kmh_truth_table():
+    for raw, want in SPEED_TRUTH:
+        assert layers.speed_kmh(raw) == pytest.approx(want), raw
+
+
+def test_speed_kmh_col_matches_scalar(spark):
+    df = spark.createDataFrame([(r,) for r, _ in SPEED_TRUTH], "v string")
+    got = [r[0] for r in df.select(layers.speed_kmh_col(F.col("v"))).collect()]
+    assert got == pytest.approx([w for _, w in SPEED_TRUTH])
+
+
+# --------------------------------------------------------------- classify
+
+def test_classify_first_match_and_use():
+    mapping = {
+        "residential": {"building": ["house", "apartments"]},
+        "commercial": {"building": ["retail"], "amenity": ["marketplace"]},
+    }
+    pdf = pd.DataFrame({
+        "building": ["house", "retail", None, "house"],
+        "amenity": [None, "marketplace", "marketplace", "marketplace"],
+    })
+    tp, use = layers.classify_first_match(pdf, mapping, with_use=True)
+    assert list(tp) == ["residential", "commercial", "commercial",
+                        "residential"]
+    # row 1 matched twice (retail then marketplace) -> use=commercial;
+    # row 3 matched residential then commercial -> use=commercial
+    assert list(use) == ["residential", "commercial", "commercial",
+                         "commercial"]
+
+
+def test_classify_negation():
+    mapping = {"historic": {"building": ["! house"]}}
+    pdf = pd.DataFrame({"building": ["house", "castle", None]})
+    tp = layers.classify_first_match(pdf, mapping)
+    assert list(tp) == [None, "historic", None]
+
+
+# --------------------------------------------------------------- heights
+
+def test_format_heights_defaults():
+    # all-zero -> h_lev_min everywhere, 1 level
+    hw, hr, lev = layers.format_heights_and_levels(
+        np.array([0.0]), np.array([0.0]), np.array([0.0]),
+        np.array([1.0]), 3, 15, 10)
+    assert (hw[0], hr[0], lev[0]) == (3.0, 3.0, 1.0)
+
+
+def test_format_heights_from_levels():
+    hw, hr, lev = layers.format_heights_and_levels(
+        np.array([0.0]), np.array([0.0]), np.array([4.0]),
+        np.array([1.0]), 3, 15, 10)
+    assert hw[0] == 12.0 and hr[0] == 12.0 and lev[0] == 4.0
+
+
+def test_format_levels_from_height():
+    hw, hr, lev = layers.format_heights_and_levels(
+        np.array([9.0]), np.array([0.0]), np.array([0.0]),
+        np.array([1.0]), 3, 15, 10)
+    assert hr[0] == 9.0 and lev[0] == 3.0
+
+
+def test_format_levels_rule_precedence():
+    # lev_from_type==2 and wall<=threshold -> nbLevels forced to 1
+    hw, hr, lev = layers.format_heights_and_levels(
+        np.array([9.0]), np.array([9.0]), np.array([5.0]),
+        np.array([2.0]), 3, 15, 10)
+    assert lev[0] == 1.0
+    # lev_from_type==2 and wall>threshold -> rule branch keeps levels
+    hw, hr, lev = layers.format_heights_and_levels(
+        np.array([12.0]), np.array([12.0]), np.array([4.0]),
+        np.array([2.0]), 3, 15, 10)
+    assert lev[0] == 4.0
+
+
+def test_roof_not_below_wall():
+    hw, hr, lev = layers.format_heights_and_levels(
+        np.array([10.0]), np.array([6.0]), np.array([1.0]),
+        np.array([1.0]), 3, 15, 10)
+    assert hr[0] >= hw[0]
+
+
+# --------------------------------------------------------------- layers e2e
+
+@pytest.fixture(scope="module")
+def building_layer(spark):
+    osm = micro_osm(spark)
+    polys = transform.to_polygons(osm, {"building": None},
+                                  layers.BUILDING_PARAMS["columns"])
+    return layers.build_building_layer(polys).persist()
+
+
+def test_building_layer_invariants(building_layer):
+    rows = building_layer.collect()
+    assert len(rows) >= 1  # w1 + r1 of the micro fixture
+    for r in rows:  # OSMNoiseTests.groovy:110-112 invariants
+        assert r.nb_lev is not None and r.nb_lev > 0
+        assert r.height_wall is not None and r.height_wall >= 0
+        assert r.height_roof is not None and r.height_roof >= r.height_wall
+        assert r.type is not None and r.main_use is not None
+        g = geom.wkb_loads(bytes(r.the_geom_wkb))
+        assert g[0] == "Polygon"
+
+
+def test_road_layer_and_traffic(spark):
+    # synthetic road lines with tag columns as the transform would emit
+    def line(*pts):
+        return bytearray(geom.wkb_dumps(
+            ("LineString", np.array(pts, dtype=np.float64))))
+
+    rows = [
+        ("w1", line((0, 0), (1, 1)), "motorway", None, "50 MPH", "yes", None),
+        ("w2", line((1, 1), (2, 2)), "residential", "asphalt", None, None, "1"),
+        ("w3", line((2, 2), (3, 3)), "footpath_unknown", None, "xx", None, None),
+    ]
+    lines = spark.createDataFrame(
+        rows, "id string, the_geom_wkb binary, highway string, "
+              "surface string, maxspeed string, oneway string, layer string")
+    roads = layers.build_road_layer(lines)
+    got = {r.id_source: r for r in roads.collect()}
+    assert got["w1"].wgaen_type == "Motorway"
+    assert got["w1"].maxspeed == int(50 * 1.609)
+    assert got["w1"].oneway is True
+    assert got["w2"].wgaen_type == "Service road"
+    assert got["w2"].maxspeed == 30  # default for Service road
+    assert got["w2"].surface == "paved"
+    assert got["w2"].zindex == 1
+    assert got["w3"].wgaen_type == "Small main road"  # unclassified default
+    assert got["w3"].maxspeed == 80
+
+    traffic = layers.wgaen_road_traffic(roads)
+    trows = {r.id_source: r for r in traffic.collect()}
+    assert len(trows) == 3
+    for r in trows.values():  # OSMNoiseTests.groovy:142-165 invariants
+        for c in ["day_lv_hour", "day_hv_hour", "night_lv_hour",
+                  "ev_lv_hour", "day_lv_speed", "day_hv_speed"]:
+            assert getattr(r, c) is not None and getattr(r, c) >= 0
+    # oneway halves flows: Motorway day_lv = 26103*0.75/12/2
+    assert trows["w1"].day_lv_hour == pytest.approx(26103 * 0.75 / 12 / 2)
+    # hv speed capped at 90 when maxspeed >= 110
+    assert trows["w3"].day_hv_speed == 80
+    m = layers.wgaen_road_traffic(
+        layers.build_road_layer(lines)).where(F.col("wgaen_type") == "Motorway")
+    assert m.first().day_hv_speed == 90 if m.first().maxspeed >= 110 else True
+
+
+def test_road_clip_to_envelope(spark):
+    def line(*pts):
+        return bytearray(geom.wkb_dumps(
+            ("LineString", np.array(pts, dtype=np.float64))))
+
+    lines = spark.createDataFrame(
+        [("w1", line((-5, 0.5), (5, 0.5)), "motorway"),
+         ("w9", line((20, 20), (30, 30)), "motorway")],
+        "id string, the_geom_wkb binary, highway string")
+    roads = layers.build_road_layer(lines, envelope=(0, 0, 10, 10)).collect()
+    assert len(roads) == 1  # w9 outside drops entirely
+    g = geom.wkb_loads(bytes(roads[0].the_geom_wkb))
+    assert g[1][0][0] == 0.0 and g[1][-1][0] == 5.0  # clipped at x=0

@@ -1,0 +1,88 @@
+"""Tests: multimodal binary plumbing + resumable checkpoints."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkspatial import multimodal as mm
+from sparkspatial.checkpoint import Checkpointer, fingerprint_of
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        ("u1", bytearray(mm.fake_payload("image", 1024, 768, seed=1))),
+        ("u2", bytearray(mm.fake_payload("audio", 44100, 88200, seed=2))),
+        ("u3", bytearray(mm.fake_payload("video", 640, 480, frames=10, seed=3))),
+        ("u4", bytearray(b"garbage-not-a-container")),
+    ]
+    return spark.createDataFrame(rows, "url string, payload binary")
+
+
+def test_extract_meta(media):
+    got = {r.url: r for r in mm.extract_meta(media).collect()}
+    assert got["u1"].kind == "image" and got["u1"].width == 1024
+    assert got["u2"].kind == "audio" and got["u2"].height == 88200
+    assert got["u3"].kind == "video" and got["u3"].n_frames == 10
+    assert got["u4"].valid is False and got["u4"].kind is None
+
+
+def test_real_codec_is_marked_stub(media):
+    with pytest.raises(NotImplementedError):
+        mm.extract_meta(media, codec="real")
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(media, 512, codec="real")
+
+
+def test_resize_images(media):
+    out = mm.extract_meta(mm.resize_images(media, max_side=512)).collect()
+    got = {r.url: r for r in out}
+    assert got["u1"].width == 512 and got["u1"].height == 384
+    assert got["u3"].width == 640  # video untouched by image resize
+    assert got["u4"].valid is False  # garbage passes through
+
+
+def test_sample_frames(media):
+    frames = mm.sample_frames(media, every_n=3).collect()
+    # video u3 has 10 frames -> sampled 0,3,6,9
+    assert [(r.url, r.frame_idx) for r in
+            sorted(frames, key=lambda r: r.frame_idx)] == [
+        ("u3", 0), ("u3", 3), ("u3", 6), ("u3", 9)]
+    assert all(len(bytes(r.frame)) == 16 for r in frames)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    ck = Checkpointer(str(tmp_path))
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    fp = fingerprint_of("stage1", "v1")
+    out1 = ck.stage(df, "stage1", fp)
+    assert out1.count() == 1000
+    assert set(out1.columns) == {"id", "v"}
+
+    # second run resumes from the materialization (no recompute):
+    # feed a PO~ISONED plan that would fail if executed
+    bad = spark.range(10).withColumn(
+        "v", F.expr("assert_true(false)").cast("long"))
+    out2 = ck.stage(bad, "stage1", fp)
+    assert out2.count() == 1000  # served from checkpoint, plan never ran
+
+    # changed fingerprint -> recompute
+    out3 = ck.stage(df.limit(10), "stage1", fingerprint_of("stage1", "v2"))
+    assert out3.count() == 10
+
+    lin = ck.lineage(spark, "stage1").collect()
+    assert len(lin) >= 1
+    assert all(r.rows_out >= 0 and r.wall_ms >= 0 for r in lin)
+    assert {r.stage for r in lin} == {"stage1"}
+
+
+def test_checkpoint_invalidate(spark, tmp_path):
+    ck = Checkpointer(str(tmp_path))
+    fp = fingerprint_of("x")
+    ck.stage(spark.range(5), "s", fp)
+    assert ck.is_complete("s", fp)
+    ck.invalidate("s")
+    assert not ck.is_complete("s", fp)

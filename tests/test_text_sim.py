@@ -1,0 +1,150 @@
+"""Tests for training-data text ops + embedding similarity search."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkspatial import sim, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    return con
+
+
+def test_fingerprint_cross_engine(docs, duck):
+    got = {r.doc_id: r.fp for r in docs.selectExpr(
+        "doc_id", text.fingerprint_sql("text", "spark") + " AS fp").collect()}
+    want = dict(duck.execute(
+        f"SELECT doc_id, {text.fingerprint_sql('text', 'duckdb')} "
+        f"FROM documents").fetchall())
+    assert got == want
+
+
+def test_token_count_cross_engine(docs, duck):
+    got = {r.doc_id: r.n for r in docs.selectExpr(
+        "doc_id", text.token_count_sql("text", "spark") + " AS n").collect()}
+    want = dict(duck.execute(
+        f"SELECT doc_id, {text.token_count_sql('text', 'duckdb')} "
+        f"FROM documents").fetchall())
+    assert got == want
+    assert all(v > 0 for v in got.values())
+
+
+def test_lang_id_and_quality_cross_engine(docs, duck):
+    got = {r.doc_id: (r.lang_pred, r.q) for r in docs.selectExpr(
+        "doc_id",
+        text.lang_id_sql("text", "spark") + " AS lang_pred",
+        text.quality_score_sql("text", "spark") + " AS q").collect()}
+    want = {row[0]: (row[1], row[2]) for row in duck.execute(
+        f"SELECT doc_id, {text.lang_id_sql('text', 'duckdb')}, "
+        f"{text.quality_score_sql('text', 'duckdb')} FROM documents"
+    ).fetchall()}
+    assert got == want
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.dup_count for r in text.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # normalization folds 1 and 2 together
+
+
+def test_shingles_cross_engine(docs, duck):
+    got = {r.doc_id: list(r.sh) for r in docs.selectExpr(
+        "doc_id", text.shingles_sql("text", 3, "spark") + " AS sh").collect()}
+    want = dict(duck.execute(
+        f"SELECT doc_id, {text.shingles_sql('text', 3, 'duckdb')} "
+        f"FROM documents").fetchall())
+    assert got == want
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the sun sets slowly behind the quiet green hills")
+    rows = [(0, base), (1, base.replace("quick", "swift")),  # near-dup
+            (2, "completely different content about spark engines and "
+                "distributed query processing at massive scale today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = text.minhash_signatures(df, n_hashes=16, shingle_k=3)
+    pairs = {(r.id_a, r.id_b)
+             for r in text.lsh_candidate_pairs(sigs, bands=8).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    jac = text.token_jaccard_pairs(
+        df, spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long"))
+    j = {(r.id_a, r.id_b): r.jaccard for r in jac.collect()}
+    assert j[(0, 1)] > 0.5 and j[(0, 2)] == 0.0
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                               "doc_id long, text string")
+    a = text.minhash_signatures(df, n_hashes=8).collect()[0]
+    b = text.minhash_signatures(df, n_hashes=8).collect()[0]
+    assert a == b
+
+
+def test_simhash_spark_vs_duckdb(docs, duck):
+    got = {r.doc_id: r.simhash for r in text.simhash(docs).collect()}
+    want = dict(duck.execute(text.simhash_duckdb_sql()).fetchall())
+    assert got == want
+    # near-dup texts have small hamming distance
+    sh = {r.doc_id: r.simhash for r in text.simhash(
+        docs.sparkSession.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "the quick brown fox jumps over the lazy cat"),
+             (2, "entirely unrelated words about database engines")],
+            "doc_id long, text string")).collect()}
+    d01 = bin(sh[0] ^ sh[1]).count("1")
+    d02 = bin(sh[0] ^ sh[2]).count("1")
+    assert d01 < d02
+
+
+# ------------------------------------------------------------------ sim
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+
+def test_cosine_topk_matches_duckdb(emb, duck):
+    queries = emb.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = sim.cosine_topk(emb, queries, k=5)
+    g = {(r.qid, r.rnk): r.vec_id for r in got.collect()}
+    want = duck.execute(
+        sim.cosine_topk_duckdb_sql(5, "vec_id % 100 = 0")).fetchall()
+    w = {(r[0], r[2]): r[1] for r in want}
+    assert g == w
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = sim.cosine_topk(emb, queries, k=5)
+    approx = sim.lsh_topk(emb, queries, k=5, n_bits=6, n_tables=8,
+                          multiprobe=1)
+    weak = sim.lsh_topk(emb, queries, k=5, n_bits=8, n_tables=2,
+                        multiprobe=0)
+    e = {(r.qid, r.vec_id) for r in exact.collect()}
+    a = {(r.qid, r.vec_id) for r in approx.collect()}
+    w = {(r.qid, r.vec_id) for r in weak.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # recall must respond to the table/probe knobs
+    assert recall > len(e & w) / len(e)
