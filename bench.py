@@ -147,6 +147,11 @@ def bench_queries(spark, sf_dir: str, pages_path: str):
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
         return sim.cosine_topk(emb, queries, k=10).count()
 
+    # warm up with the full flagship job: the first large job pays JIT +
+    # JVM heap-growth page faults + Python worker spawn (cold local[32]
+    # showed 89% kernel time); steady-state throughput is the metric
+    pipeline_extract_join_tile()
+
     timings = {}
     named = [
         ("pipeline_extract_join_tile", pipeline_extract_join_tile),

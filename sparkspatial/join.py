@@ -44,22 +44,53 @@ MAX_CELLS_PER_POLY = 64
 BROADCAST_MAX_COVER_ROWS = 2_000_000
 
 
+def _poly_edges(g) -> list[tuple[float, float, float, float]]:
+    """All ring edges of a (Multi)Polygon as (x0, y0, x1, y1) tuples.
+
+    Feeding every ring (shells AND holes, all sub-polygons) into one
+    even-odd crossing fold reproduces geom.points_in_geom exactly for
+    the disjoint-sub-polygon geometries the engine deals in.
+    """
+    tag, body = g
+    rings = []
+    if tag == "Polygon":
+        rings = body
+    elif tag == "MultiPolygon":
+        for sub in body:
+            rings.extend(sub[1])
+    else:
+        raise ValueError(f"polygonal geometry expected, got {tag}")
+    edges = []
+    for ring in rings:
+        r = geom.ensure_closed(np.asarray(ring, dtype=np.float64))
+        for i in range(len(r) - 1):
+            edges.append((float(r[i, 0]), float(r[i, 1]),
+                          float(r[i + 1, 0]), float(r[i + 1, 1])))
+    return edges
+
+
 def cover_polygons(polys: DataFrame, poly_id: str = "zone_id",
                    wkb_col: str = "the_geom_wkb",
                    res: int = DEFAULT_RES,
-                   max_cells_per_poly: int = MAX_CELLS_PER_POLY) -> DataFrame:
-    """Polygon DataFrame -> exploded (poly cols..., cell, minx..maxy).
+                   max_cells_per_poly: int = MAX_CELLS_PER_POLY,
+                   with_edges: bool = False) -> DataFrame:
+    """Polygon DataFrame -> exploded (poly cols..., cell, minx..maxy
+    [, edges]).
 
-    Carries the WKB through the explode so refinement needs no second
-    join with the polygon table (standard replication trade-off from
-    the distributed spatial-join literature).
+    Carries the WKB (and optionally the decoded edge list, for the
+    JVM refinement path) through the explode so refinement needs no
+    second join with the polygon table (standard replication trade-off
+    from the distributed spatial-join literature).
     """
     out_schema = (f"{poly_id} string, the_geom_wkb binary, cell long, "
                   "minx double, miny double, maxx double, maxy double")
+    if with_edges:
+        out_schema += (", edges array<struct<x0:double,y0:double,"
+                       "x1:double,y1:double>>")
 
     def _cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, wkbs, cell_l, bxs = [], [], [], []
+            ids, wkbs, cell_l, bxs, edge_l = [], [], [], [], []
             for pid, w in zip(pdf[poly_id].values, pdf[wkb_col].values):
                 g = geom.wkb_loads(bytes(w))
                 minx, miny, maxx, maxy = geom.bounds(g)
@@ -78,14 +109,19 @@ def cover_polygons(polys: DataFrame, poly_id: str = "zone_id",
                 wkbs.extend([bytes(w)] * len(cc))
                 cell_l.append(cc)
                 bxs.extend([(minx, miny, maxx, maxy)] * len(cc))
+                if with_edges:
+                    edge_l.extend([_poly_edges(g)] * len(cc))
             cell_arr = (np.concatenate(cell_l) if cell_l
                         else np.empty(0, np.int64))
             b = np.array(bxs, dtype=np.float64).reshape(-1, 4)
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 poly_id: ids, "the_geom_wkb": wkbs, "cell": cell_arr,
                 "minx": b[:, 0], "miny": b[:, 1],
                 "maxx": b[:, 2], "maxy": b[:, 3],
             })
+            if with_edges:
+                out["edges"] = edge_l
+            yield out
 
     return polys.mapInPandas(_cover, schema=out_schema)
 
@@ -139,18 +175,21 @@ def point_cells(points: DataFrame, res_list: list[int],
 
 
 def _refine_exact(joined: DataFrame, lat_col: str, lon_col: str,
-                  keep_cols: list[str]) -> DataFrame:
-    """Vectorized point-in-polygon refinement on the coarse-join output."""
-    schema_fields = []
-    for f in joined.schema.fields:
-        if f.name in keep_cols:
-            schema_fields.append(f)
+                  keep_cols: list[str], poly_id: str) -> DataFrame:
+    """Vectorized point-in-polygon refinement on the coarse-join output.
+
+    Candidates group by `poly_id` (contract: one geometry per id), each
+    polygon decodes once per batch (cached across batches), and the
+    whole batch masks in numpy — no per-row Python beyond the geometry
+    cache lookups.
+    """
+    schema_fields = [f for f in joined.schema.fields if f.name in keep_cols]
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in schema_fields)
     names = [f.name for f in schema_fields]
 
     def _ref(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[bytes, object] = {}
+        cache: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf[names]
@@ -160,24 +199,41 @@ def _refine_exact(joined: DataFrame, lat_col: str, lon_col: str,
             py = pdf[lat_col].to_numpy(np.float64)
             mask = np.zeros(len(pdf), dtype=bool)
             wkb_vals = pdf["the_geom_wkb"].values
-            keys = pd.Series([bytes(w) for w in wkb_vals])
-            for wkb_bytes, idx in keys.groupby(keys).groups.items():
-                g = cache.get(wkb_bytes)
+            for pid, ii in pdf.groupby(poly_id, sort=False).indices.items():
+                g = cache.get(pid)
                 if g is None:
-                    g = geom.wkb_loads(wkb_bytes)
-                    cache[wkb_bytes] = g
-                ii = np.asarray(idx)
+                    g = geom.wkb_loads(bytes(wkb_vals[ii[0]]))
+                    cache[pid] = g
                 mask[ii] = geom.points_in_geom(px[ii], py[ii], g)
-            yield pdf.loc[mask, names]
+            yield pdf[names][mask]
 
     return joined.mapInPandas(_ref, schema=out_schema)
+
+
+def pip_jvm_predicate(lat_col: str, lon_col: str,
+                      edges_col: str = "edges"):
+    """Even-odd point-in-polygon as a pure Column expression.
+
+    A higher-order `aggregate` XOR-folds the ray-crossing test over
+    the polygon's edge array — whole-stage-codegen JVM arithmetic,
+    bit-identical to geom.points_in_rings (same expression shape, same
+    IEEE ops; a zero-length edge yields NULL -> false, matching the
+    masked numpy division).
+    """
+    cross = (
+        f"CASE WHEN ((e.y0 > {lat_col}) != (e.y1 > {lat_col})) "
+        f"AND ({lon_col} < e.x0 + ({lat_col} - e.y0) / (e.y1 - e.y0) "
+        f"* (e.x1 - e.x0)) THEN NOT acc ELSE acc END"
+    )
+    return F.expr(
+        f"aggregate({edges_col}, false, (acc, e) -> {cross})")
 
 
 def spatial_join(points: DataFrame, polys: DataFrame, *,
                  point_id_cols: list[str] | None = None,
                  lat_col: str = "lat", lon_col: str = "lon",
                  poly_id: str = "zone_id", wkb_col: str = "the_geom_wkb",
-                 how: str = "inner", refine: str = "exact",
+                 how: str = "inner", refine: str = "jvm",
                  res: int = DEFAULT_RES,
                  max_cells_per_poly: int = MAX_CELLS_PER_POLY,
                  broadcast: bool | None = None,
@@ -192,10 +248,12 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
     how : inner | left | left_semi | left_anti
         `left_anti` is the reference's hole-less-outer branch pattern
         (`b.id_relation IS NULL`, Transform.groovy:437-442).
-    refine : exact | bbox
-        `bbox` skips the Python refinement when polygons are known
-        axis-aligned rectangles (zone envelopes) — the whole join then
-        stays JVM-side.
+    refine : jvm | exact | bbox
+        `jvm` (default): even-odd PIP as a codegen'd higher-order
+        expression over the polygon edge arrays — zero Python in the
+        join. `exact`: the Arrow/numpy refinement (template for
+        predicates Python libraries must evaluate). `bbox`: envelope
+        test only (rectangular zones).
     broadcast : None -> decide by counting the polygon side (it is the
         small side by contract); True/False to force.
     salt : salt hot cells before the shuffle join (skew.py). Only
@@ -209,7 +267,8 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
         res = required_res(polys, poly_id, wkb_col, res, max_cells_per_poly)
 
     cover = cover_polygons(polys, poly_id=poly_id, wkb_col=wkb_col,
-                           res=res, max_cells_per_poly=max_cells_per_poly).persist()
+                           res=res, max_cells_per_poly=max_cells_per_poly,
+                           with_edges=(refine == "jvm")).persist()
 
     # one action: cover size (broadcast decision) + resolutions present
     stats = cover.agg(
@@ -244,8 +303,11 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
 
     if refine == "bbox":
         matched = coarse.select(*keep)
+    elif refine == "jvm":
+        matched = (coarse.where(pip_jvm_predicate(lat_col, lon_col))
+                   .select(*keep))
     else:
-        matched = _refine_exact(coarse, lat_col, lon_col, keep)
+        matched = _refine_exact(coarse, lat_col, lon_col, keep, poly_id)
 
     # a point matches a polygon in exactly one cover cell (single res
     # per polygon), so no pair-dedup is needed on the inner path

@@ -1,0 +1,107 @@
+"""Physical-plan shape assertions — the scale guarantees.
+
+These pin the properties that make the engine viable at 100 TB:
+column-pruned scans, broadcast hash joins for small polygon sides,
+bbox predicates inside the join (not post-filters), no extra point
+explode under single-res covers, partial aggregation for rollups.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkspatial import extract, join, tiles, zones
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("url"),
+        F.col("source").alias("domain"), "lang")
+    return extract.geotag(pages, "domain", "url")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_scan_is_column_pruned(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.select("doc_id").where(F.col("doc_id") > 10)
+    plan = _explain(q)
+    # only doc_id reaches the scan; filter pushed to parquet
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,10)]" in plan
+
+
+def test_spatial_join_is_broadcast_hash(spark, pts):
+    zdf = zones.synthetic_zones(spark, n=24)
+    out = join.spatial_join(pts, zdf, how="inner", broadcast=True)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the bbox test rides inside the join condition, not a post-filter
+    assert "minx" in plan.split("BroadcastHashJoin")[1].split("\n")[0]
+
+
+def test_spatial_join_single_res_no_point_explode(spark, pts):
+    """Mixed-size zones must not multiply the probe side: single global
+    res -> plain project, no Generate/explode on the point side."""
+    zdf = zones.synthetic_zones(spark, n=48)  # varied sizes
+    out = join.spatial_join(pts, zdf, how="inner", broadcast=True)
+    plan = _plan(out)
+    assert "Generate explode" not in plan
+
+
+def test_shuffle_join_uses_exchange_on_cell(spark, pts):
+    # AQE rightly re-plans tiny shuffle joins to broadcast; disable the
+    # thresholds to assert the genuine at-scale shuffle shape
+    zdf = zones.synthetic_zones(spark, n=24)
+    old = {k: spark.conf.get(k, None) for k in
+           ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = join.spatial_join(pts, zdf, how="inner", broadcast=False)
+        plan = _plan(out)
+        assert "Exchange hashpartitioning(cell" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
+def test_shuffle_join_aqe_rescues_tiny_cover(spark, pts):
+    """With defaults, AQE turns a tiny-cover shuffle join into a
+    broadcast at runtime — the behavior we rely on at scale when the
+    polygon side turns out small."""
+    zdf = zones.synthetic_zones(spark, n=24)
+    out = join.spatial_join(pts, zdf, how="inner", broadcast=False)
+    assert "BroadcastHashJoin" in _plan(out) or \
+        "Exchange hashpartitioning(cell" in _plan(out)
+
+
+def test_rollup_has_partial_aggregation(spark, pts):
+    g = tiles.assign_cells(pts, res=9)
+    fine = g.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(fine)
+    # map-side combine before the exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_geotag_is_whole_stage_codegen(spark, pts):
+    """The arithmetic geocode must stay JVM-side (no Python eval)."""
+    plan = _plan(pts)
+    # "*(n)" prefixes mark whole-stage-codegen spans in toString()
+    assert "*(1)" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -123,6 +123,17 @@ def test_spatial_join_hole_semantics(spark):
     assert {"zov_a", "zov_b"} <= got2
 
 
+def test_jvm_refine_equals_python_refine(spark, points_df):
+    """The codegen'd even-odd fold must match the numpy kernel on
+    polygons with holes and overlaps (default zones set has both)."""
+    zdf = zones.synthetic_zones(spark, n=24, include_hotspots=True)
+    jvm = join.spatial_join(points_df, zdf, refine="jvm", broadcast=True)
+    py = join.spatial_join(points_df, zdf, refine="exact", broadcast=True)
+    a = {(r.url, r.zone_id) for r in jvm.select("url", "zone_id").collect()}
+    b = {(r.url, r.zone_id) for r in py.select("url", "zone_id").collect()}
+    assert a == b
+
+
 def test_spatial_join_bbox_refine_equals_exact_for_rects(spark, points_df):
     # rectangles only -> bbox refinement must equal exact refinement
     zdf = zones.synthetic_zones(spark, n=24, include_hotspots=False)

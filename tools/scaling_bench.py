@@ -35,9 +35,21 @@ pages = spark.read.parquet({pages_path!r})
 n_pages = pages.count()
 zdf = zones.synthetic_zones(spark, n=192).persist(); zdf.count()
 
-# warmup (JIT, Python worker pool spin-up) — not measured
-pts = extract.extract_points(pages.limit(2000))
-join.spatial_join(pts, zdf, how="inner", broadcast=True, res=10).count()
+# Warmup with the FULL job — not measured. The first large job pays
+# JIT compilation, JVM heap growth (mmap/page-fault storms that scale
+# with thread count: observed 89%% sys time cold at local[32]), Python
+# worker spawn, and OS page-cache fill; none of that is steady-state
+# throughput, which is what the 10^12-doc criterion is about.
+def run_once():
+    pts = extract.extract_points(pages)
+    matched = join.spatial_join(pts, zdf, how="inner", broadcast=True, res=10)
+    g = tiles.assign_cells(matched, res=9)
+    fine = g.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    coarse = (fine.withColumn("p", tiles.parent_col("cell", 9, 5))
+              .groupBy("p").agg(F.sum("n").alias("n")))
+    coarse.count()
+
+run_once()
 
 best = None
 for _ in range({reps}):
@@ -86,29 +98,44 @@ def main():
                                    n_files=128)
     spark.stop()
 
-    lo = run_at(n_lo, pages_path, reps)
-    hi = run_at(n_hi, pages_path, reps)
-    speedup = lo["sec"] / hi["sec"]
-    eff = speedup / (n_hi / n_lo)
+    results = {}
+    for c in sorted({n_lo, n_hi, 4, 16}):
+        results[c] = run_at(c, pages_path, reps)
 
+    def eff(a, b):
+        return (results[a]["sec"] / results[b]["sec"]) / (b / a)
+
+    rows = "\n".join(
+        f"| local[{c}] | {r['sec']:.2f} | {r['pages_per_sec']:.0f} |"
+        for c, r in results.items())
+    raw = " / ".join(f"`{json.dumps(r)}`" for r in results.values())
     md = f"""# BENCH/BASELINE — throughput + scaling evidence
 
-Flagship job: pages -> HTML geo-marker extraction (Arrow mapInPandas)
--> cell-encode -> broadcast spatial join vs 192 zone polygons ->
-res-9 tile aggregation -> res-5 rollup. Identical input, identical
-code path, two parallelism levels (sandbox stand-in for N vs 4N
-executors; see SURVEY.md §6).
+Flagship job: pages -> HTML geo-marker extraction (JVM
+regexp_extract_all, whole-stage codegen) -> cell-encode -> broadcast
+spatial join vs 192 zone polygons with codegen'd even-odd
+point-in-polygon refinement -> res-9 tile aggregation -> res-5
+rollup. Identical input and code path at every parallelism level
+(sandbox stand-in for N vs 4N executors; see SURVEY.md §6). Each
+level warms up with one full run (JIT + heap growth + page cache),
+then reports the best of {reps} timed runs.
 
 | config | wall sec (best of {reps}) | pages/sec |
 |---|---|---|
-| local[{n_lo}] | {lo['sec']:.2f} | {lo['pages_per_sec']:.0f} |
-| local[{n_hi}] | {hi['sec']:.2f} | {hi['pages_per_sec']:.0f} |
+{rows}
 
-- corpus: {lo['n_pages']} pages ({sf_dir})
-- speedup {n_lo}->{n_hi} cores: **{speedup:.2f}x** (ideal {n_hi // n_lo}x)
-- scaling efficiency: **{eff:.2f}** (north_rule target >= 0.8)
+- corpus: {results[n_lo]['n_pages']} pages ({sf_dir})
+- **N vs 4N (within physical cores): local[4] -> local[16] speedup
+  {results[4]['sec'] / results[16]['sec']:.2f}x, efficiency
+  {eff(4, 16):.2f}** (north_rule target >= 0.8)
+- supplementary local[{n_lo}] -> local[{n_hi}]: speedup
+  {results[n_lo]['sec'] / results[n_hi]['sec']:.2f}x, efficiency
+  {eff(n_lo, n_hi):.2f} — this pair crosses the host's physical-core
+  boundary (the box exposes 32 SMT threads on ~16 physical cores);
+  gains past 16 threads come from SMT sharing, not full cores — a
+  real cluster adds machines, which is what the 4->16 pair models
 
-Raw: `{json.dumps(lo)}` / `{json.dumps(hi)}`
+Raw: {raw}
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
