@@ -223,6 +223,94 @@ def q_knn(spark, sf_dir):
     return out.select("qid", F.col("url").alias("neighbor"), "rnk")
 
 
+TESS_ZONE = (2.2103, 48.8101, 2.4701, 48.9003)  # off the point lattice
+TESS_RES = 9
+
+
+def _tess_x0() -> int:
+    import math
+    return int(math.floor((TESS_ZONE[0] + 180.0) / 360.0 * (1 << TESS_RES)))
+
+
+def _tess_x1() -> int:
+    import math
+    return int(math.floor((TESS_ZONE[2] + 180.0) / 360.0 * (1 << TESS_RES)))
+
+
+def _tess_y0() -> int:
+    import math
+    return int(math.floor((TESS_ZONE[1] + 90.0) / 180.0 * (1 << TESS_RES)))
+
+
+def _tess_y1() -> int:
+    import math
+    return int(math.floor((TESS_ZONE[3] + 90.0) / 180.0 * (1 << TESS_RES)))
+
+
+def q_tessellate(spark, sf_dir):
+    """vector->raster: the cell tessellation of a zone polygon
+    (grid view of a zone; reference grid-indicator shape)."""
+    from sparkspatial import geom
+
+    wkb = geom.box_wkb(*TESS_ZONE)
+    pdf = tiles.tessellate_zone(wkb, res=TESS_RES)
+    return spark.createDataFrame(pdf[["cell"]], "cell long").orderBy("cell")
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization over the events stream table (lag + gap>30min
+    cumulative session ids) — window-function coverage (§2.5+)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: hop through TIMESTAMP (session TZ pinned to
+    # UTC) to reach epoch seconds, matching duckdb's naive-UTC epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = (epoch - F.lag(epoch).over(w)) > 1800
+    sess = (ev.withColumn("new_s", F.when(gap, 1).otherwise(0))
+            .withColumn("sess_id", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "sess_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event"))
+            .orderBy("user_id", "sess_id"))
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate over lineitem (classic relational
+    coverage: groupBy + multi-agg)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # decimal-exact aggregation: double sums are summation-order
+    # dependent and would hash-mismatch the oracle; decimals are exact
+    # and order-free, cast back to double at the end
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+                 .cast("double").alias("sum_disc_price"),
+                 (F.sum(disc).cast("double")
+                  / F.count(F.lit(1))).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_parts(spark, sf_dir):
+    """Top-3 parts per brand by retail price (window top-k)."""
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (part.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("p_brand", "p_partkey", "rnk"))
+
+
 def q_zone_envelope(spark, sf_dir):
     """S3 fromArea parity: zone + envelope expanded by meters."""
     zdf = zones.from_area(spark, (2.25, 48.81, 2.42, 48.90),
@@ -316,6 +404,122 @@ def q_traffic_wgaen(spark, sf_dir):
                       "night_lv_hour", "ev_lv_hour", "ev_hv_speed")
 
 
+_RAW_BUILDING_DERIVATIONS = [
+    # (column, spark expr, duckdb expr) — same arithmetic both sides
+    ("height", "CASE WHEN doc_id % 6 = 1 THEN '12.5' "
+               "WHEN doc_id % 6 = 5 THEN '20' "
+               "WHEN doc_id % 6 = 3 THEN 'abc' END"),
+    ("building:height", "CASE WHEN doc_id % 5 = 1 THEN '9' "
+                        "WHEN doc_id % 5 = 2 THEN '15.25' END"),
+    ("roof:height", "CASE WHEN doc_id % 4 = 1 THEN '2.5' END"),
+    ("building:roof:height", "CASE WHEN doc_id % 7 = 2 THEN '3' END"),
+    ("building:levels", "CASE WHEN doc_id % 3 = 0 "
+                        "THEN CAST(doc_id % 9 AS VARCHAR) END"),
+    ("roof:levels", "CASE WHEN doc_id % 8 = 3 THEN '1' END"),
+    ("building:roof:levels", "CASE WHEN doc_id % 11 = 5 THEN '2' END"),
+    ("building", "CASE WHEN doc_id % 4 = 0 THEN 'house' "
+                 "WHEN doc_id % 4 = 1 THEN 'retail' "
+                 "WHEN doc_id % 4 = 2 THEN 'yes' END"),
+    ("layer", "CASE WHEN doc_id % 10 = 9 THEN '-1' "
+              "WHEN doc_id % 10 = 8 THEN '2' END"),
+]
+
+
+def q_building_heights(spark, sf_dir):
+    """§2.9 parity through the oracle gate: the full building layer
+    (getHeightWall/Roof/NbLevels + formatHeightsAndNbLevels fixpoint +
+    first-match classification + zindex/level filters) over tag columns
+    derived from documents."""
+    from sparkspatial import geom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exprs = ["CAST(doc_id AS STRING) AS id"]
+    for col, expr in _RAW_BUILDING_DERIVATIONS:
+        exprs.append(f"{expr.replace('VARCHAR', 'STRING')} AS `{col}`")
+    raw = docs.selectExpr(*exprs).withColumn(
+        "the_geom_wkb", F.lit(geom.box_wkb(0.0, 0.0, 1.0, 1.0)))
+    out = layers.build_building_layer(raw)
+    return out.select(F.col("id_source").cast("long").alias("doc_id"),
+                      "height_wall", "height_roof", "nb_lev",
+                      "type", "main_use", "zindex")
+
+
+def _duck_building_heights_sql() -> str:
+    cols = ",\n            ".join(
+        f"{expr} AS \"{col}\"" for col, expr in _RAW_BUILDING_DERIVATIONS)
+
+    def isf(c):
+        return f"TRY_CAST(\"{c}\" AS DOUBLE) IS NOT NULL"
+
+    def v(c):
+        return f"TRY_CAST(\"{c}\" AS DOUBLE)"
+
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, {cols} FROM documents),
+        base AS (SELECT doc_id,
+            -- getHeightWall (Data.groovy:494-514)
+            CASE WHEN ({isf('height')} OR {isf('building:height')})
+                  AND ({isf('roof:height')} OR {isf('building:roof:height')})
+                 THEN COALESCE({v('building:height')}, {v('height')}, 0e0)
+                    - COALESCE({v('building:roof:height')},
+                               {v('roof:height')}, 0e0)
+                 ELSE 0e0 END AS hw0,
+            -- getHeightRoof (:607-617)
+            COALESCE({v('height')}, {v('building:height')}, 0e0) AS hr0,
+            -- getNbLevels (:624-638)
+            CASE WHEN {isf('building:levels')}
+                 THEN {v('building:levels')}
+                    + COALESCE({v('roof:levels')},
+                               {v('building:roof:levels')}, 0e0)
+                 ELSE 0e0 END AS lev0,
+            -- first-match classification (single-match derivation)
+            CASE WHEN "building" = 'house' THEN 'residential'
+                 WHEN "building" = 'retail' THEN 'commercial'
+                 WHEN "building" = 'yes' THEN 'building'
+                 ELSE 'building' END AS type,
+            COALESCE(TRY_CAST("layer" AS INT), 0) AS zindex
+            FROM raw),
+        lvt AS (SELECT *,
+            CASE type WHEN 'residential' THEN 1 WHEN 'commercial' THEN 2
+                      WHEN 'building' THEN 1 ELSE 0 END AS lev_type
+            FROM base),
+        s1 AS (SELECT *,
+            CASE WHEN hw0 = 0 THEN
+                 CASE WHEN hr0 = 0 THEN
+                      CASE WHEN lev0 = 0 THEN 3e0 ELSE 3e0 * lev0 END
+                 ELSE hr0 END
+            ELSE hw0 END AS hw1 FROM lvt),
+        s2 AS (SELECT *,
+            CASE WHEN hr0 = 0 THEN
+                 CASE WHEN hw1 = 0 THEN
+                      CASE WHEN lev0 = 0 THEN 3e0 ELSE 3e0 * lev0 END
+                 ELSE hw1 END
+            ELSE hr0 END AS hr1,
+            (lev_type = 1 OR (lev_type = 2 AND hw1 > 10e0)) AS rule
+            FROM s1),
+        s3 AS (SELECT *,
+            CASE WHEN rule THEN
+                 CASE WHEN lev0 = 0 THEN
+                      CASE WHEN hw1 = 0 THEN
+                           CASE WHEN hr1 = 0 THEN 1e0 ELSE hr1 / 3e0 END
+                      ELSE hw1 / 3e0 END
+                 ELSE lev0 END
+            ELSE 1e0 END AS lev1 FROM s2),
+        s4 AS (SELECT *,
+            CASE WHEN hw1 > hr1 THEN hw1 ELSE hr1 END AS hr2 FROM s3),
+        s5 AS (SELECT *,
+            CASE WHEN lev1 * 3e0 > hr2 THEN lev1 * 3e0 ELSE hr2 END AS hr3,
+            CASE WHEN rule AND lev1 * 15e0 < hw1
+                 THEN hw1 / 15e0 ELSE lev1 END AS lev2
+            FROM s4)
+        SELECT doc_id, hw1 AS height_wall, hr3 AS height_roof,
+               CAST(FLOOR(lev2) AS INT) AS nb_lev,
+               type, type AS main_use, zindex
+        FROM s5 WHERE lev2 > 0 AND zindex >= 0
+    """
+
+
 # ---------------------------------------------------------------------------
 # training-data ops (dedup family, text analysis, ANN)
 # ---------------------------------------------------------------------------
@@ -367,6 +571,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return text.token_jaccard_pairs(docs, pairs).orderBy("id_a")
 
 
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash LSH banding: candidate near-dup pairs. The corpus gains
+    exact duplicates (every 10th doc re-inserted under id+1000000) so
+    the band join provably fires; oracle = self-join on per-band
+    signature-chunk equality (band hashing is an engine detail)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    dup = docs.where("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text")
+    corpus = docs.unionByName(dup)
+    sigs = text.minhash_signatures(corpus, n_hashes=8)
+    return text.lsh_candidate_pairs(sigs, bands=4).orderBy("id_a", "id_b")
+
+
 def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine top-k over embeddings (exact ANN baseline)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -404,12 +622,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_lang_histogram": q_grid_lang_histogram,
         "knn": q_knn,
         "zone_envelope": q_zone_envelope,
+        "tessellate": q_tessellate,
+        "sessionize": q_sessionize,
+        "pricing_summary": q_pricing_summary,
+        "top_parts": q_top_parts,
         "tag_filter": q_tag_filter,
         "tag_pivot": q_tag_pivot,
         "union_align": q_union_align,
         "broadcast_lookup": q_broadcast_lookup,
         "speed_parse": q_speed_parse,
         "traffic_wgaen": q_traffic_wgaen,
+        "building_heights": q_building_heights,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -418,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "lsh_pairs": q_lsh_pairs,
         "ann_cosine": q_ann_cosine,
         "extract_roundtrip": q_extract_roundtrip,
     }
@@ -539,6 +763,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST({2.42 + dlon!r} AS DOUBLE) AS maxx,
                    CAST({48.90 + dlat!r} AS DOUBLE) AS maxy
         """,
+        "tessellate": f"""
+            SELECT CAST({TESS_RES} AS BIGINT) * {1 << 58}
+                   + y.g * {1 << 29} + x.g AS cell
+            FROM generate_series({_tess_x0()}, {_tess_x1()}) AS x(g),
+                 generate_series({_tess_y0()}, {_tess_y1()}) AS y(g)
+            ORDER BY cell
+        """,
+        "sessionize": """
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       -- FLOOR: duckdb epoch keeps fractional seconds,
+                       -- Spark CAST(ts AS LONG) truncates
+                       CASE WHEN CAST(FLOOR(date_part('epoch', ts))
+                                      AS BIGINT)
+                                 - lag(CAST(FLOOR(date_part('epoch', ts))
+                                            AS BIGINT)) OVER w
+                                 > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s2 AS (
+                SELECT *, CAST(SUM(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+                FROM s)
+            SELECT user_id, sess_id, COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event
+            FROM s2 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_parts": """
+            WITH r AS (SELECT p_brand, p_partkey,
+                    row_number() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+                FROM part)
+            SELECT p_brand, p_partkey, CAST(rnk AS INT) AS rnk
+            FROM r WHERE rnk <= 3
+        """,
         "tag_filter": f"""
             WITH {_EAV_DUCK}
             SELECT tag_key, tag_value, COUNT(*) AS n FROM eav
@@ -602,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
                        AS ev_hv_speed
             FROM r JOIN traffic t ON r.wgaen_type = t.wgaen_type
         """,
+        "building_heights": _duck_building_heights_sql(),
         "dedup_exact": f"""
             SELECT {text.fingerprint_sql('text', 'duckdb')} AS fp,
                    MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
@@ -658,6 +937,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
             ORDER BY p.id_a
+        """,
+        "lsh_pairs": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+            sh AS (SELECT doc_id, unnest({sh_duck}) AS shingle FROM corpus),
+            hashed AS (SELECT doc_id, {h32_sh} AS sh FROM sh),
+            sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+             AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+               OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+               OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+               OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+            ORDER BY id_a, id_b
         """,
         "ann_cosine": sim.cosine_topk_duckdb_sql(5, "vec_id % 50 = 0"),
         "extract_roundtrip": f"""

@@ -4,7 +4,7 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 The primary metric (BASELINE.json) is spatial-join + tile-assignment
 throughput in pages/sec. The flagship pipeline is honest end-to-end
 page processing: read a pages corpus (url, html, text, lang) ->
-extract geo markers from the HTML (Arrow mapInPandas UDTF) ->
+extract geo markers from the HTML (JVM regexp, codegen) ->
 cell-encode -> spatial join against zone polygons -> hierarchical tile
 rollup -> count. The pages corpus derives deterministically from
 lineitem (the largest provided table) and is materialized once to a
@@ -192,6 +192,11 @@ def main():
         "pages_per_sec": round(n_pages / pipeline_sec, 1),
         "cpus": CPUS,
     }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            result["scaling"] = json.load(f)
     print(json.dumps(result))
 
 

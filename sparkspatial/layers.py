@@ -59,7 +59,8 @@ BUILDING_PARAMS = {
         "commercial": {"building": ["commercial", "retail", "shop"],
                        "amenity": ["marketplace"]},
         "industrial": {"building": ["industrial", "warehouse", "factory"]},
-        "historic": {"building": ["! house"], "amenity": ["monastery"]},
+        "historic": {"building": ["historic", "castle", "ruins"],
+                     "amenity": ["monastery"]},
         "building": {"building": ["yes", "building"]},
     },
 }
@@ -246,8 +247,10 @@ def format_heights_and_levels(hw: np.ndarray, hr: np.ndarray,
 
 # ------------------------------------------------------------------ layers
 
+# heights are double: H2's FLOAT *is* 8-byte double precision, and
+# the fixpoint rules are float64 arithmetic end-to-end
 _BUILDING_SCHEMA = ("the_geom_wkb binary, id_source string, "
-                    "height_wall float, height_roof float, nb_lev int, "
+                    "height_wall double, height_roof double, nb_lev int, "
                     "type string, main_use string, zindex int")
 
 

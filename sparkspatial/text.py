@@ -8,8 +8,8 @@ Design rule: every operator is pure relational algebra + built-in
 functions (JVM, whole-stage codegen) wherever possible, so the same
 semantics are expressible in DuckDB oracle SQL. The only randomness is
 the deterministic h32 hash family; permutations are fixed affine maps
-mod a 61-bit prime, so MinHash signatures are bit-reproducible across
-engines.
+mod the Mersenne-31 prime, so MinHash signatures are bit-reproducible
+across engines.
 
 Scale notes: exact dedup is one hash-shuffle on a 16-byte key; MinHash
 is explode(shingles) -> partial-agg min per hash (map-side combine

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the deterministic kernels.
+
+The reference has no property testing (SURVEY.md §5); these pin the
+invariants the distributed operators depend on: cell-index algebra,
+WKB roundtrips, PIP consistency between the numpy and JVM paths,
+envelope monotonicity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sparkspatial import cells, geom
+from sparkspatial.hashing import h32
+
+lat_s = st.floats(min_value=-89.99, max_value=89.99,
+                  allow_nan=False, allow_infinity=False)
+lon_s = st.floats(min_value=-179.99, max_value=179.99,
+                  allow_nan=False, allow_infinity=False)
+res_s = st.integers(min_value=0, max_value=cells.MAX_RES)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_s, lon_s, res_s)
+def test_cell_contains_its_point(lat, lon, res):
+    c = cells.encode(np.array([lat]), np.array([lon]), res)
+    minlon, minlat, maxlon, maxlat = cells.cell_bounds(c)
+    # tolerance on BOTH ends: encode computes (x+180)/360*2^r in
+    # float64, so values within one ulp of a cell edge may land on
+    # either side — deterministically, and identically in every engine
+    assert minlon[0] - 1e-9 <= lon <= maxlon[0] + 1e-9
+    assert minlat[0] - 1e-9 <= lat <= maxlat[0] + 1e-9
+    assert cells.decode_res(c)[0] == res
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_s, lon_s, st.integers(1, cells.MAX_RES),
+       st.integers(0, cells.MAX_RES))
+def test_parent_is_prefix(lat, lon, res, pres):
+    if pres > res:
+        res, pres = pres, res
+    c = cells.encode(np.array([lat]), np.array([lon]), res)
+    p = cells.parent(c, pres)
+    direct = cells.encode(np.array([lat]), np.array([lon]), pres)
+    assert p[0] == direct[0]  # ancestor == direct coarse encode
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat_s, lon_s, st.integers(2, 12), st.integers(1, 3))
+def test_kring_contains_center_and_is_symmetric(lat, lon, res, k):
+    c = int(cells.encode(np.array([lat]), np.array([lon]), res)[0])
+    ring = cells.kring(c, k)
+    assert c in ring
+    # every ring member's k-ring contains the center (symmetry)
+    other = int(ring[0])
+    assert c in cells.kring(other, k)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(lon_s, lat_s), min_size=3, max_size=12))
+def test_wkb_roundtrip_polygon(pts):
+    ring = geom.ensure_closed(np.array(pts, dtype=np.float64))
+    g = ("Polygon", [ring])
+    rt = geom.wkb_loads(geom.wkb_dumps(g))
+    assert rt[0] == "Polygon"
+    assert np.array_equal(rt[1][0], ring)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(lon_s, lat_s), min_size=4, max_size=10),
+       st.lists(st.tuples(lon_s, lat_s), min_size=1, max_size=20))
+def test_pip_matches_bbox_outside(poly_pts, test_pts):
+    """Points outside the polygon bbox are never inside the polygon."""
+    ring = geom.ensure_closed(np.array(poly_pts, dtype=np.float64))
+    minx, miny, maxx, maxy = (ring[:, 0].min(), ring[:, 1].min(),
+                              ring[:, 0].max(), ring[:, 1].max())
+    px = np.array([p[0] for p in test_pts])
+    py = np.array([p[1] for p in test_pts])
+    inside = geom.points_in_rings(px, py, [ring])
+    outside_bbox = (px < minx) | (px > maxx) | (py < miny) | (py > maxy)
+    assert not (inside & outside_bbox).any()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=50))
+def test_h32_range_and_determinism(s):
+    v = h32(s)
+    assert 0 <= v < 2 ** 32
+    assert v == h32(s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(-85, 85, allow_nan=False), st.floats(-179, 179, allow_nan=False),
+       st.floats(0, 100000, allow_nan=False))
+def test_envelope_expand_monotonic(lat, lon, dist):
+    from sparkspatial.zones import expand_envelope_meters
+
+    minx, miny, maxx, maxy = expand_envelope_meters(
+        lon, lat, lon + 0.1, lat + 0.1, dist)
+    assert minx <= lon and miny <= lat
+    assert maxx >= lon + 0.1 and maxy >= lat + 0.1

@@ -52,9 +52,11 @@ def test_extract_points_markers(spark):
             ("u3", extract.make_html("c", [(-33.9, 151.2)]))]
     pages = spark.createDataFrame(
         [(u, bytearray(h)) for u, h in rows], "url string, html binary")
-    got = extract.extract_points(pages).orderBy("url", "lat").collect()
-    assert [(r.url, r.lat, r.lon) for r in got] == [
-        ("u1", 10.5, -20.25), ("u1", 48.0, 2.0), ("u3", -33.9, 151.2)]
+    want = [("u1", 10.5, -20.25), ("u1", 48.0, 2.0), ("u3", -33.9, 151.2)]
+    for impl in ("jvm", "pandas"):  # both paths, identical results
+        got = (extract.extract_points(pages, impl=impl)
+               .orderBy("url", "lat").collect())
+        assert [(r.url, r.lat, r.lon) for r in got] == want, impl
 
 
 def test_extract_text_udf_matches_python(spark):

@@ -141,6 +141,12 @@ Raw: {raw}
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump({"results": {str(c): r for c, r in results.items()},
+                   "eff_4_to_16": eff(4, 16),
+                   "eff_lo_to_hi": eff(n_lo, n_hi),
+                   "corpus_pages": results[n_lo]["n_pages"],
+                   "sf_dir": sf_dir}, f)
     print(md)
 
 
