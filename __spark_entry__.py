@@ -689,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
 
     mh_aggs = ", ".join(text.minhash_sql_exprs(8, "sh"))
     sh_duck = text.shingles_sql("text", 3, "duckdb")
+    shh_duck = text.shingle_hashes_duckdb_sql("text", 3)
     h32_sh = h32_duckdb_sql("shingle")
 
     haversine = """
@@ -905,9 +906,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash": f"""
-            WITH sh AS (
-                SELECT doc_id, unnest({sh_duck}) AS shingle FROM documents),
-            hashed AS (SELECT doc_id, {h32_sh} AS sh FROM sh)
+            WITH hashed AS (
+                SELECT doc_id, unnest({shh_duck}) AS sh FROM documents)
             SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id
             ORDER BY doc_id
         """,
@@ -944,8 +944,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id + 1000000 AS doc_id, text FROM documents
                 WHERE doc_id % 10 = 0),
-            sh AS (SELECT doc_id, unnest({sh_duck}) AS shingle FROM corpus),
-            hashed AS (SELECT doc_id, {h32_sh} AS sh FROM sh),
+            hashed AS (SELECT doc_id, unnest({shh_duck}) AS sh FROM corpus),
             sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id

@@ -78,9 +78,12 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
 
         w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(),
                                               F.col(point_id).asc())
+        # persist: the certification aggregate AND the per-round result
+        # both consume topk — unpersisted it would re-scan the corpus
         topk = (cand.withColumn("rnk", F.row_number().over(w))
                     .where(F.col("rnk") <= k)
-                    .select("qid", "qlat", "qlon", point_id, "dist_m", "rnk"))
+                    .select("qid", "qlat", "qlon", point_id, "dist_m", "rnk")
+                    .persist())
 
         got = topk.groupBy("qid", "qlat", "qlon").agg(
             F.count(F.lit(1)).alias("n"), F.max("dist_m").alias("dmax")).toPandas()
@@ -103,10 +106,15 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
             results.append(done_df.select("qid", point_id, "dist_m", "rnk"))
         remaining = remaining[~remaining["qid"].isin(ok_ids)].reset_index(drop=True)
         if len(remaining) > 0 and ring >= max_ring:
-            # fewer than k points (or max ring hit): accept what exists
-            rest = topk.join(
-                spark.createDataFrame(remaining[["qid"]]), "qid", "left_semi")
-            results.append(rest.select("qid", point_id, "dist_m", "rnk"))
+            # ring expansion exhausted (queries far from all data, or
+            # fewer than k points exist): exact brute-force for the
+            # remaining handful of queries — still bounded, since only
+            # uncertified queries reach this branch
+            rest_q = spark.createDataFrame(
+                remaining, "qid string, qlat double, qlon double")
+            results.append(knn_bruteforce(points, rest_q, k,
+                                          point_id=point_id,
+                                          lat_col=lat_col, lon_col=lon_col))
             break
         ring *= 2
 

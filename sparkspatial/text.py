@@ -148,6 +148,39 @@ def shingles_sql(col: str, k: int, dialect: str = "spark") -> str:
             f"i -> {join}) FROM (SELECT {toks} AS __t)) END")
 
 
+# rolling-combination constants for token-based shingle hashing:
+# shingle_hash(t1..tk) = sum_j h32(t_j) * B^(k-j) mod M31 — one md5
+# per TOKEN (not per concatenated shingle), combined with exact
+# integer arithmetic that both engines reproduce.
+SHINGLE_B = 1000003
+
+
+# NOTE: an array-based Spark formulation (transform over token-hash
+# arrays + element_at windows) was removed: projection collapse inlines
+# the token-hash array into every element_at, re-evaluating O(tokens)
+# md5 calls per SHINGLE (O(tokens^2) per doc, measured 46s vs 8s cold
+# at sf0.1). The window-lead formulation in minhash_signatures hashes
+# each token exactly once.
+
+
+def shingle_hashes_duckdb_sql(col: str, k: int) -> str:
+    """DuckDB expr mirroring the Spark pair above (correlated scalar
+    subquery binds the token-hash list once per row)."""
+    norm = norm_text_sql(col, "duckdb")
+    coefs = [pow(SHINGLE_B, k - 1 - j, MERSENNE31) for j in range(k)]
+    h = h32_duckdb_sql("t")
+    toks = (f"list_transform(string_split({norm}, ' '), "
+            f"t -> ({h}) % {MERSENNE31})")
+    terms = " + ".join(
+        f"(__th[i + {j}] * {coefs[j]}) % {MERSENNE31}" for j in range(k))
+    whole = f"({h32_duckdb_sql(norm)}) % {MERSENNE31}"
+    return (f"CASE WHEN len(string_split({norm}, ' ')) < {k} "
+            f"THEN [{whole}] ELSE "
+            f"(SELECT list_transform(generate_series(1, len(__th) - {k - 1}), "
+            f"i -> ({terms}) % {MERSENNE31}) "
+            f"FROM (SELECT {toks} AS __th)) END")
+
+
 def minhash_sql_exprs(n_hashes: int, hash_col: str = "sh") -> list[str]:
     """Aggregate expressions MIN((a*h+b) % p) per permutation, over an
     exploded shingle-hash column. Same text both dialects."""
@@ -163,15 +196,41 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        shingle_k: int = 3) -> DataFrame:
     """(id, mh0..mhN) MinHash signature matrix.
 
-    explode(shingles) -> h32 -> groupBy(id) with N partial-agg mins:
+    Token-level md5 hashing + rolling shingle combination (one hash
+    per token instead of per concatenated shingle), then
+    explode(shingle hashes) -> groupBy(id) with N partial-agg mins:
     the explode never shuffles (map-side combine collapses it before
     the exchange on id).
     """
-    sh = F.explode(F.expr(shingles_sql(text_col, shingle_k))).alias("shingle")
-    exploded = (docs.select(F.col(id_col), sh)
-                .select(id_col,
-                        F.expr(h32_spark_sql("shingle")).alias("sh"))
-                .dropDuplicates([id_col, "sh"]))
+    norm = norm_text_sql(text_col, "spark")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
+        F.size(F.split(F.expr(norm), " ")).alias("ntok"))
+    th = toks.select(
+        id_col, "pos", "ntok",
+        (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
+    # rolling k-shingle hash via window leads — each token hashes once
+    # (an array formulation re-evaluates the token-hash array per
+    # shingle after projection collapse: O(tokens^2) md5 per doc)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
+             for j in range(shingle_k)]
+    parts = [(F.lead("th", j).over(w) if j else F.col("th"))
+             * F.lit(coefs[j]) % MERSENNE31
+             for j in range(shingle_k)]
+    sh_expr = parts[0]
+    for p in parts[1:]:
+        sh_expr = sh_expr + p
+    long_docs = (th.where(F.col("ntok") >= shingle_k)
+                 .select(id_col, (sh_expr % MERSENNE31).alias("sh"))
+                 .where(F.col("sh").isNotNull()))
+    short_docs = (docs
+                  .where(F.expr(f"size(split({norm}, ' '))") < shingle_k)
+                  .select(F.col(id_col),
+                          (F.expr(h32_spark_sql(norm)) % MERSENNE31)
+                          .alias("sh")))
+    exploded = long_docs.unionByName(short_docs)
     aggs = [F.expr(e) for e in minhash_sql_exprs(n_hashes)]
     return exploded.groupBy(id_col).agg(*aggs)
 

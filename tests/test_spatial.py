@@ -204,6 +204,20 @@ def test_knn_matches_bruteforce(spark, points_df):
     assert g == w
 
 
+def test_knn_query_far_from_all_points(spark):
+    """Ring expansion exhausts without reaching distant data -> the
+    brute-force fallback must still return the true neighbors
+    (regression: used to return empty)."""
+    pts = spark.createDataFrame(
+        [("p1", 50.0, 50.0), ("p2", 51.0, 51.0)],
+        "url string, lat double, lon double")
+    q = spark.createDataFrame([("q", -50.0, -120.0)],
+                              "qid string, qlat double, qlon double")
+    got = knn_join(pts, q, k=2, res=8, max_ring=8)
+    assert [(r.url, r.rnk) for r in got.orderBy("rnk").collect()] == [
+        ("p1", 1), ("p2", 2)]
+
+
 def test_knn_fewer_than_k(spark):
     pts = spark.createDataFrame(
         [("a", 0.0, 0.0), ("b", 0.1, 0.1)], "url string, lat double, lon double")
