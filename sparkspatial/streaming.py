@@ -50,6 +50,27 @@ def streaming_grid_counts(pages: DataFrame, res: int = 8,
                     "page_count", "approx_domains"))
 
 
+def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming sessionization via the built-in
+    `session_window` (watermarked, merging state managed by Spark).
+
+    Spark-first choice: the native session window beats a hand-rolled
+    stateful operator for gap-based sessions (custom state in Spark 4
+    would use transformWithStateInPandas; the older
+    applyInPandasWithState path is deprecated there — and hangs in
+    this build). Emits one row per closed session.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.col("user_id"),
+                     F.session_window("ts", f"{gap_seconds} seconds"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    "n_events"))
+
+
 def run_to_memory(stream_df: DataFrame, name: str = "stream_out"):
     """Drive a bounded stream to completion into an in-memory sink
     (test/smoke harness)."""

@@ -41,6 +41,51 @@ def test_queries_have_oracles_and_run(spark, sf_dir):
         assert a == b, name
 
 
+def test_streaming_sessionize(spark, tmp_path, sf_dir):
+    """session_window streaming sessionization: every emitted (closed)
+    session must exactly match a batch window-lag session; append mode
+    keeps trailing sessions open, so emitted is a strict subset."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "events_stream")
+    ev.repartition(8).write.mode("overwrite").parquet(path)
+
+    # one micro-batch for all files: parquet listing order is not
+    # time-ordered, so per-file triggers would drop "late" events at
+    # the watermark and fragment sessions; the trailing no-data batch
+    # then advances the watermark and flushes closed sessions
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(path))
+    agg = streaming.streaming_sessionize(stream, gap_seconds=1800,
+                                         watermark="1 second")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("t_sessions").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, int(r.session_start.timestamp())): r.n_events
+           for r in spark.sql("SELECT * FROM t_sessions").collect()}
+
+    # batch truth: sessions per user (window lag + cumsum)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("long")
+    batch = (ev.withColumn("new_s", F.when(
+        epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0))
+        .withColumn("sess", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess")
+        .agg(F.min(epoch).alias("session_start"),
+             F.count(F.lit(1)).alias("n_events")))
+    want = {(r.user_id, r.session_start): r.n_events
+            for r in batch.collect()}
+    assert len(got) > 0
+    # every emitted session matches the batch truth exactly
+    for key, n in got.items():
+        assert want.get(key) == n, key
+    # and most sessions closed by end of stream
+    assert len(got) >= len(want) * 0.5
+
+
 def test_streaming_grid_counts(spark, tmp_path):
     pages = fixtures.synthetic_pages(spark, n=400, n_domains=20)
     path = str(tmp_path / "pages_stream")
