@@ -22,4 +22,4 @@ Pure Python, `spark-submit --py-files`-shippable: no JARs, no native
 wheels beyond numpy/pandas/pyarrow (all standard on Spark clusters).
 """
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"  # round 1
