@@ -133,6 +133,22 @@ def test_cosine_topk_matches_duckdb(emb, duck):
     assert g == w
 
 
+def test_ivf_topk_recall_and_exactness(emb):
+    queries = emb.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = {(r.qid, r.vec_id) for r in
+             sim.cosine_topk(emb, queries, k=5).collect()}
+    # probing ALL clusters must reproduce the exact result
+    full = sim.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8)
+    f = {(r.qid, r.vec_id) for r in full.collect()}
+    assert f == exact
+    # partial probing trades recall for touched fraction
+    approx = sim.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3)
+    a = {(r.qid, r.vec_id) for r in approx.collect()}
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.5, recall
+
+
 def test_lsh_topk_recall(emb):
     queries = emb.where("vec_id % 100 = 0").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
