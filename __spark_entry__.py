@@ -214,6 +214,38 @@ def q_grid_lang_histogram(spark, sf_dir):
                  F.countDistinct("domain").alias("n_domains")))
 
 
+def q_zone_grid_indicators(spark, sf_dir):
+    """The reference's grid-indicator shape: spatial join then per
+    (zone, cell) rollup — zones x grid two-level aggregation."""
+    pts = _points(spark, sf_dir)
+    zdf = _zones_df(spark)
+    matched = join.spatial_join(pts, zdf, how="inner", broadcast=True)
+    g = tiles.assign_cells(matched, res=6)
+    return (g.groupBy("zone_id", "cell")
+            .agg(F.count(F.lit(1)).alias("page_count"),
+                 F.countDistinct("domain").alias("n_domains"))
+            .orderBy("zone_id", "cell"))
+
+
+def q_cube_counts(spark, sf_dir):
+    """CUBE grouping-sets aggregate (relational breadth)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact percentiles per group (linear interpolation — matches
+    DuckDB quantile_cont bit-for-bit)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_extendedprice, 25e-2)").alias("p25"),
+                 F.expr("percentile(l_extendedprice, 5e-1)").alias("p50"),
+                 F.expr("percentile(l_extendedprice, 75e-2)").alias("p75"))
+            .orderBy("l_returnflag"))
+
+
 def q_knn(spark, sf_dir):
     """kNN via k-ring expansion + certified re-rank (north_rule op)."""
     pts = _points(spark, sf_dir)
@@ -585,6 +617,25 @@ def q_lsh_pairs(spark, sf_dir):
     return text.lsh_candidate_pairs(sigs, bands=4).orderBy("id_a", "id_b")
 
 
+def q_near_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dup removal: MinHash -> LSH candidates -> exact
+    shingle-Jaccard verification (>= 0.8) -> drop the higher id of
+    each verified pair -> surviving corpus. The complete
+    training-data dedup pipeline in one plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    dup = docs.where("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text")
+    corpus = docs.unionByName(dup)
+    sigs = text.minhash_signatures(corpus, n_hashes=8)
+    pairs = text.lsh_candidate_pairs(sigs, bands=4)
+    verified = (text.token_jaccard_pairs(corpus, pairs)
+                .where(F.col("jaccard") >= 0.8))
+    losers = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    return (corpus.join(losers, "doc_id", "left_anti")
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine top-k over embeddings (exact ANN baseline)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -620,6 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_counts": q_grid_counts,
         "grid_rollup": q_grid_rollup,
         "grid_lang_histogram": q_grid_lang_histogram,
+        "zone_grid_indicators": q_zone_grid_indicators,
+        "cube_counts": q_cube_counts,
+        "quantiles": q_quantiles,
         "knn": q_knn,
         "zone_envelope": q_zone_envelope,
         "tessellate": q_tessellate,
@@ -642,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_pairs": q_lsh_pairs,
+        "near_dedup_survivors": q_near_dedup_survivors,
         "ann_cosine": q_ann_cosine,
         "extract_roundtrip": q_extract_roundtrip,
     }
@@ -740,6 +795,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT {cell6} AS cell, lang, COUNT(*) AS n,
                    COUNT(DISTINCT domain) AS n_domains
             FROM pts GROUP BY 1, 2
+        """,
+        "zone_grid_indicators": f"""
+            WITH {pts}, {zon}
+            SELECT z.zone_id, {cell6} AS cell,
+                   COUNT(*) AS page_count,
+                   COUNT(DISTINCT p.domain) AS n_domains
+            FROM pts p JOIN zon z ON {join_on}
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cube_counts": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY 1, 2
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 25e-2) AS p25,
+                   quantile_cont(l_extendedprice, 5e-1) AS p50,
+                   quantile_cont(l_extendedprice, 75e-2) AS p75
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "knn": f"""
             WITH {pts}, q AS (
@@ -953,6 +1029,42 @@ def oracle_sql() -> dict[str, str]:
                OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
                OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
             ORDER BY id_a, id_b
+        """,
+        "near_dedup_survivors": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+            hashed AS (SELECT doc_id, unnest({shh_duck}) AS sh FROM corpus),
+            sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+                 AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+                   OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+                   OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+                   OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
+            shing AS (
+                SELECT DISTINCT doc_id, unnest({sh_duck}) AS shingle
+                FROM corpus),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY 1),
+            inter AS (
+                SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+                FROM pairs p
+                JOIN shing a ON a.doc_id = p.id_a
+                JOIN shing b ON b.doc_id = p.id_b
+                            AND a.shingle = b.shingle
+                GROUP BY 1, 2),
+            verified AS (
+                SELECT p.id_b FROM pairs p
+                JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+                JOIN sizes sa ON sa.doc_id = p.id_a
+                JOIN sizes sb ON sb.doc_id = p.id_b
+                WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 8e-1)
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (SELECT id_b FROM verified)
+            ORDER BY doc_id
         """,
         "ann_cosine": sim.cosine_topk_duckdb_sql(5, "vec_id % 50 = 0"),
         "extract_roundtrip": f"""
