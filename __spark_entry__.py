@@ -343,6 +343,16 @@ def q_top_parts(spark, sf_dir):
             .select("p_brand", "p_partkey", "rnk"))
 
 
+def q_range_join(spark, sf_dir):
+    """Within-radius range join (buffer overlay): pages within 250 km
+    of each query page."""
+    pts = _points(spark, sf_dir)
+    queries = (pts.where("doc_id % 97 = 0")
+               .selectExpr("url AS qid", "lat AS qlat", "lon AS qlon"))
+    out = knn.range_join(pts, queries, radius_m=250_000.0, res=8)
+    return out.select("qid", F.col("url").alias("neighbor"))
+
+
 def q_zone_envelope(spark, sf_dir):
     """S3 fromArea parity: zone + envelope expanded by meters."""
     zdf = zones.from_area(spark, (2.25, 48.81, 2.42, 48.90),
@@ -675,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "quantiles": q_quantiles,
         "knn": q_knn,
+        "range_join": q_range_join,
         "zone_envelope": q_zone_envelope,
         "tessellate": q_tessellate,
         "sessionize": q_sessionize,
@@ -832,6 +843,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT qid, neighbor, CAST(rnk AS INT) AS rnk
             FROM ranked WHERE rnk <= 5
+        """,
+        "range_join": f"""
+            WITH {pts}, q AS (
+                SELECT url AS qid, lat AS qlat, lon AS qlon
+                FROM pts WHERE doc_id % 97 = 0)
+            SELECT q.qid, p.url AS neighbor
+            FROM q, pts p
+            WHERE {haversine} <= 250000e0
         """,
         "zone_envelope": f"""
             SELECT 'paris' AS zone_id,

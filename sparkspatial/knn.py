@@ -127,6 +127,67 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
     return out
 
 
+def haversine_col(lat1, lon1, lat2, lon2):
+    """Haversine meters as a Column expression (shared by kNN/range)."""
+    return 2.0 * F.lit(geom.EARTH_RADIUS_M) * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)))
+
+
+def range_join(points: DataFrame, queries: DataFrame, radius_m: float, *,
+               res: int = 10, point_id: str = "url",
+               lat_col: str = "lat", lon_col: str = "lon",
+               qid_col: str = "qid", qlat_col: str = "qlat",
+               qlon_col: str = "qlon") -> DataFrame:
+    """Within-radius join: all (query, point) pairs with haversine
+    distance <= radius_m (the buffer/overlay range query; a range
+    join the reference lacks — SURVEY.md §2.3 note).
+
+    Each query's circle bbox explodes into covering cells (conservative
+    lat/lon padding); points equi-join on cell; the exact haversine
+    predicate filters JVM-side. No driver loop, no Python.
+    """
+    import pandas as pd
+
+    spark = points.sparkSession
+    q_pdf = (queries.select(F.col(qid_col).cast("string").alias("qid"),
+                            F.col(qlat_col).alias("qlat"),
+                            F.col(qlon_col).alias("qlon")).toPandas())
+    if len(q_pdf) == 0:
+        return spark.createDataFrame(
+            [], f"qid string, {point_id} string, dist_m double")
+    qlat = q_pdf["qlat"].to_numpy(np.float64)
+    qlon = q_pdf["qlon"].to_numpy(np.float64)
+    dlat = radius_m / MIN_M_PER_DEG_LAT
+    coslat = np.cos(np.radians(np.minimum(np.abs(qlat) + dlat, 89.9)))
+    dlon = radius_m / (110_567.0 * np.maximum(coslat, 1e-9))
+
+    # one resolution for BOTH sides (cell equality is the join key):
+    # coarsen until the widest circle bbox covers <= 256 cells
+    while res > 0:
+        nx = 2.0 * dlon.max() / (360.0 / (1 << res)) + 2
+        ny = 2.0 * dlat / (180.0 / (1 << res)) + 2
+        if nx * ny <= 256:
+            break
+        res -= 1
+    pts = points.withColumn("cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
+    idx, cell = cells.covering_cells_many(
+        qlon - dlon, qlat - dlat, qlon + dlon, qlat + dlat, res,
+        max_cells_per_box=10 ** 9)
+    ring_df = spark.createDataFrame(
+        pd.DataFrame({"qid": q_pdf["qid"].to_numpy()[idx],
+                      "qlat": qlat[idx], "qlon": qlon[idx], "cell": cell}),
+        "qid string, qlat double, qlon double, cell long")
+
+    cand = pts.join(F.broadcast(ring_df), on="cell", how="inner")
+    dist = haversine_col(F.col("qlat"), F.col("qlon"),
+                         F.col(lat_col), F.col(lon_col))
+    return (cand.withColumn("dist_m", dist)
+            .where(F.col("dist_m") <= radius_m)
+            .select("qid", point_id, "dist_m"))
+
+
 def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int, *,
                    point_id: str = "url", lat_col: str = "lat",
                    lon_col: str = "lon", qid_col: str = "qid",

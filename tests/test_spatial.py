@@ -218,6 +218,28 @@ def test_knn_query_far_from_all_points(spark):
         ("p1", 1), ("p2", 2)]
 
 
+def test_range_join_matches_bruteforce(spark, points_df):
+    from sparkspatial.knn import range_join
+    from sparkspatial.geom import haversine_deg
+    import pandas as pd
+
+    queries = spark.createDataFrame(
+        [("q0", 40.5, -74.0), ("q1", -30.0, 100.0)],
+        "qid string, qlat double, qlon double")
+    got = {(r.qid, r.url) for r in
+           range_join(points_df, queries, radius_m=300_000.0, res=9)
+           .collect()}
+    ppdf = points_df.toPandas()
+    want = set()
+    for qid, qlat, qlon in [("q0", 40.5, -74.0), ("q1", -30.0, 100.0)]:
+        d = haversine_deg(np.full(len(ppdf), qlat), np.full(len(ppdf), qlon),
+                          ppdf["lat"].to_numpy(), ppdf["lon"].to_numpy())
+        for u in ppdf.loc[d <= 300_000.0, "url"]:
+            want.add((qid, u))
+    assert got == want
+    assert len(got) > 0
+
+
 def test_knn_fewer_than_k(spark):
     pts = spark.createDataFrame(
         [("a", 0.0, 0.0), ("b", 0.1, 0.1)], "url string, lat double, lon double")
