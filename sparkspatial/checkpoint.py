@@ -43,8 +43,13 @@ class Checkpointer:
         _, manifest, _ = self._paths(stage)
         if not os.path.exists(manifest):
             return False
-        with open(manifest) as f:
-            m = json.load(f)
+        try:
+            with open(manifest) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a crash mid-write left a truncated manifest: treat the
+            # stage as incomplete and recompute
+            return False
         return m.get("fingerprint") == fingerprint and m.get("complete")
 
     def stage(self, df: DataFrame, stage: str, fingerprint: str) -> DataFrame:
@@ -74,9 +79,13 @@ class Checkpointer:
                            .alias("written_at")))
         lineage.write.mode("overwrite").parquet(lineage_dir)
 
-        with open(manifest, "w") as f:
+        # atomic publish: write-then-rename so a crash mid-write can
+        # never leave a truncated manifest that claims completion
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"stage": stage, "fingerprint": fingerprint,
                        "complete": True, "wall_ms": wall_ms}, f)
+        os.replace(tmp, manifest)
         return out.drop("_pid")
 
     def lineage(self, spark: SparkSession, stage: str | None = None) -> DataFrame:

@@ -336,12 +336,26 @@ def geom_intersects_box(geom, minx, miny, maxx, maxy) -> bool:
             return True
         return bool(_segs_intersect_box(arr[:-1], arr[1:], minx, miny, maxx, maxy).any())
     if tag == "Polygon":
+        # segments of ALL rings (holes included): a hole edge crossing the
+        # rectangle is an overlap with the filled area even when the shell
+        # never touches the box
+        for ring in body:
+            r = ensure_closed(np.asarray(ring, dtype=np.float64))
+            if len(r) >= 2 and bool(_segs_intersect_box(
+                    r[:-1], r[1:], minx, miny, maxx, maxy).any()):
+                return True
+        # no ring edge crosses the box, so the box lies entirely in one
+        # face of the polygon subdivision: interior (corner inside),
+        # a hole, or the exterior (corner outside). All four corners are
+        # tested for robustness at degenerate touch points.
+        cx = np.array([minx, maxx, maxx, minx], dtype=np.float64)
+        cy = np.array([miny, miny, maxy, maxy], dtype=np.float64)
+        if bool(points_in_rings(cx, cy, body).any()):
+            return True
+        # polygon fully inside rectangle (already implied by the segment
+        # test above — Liang-Barsky keeps fully-interior segments — kept
+        # as a belt for zero-area rings)
         shell = ensure_closed(body[0])
-        if bool(_segs_intersect_box(shell[:-1], shell[1:], minx, miny, maxx, maxy).any()):
-            return True
-        # rectangle fully inside polygon, or polygon fully inside rectangle
-        if points_in_rings(np.array([minx]), np.array([miny]), body)[0]:
-            return True
         return bool(((shell[:, 0] >= minx) & (shell[:, 0] <= maxx)
                      & (shell[:, 1] >= miny) & (shell[:, 1] <= maxy)).any())
     return any(geom_intersects_box(sub, minx, miny, maxx, maxy) for sub in body)

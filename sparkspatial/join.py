@@ -129,16 +129,27 @@ def cover_polygons(polys: DataFrame, poly_id: str = "zone_id",
 def required_res(polys: DataFrame, poly_id: str, wkb_col: str, res: int,
                  max_cells_per_poly: int) -> int:
     """The finest resolution <= `res` at which EVERY polygon's bbox
-    cover fits in `max_cells_per_poly` cells.
+    cover fits in `max_cells_per_poly` cells."""
+    r, _ = cover_stats(polys, poly_id, wkb_col, res, max_cells_per_poly)
+    return r
 
-    Using one global resolution keeps the point side to a single cell
-    per point (no explode) — the bbox condition inside the hash join
-    cheaply rejects the extra candidates coarse cells admit, which
-    beats multiplying the probe side by the number of resolutions.
+
+def cover_stats(polys: DataFrame, poly_id: str, wkb_col: str, res: int,
+                max_cells_per_poly: int) -> tuple[int, int]:
+    """(global resolution, total cover rows at it) in one stats pass.
+
+    The global resolution is the finest <= `res` at which EVERY
+    polygon's bbox cover fits in `max_cells_per_poly` cells: one
+    resolution keeps the point side to a single cell per point (no
+    explode) — the bbox condition inside the hash join cheaply rejects
+    the extra candidates coarse cells admit, which beats multiplying
+    the probe side by the number of resolutions. The row count drives
+    the broadcast-vs-shuffle decision without materializing (or
+    persisting) the exploded cover itself.
     """
     def _req(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rs = []
+            rs, bxs = [], []
             for w in pdf[wkb_col].values:
                 g = geom.wkb_loads(bytes(w))
                 minx, miny, maxx, maxy = geom.bounds(g)
@@ -153,11 +164,29 @@ def required_res(polys: DataFrame, poly_id: str, wkb_col: str, res: int,
                         break
                     r -= 1
                 rs.append(r)
-            yield pd.DataFrame({"r": rs})
+                bxs.append((minx, miny, maxx, maxy))
+            b = np.array(bxs, dtype=np.float64).reshape(-1, 4)
+            yield pd.DataFrame({"r": rs, "minx": b[:, 0], "miny": b[:, 1],
+                                "maxx": b[:, 2], "maxy": b[:, 3]})
 
-    row = (polys.mapInPandas(_req, schema="r int")
-           .agg(F.min("r").alias("rmin")).collect()[0])
-    return int(row.rmin) if row.rmin is not None else res
+    stats = polys.mapInPandas(
+        _req, schema="r int, minx double, miny double, "
+                     "maxx double, maxy double").persist()
+    try:
+        row = stats.agg(F.min("r").alias("rmin")).collect()[0]
+        if row.rmin is None:
+            return res, 0
+        rmin = int(row.rmin)
+        n = 1 << rmin
+        ncover = stats.selectExpr(
+            f"(CAST(FLOOR((maxx + 1.8e2) / 3.6e2 * {n}e0) AS BIGINT)"
+            f" - CAST(FLOOR((minx + 1.8e2) / 3.6e2 * {n}e0) AS BIGINT) + 1)"
+            f" * (CAST(FLOOR((maxy + 9e1) / 1.8e2 * {n}e0) AS BIGINT)"
+            f" - CAST(FLOOR((miny + 9e1) / 1.8e2 * {n}e0) AS BIGINT) + 1)"
+            " AS nc").agg(F.sum("nc").alias("t")).collect()[0]
+        return rmin, int(ncover.t)
+    finally:
+        stats.unpersist()
 
 
 def point_cells(points: DataFrame, res_list: list[int],
@@ -264,20 +293,36 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
     keep_poly_cols = keep_poly_cols if keep_poly_cols is not None else [poly_id]
 
     if single_res:
-        res = required_res(polys, poly_id, wkb_col, res, max_cells_per_poly)
-
-    cover = cover_polygons(polys, poly_id=poly_id, wkb_col=wkb_col,
-                           res=res, max_cells_per_poly=max_cells_per_poly,
-                           with_edges=(refine == "jvm")).persist()
-
-    # one action: cover size (broadcast decision) + resolutions present
-    stats = cover.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.collect_set(F.shiftright(F.col("cell"), 58)).alias("res_set")).collect()[0]
-    res_list = [int(r) for r in stats.res_set] or [res]
-
-    if broadcast is None:
-        broadcast = stats.n <= BROADCAST_MAX_COVER_ROWS
+        # one bounded stats pass over the (small) polygon side picks the
+        # global resolution and sizes the cover; the exploded cover
+        # itself is then built lazily inside the join plan and never
+        # persisted (no cached blocks leak across calls)
+        res, n_cover = cover_stats(polys, poly_id, wkb_col, res,
+                                   max_cells_per_poly)
+        cover = cover_polygons(polys, poly_id=poly_id, wkb_col=wkb_col,
+                               res=res,
+                               max_cells_per_poly=max_cells_per_poly,
+                               with_edges=(refine == "jvm"))
+        res_list = [res]
+        if broadcast is None:
+            broadcast = n_cover <= BROADCAST_MAX_COVER_ROWS
+    else:
+        # mixed-resolution path: the cover is consumed twice (stats +
+        # join), persist for the duration of this call's actions; the
+        # caller can release via session.unpersist_all()
+        from . import session as _session
+        cover = cover_polygons(polys, poly_id=poly_id, wkb_col=wkb_col,
+                               res=res,
+                               max_cells_per_poly=max_cells_per_poly,
+                               with_edges=(refine == "jvm")).persist()
+        _session.register_persisted(cover)
+        stats = cover.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(F.shiftright(F.col("cell"), 58))
+            .alias("res_set")).collect()[0]
+        res_list = [int(r) for r in stats.res_set] or [res]
+        if broadcast is None:
+            broadcast = stats.n <= BROADCAST_MAX_COVER_ROWS
 
     pts = point_cells(points, res_list, lat_col=lat_col, lon_col=lon_col)
 

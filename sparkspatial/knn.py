@@ -5,13 +5,26 @@ north_rule"). For each query point: candidates are points whose cell
 lies in the query's k-ring; candidates re-rank by exact haversine; the
 result is certified exact when the k-th distance fits inside the
 guaranteed-covered window of the searched ring, else the ring doubles
-and only the unsatisfied queries re-run (a shrinking driver loop,
-each round a broadcast join of the remaining query ring-cells).
+and only the unsatisfied queries re-run.
 
+The loop is DataFrame-native: queries, ring-cell expansion,
+certification, and the done/remaining split all stay distributed (no
+per-round toPandas of query state, no IN-list literals in the plan) —
+only one scalar count per round reaches the driver, so the operator
+survives query sets of 10^5+ rows. Per-round outputs are
+localCheckpoint'ed so lineage stays flat across rounds and the round's
+caches release immediately.
+
+Coverage bounds are exact on the engine's sphere (R = 6371008.8 m,
+matching geom.haversine_deg): one degree of latitude is pi*R/180 m; the
+minimum great-circle distance to a point outside a +-W-degree longitude
+window at latitude <= phi_max is 2*R*asin(cos(phi_max)*sin(W_rad/2)).
 Ties break deterministically by (distance, point id).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -20,24 +33,65 @@ from pyspark.sql import functions as F
 
 from . import cells, geom
 
-# conservative meters-per-degree bounds (min over the globe for lat;
-# cos-scaled at the window's worst latitude for lon)
-MIN_M_PER_DEG_LAT = 110_567.0
+# exact meters per degree of latitude on the engine's sphere; the
+# strict lower bound (for conservative padding) shaves a hair off it
+M_PER_DEG_LAT = math.pi * geom.EARTH_RADIUS_M / 180.0
+M_PER_DEG_LAT_LB = M_PER_DEG_LAT * (1.0 - 1e-9)
+
+# broadcast the ring-cell table while |queries| * ring cells is small
+BROADCAST_MAX_RING_ROWS = 4_000_000
 
 
-def _ring_cells_df(spark, queries_pdf: pd.DataFrame, ring: int, res: int):
-    """Driver-side expansion of query points into their k-ring cells."""
-    rows = []
-    qcell = cells.encode(queries_pdf["qlat"].to_numpy(),
-                         queries_pdf["qlon"].to_numpy(), res)
-    for i, qc in enumerate(qcell):
-        for c in cells.kring(int(qc), ring):
-            rows.append((queries_pdf["qid"].iloc[i],
-                         float(queries_pdf["qlat"].iloc[i]),
-                         float(queries_pdf["qlon"].iloc[i]), int(c)))
-    return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["qid", "qlat", "qlon", "cell"]),
-        "qid string, qlat double, qlon double, cell long")
+def _ring_cells(queries: DataFrame, ring: int, res: int) -> DataFrame:
+    """(qid, qlat, qlon) -> one row per (query, k-ring cell) —
+    distributed Arrow expansion, no driver-side query state."""
+    out_schema = "qid string, qlat double, qlon double, cell long"
+
+    def _exp(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"qid": [], "qlat": [], "qlon": [], "cell": []})
+                continue
+            qc = cells.encode(pdf["qlat"].to_numpy(np.float64),
+                              pdf["qlon"].to_numpy(np.float64), res)
+            qids, qlats, qlons, ccells = [], [], [], []
+            for i in range(len(pdf)):
+                kc = cells.kring(int(qc[i]), ring)
+                qids.append(np.repeat(pdf["qid"].iloc[i], len(kc)))
+                qlats.append(np.full(len(kc), pdf["qlat"].iloc[i]))
+                qlons.append(np.full(len(kc), pdf["qlon"].iloc[i]))
+                ccells.append(kc)
+            yield pd.DataFrame({
+                "qid": np.concatenate(qids),
+                "qlat": np.concatenate(qlats),
+                "qlon": np.concatenate(qlons),
+                "cell": np.concatenate(ccells)})
+
+    return queries.mapInPandas(_exp, schema=out_schema)
+
+
+def _cover_m_col(ring: int, res: int):
+    """Guaranteed-covered radius (meters) of a searched k-ring as a
+    Column over qlat — everything within this haversine distance of the
+    query provably lies inside the ring window, so a k-th neighbor
+    closer than it certifies the result exact.
+
+    lat direction: the window spans >= ring*cell_h degrees, and one
+    degree of latitude is exactly pi*R/180 m on the sphere.
+    lon direction: min distance to a point outside a +-W-degree window
+    at |lat| <= phi_max is 2*R*asin(cos(phi_max)*sin(min(W,360)/2))
+    (haversine >= cos(lat1)*cos(lat2)*sin^2(dlon/2) term).
+    """
+    h_deg = ring * (180.0 / (1 << res))
+    w_deg = ring * (360.0 / (1 << res))
+    r_m = geom.EARTH_RADIUS_M
+    cover_lat = F.lit(math.radians(h_deg) * r_m)
+    phi_max = F.least(F.abs(F.col("qlat")) + F.lit(h_deg), F.lit(90.0))
+    half_w = min(math.radians(w_deg), math.pi) / 2.0
+    cover_lon = (F.lit(2.0 * r_m)
+                 * F.asin(F.cos(F.radians(phi_max)) * F.lit(math.sin(half_w))))
+    return F.least(cover_lat, cover_lon)
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
@@ -48,71 +102,66 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
              initial_ring: int = 1, max_ring: int = 64) -> DataFrame:
     """Exact kNN: returns (qid, point_id, dist_m, rnk) with rnk 1..k.
 
-    `queries` is expected to be small (it collects to the driver to
-    build ring-cell candidate tables); `points` is the big side and is
-    only ever touched through cell-equi-joins + window top-k.
+    Query state never collects to the driver: each round is a
+    (ring-cell x points) cell equi-join + window top-k + a DataFrame
+    certification join; certified rows checkpoint out, the rest loop
+    with a doubled ring. One scalar `count()` per round is the only
+    driver-side data.
     """
     spark = points.sparkSession
     pts = points.withColumn("cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
 
-    q_pdf = (queries.select(F.col(qid_col).cast("string").alias("qid"),
-                            F.col(qlat_col).alias("qlat"),
-                            F.col(qlon_col).alias("qlon"))
-             .toPandas())
-
-    cell_h_deg = 180.0 / (1 << res)
-    cell_w_deg = 360.0 / (1 << res)
+    remaining = (queries.select(F.col(qid_col).cast("string").alias("qid"),
+                                F.col(qlat_col).cast("double").alias("qlat"),
+                                F.col(qlon_col).cast("double").alias("qlon"))
+                 .localCheckpoint(eager=True))
+    n_remaining = remaining.count()
 
     results: list[DataFrame] = []
     ring = initial_ring
-    remaining = q_pdf
-    while len(remaining) > 0:
-        ring_df = _ring_cells_df(spark, remaining, ring, res)
-        cand = pts.join(F.broadcast(ring_df), on="cell", how="inner")
+    while n_remaining > 0:
+        ring_df = _ring_cells(remaining, ring, res)
+        if n_remaining * (2 * ring + 1) ** 2 <= BROADCAST_MAX_RING_ROWS:
+            ring_df = F.broadcast(ring_df)
+        cand = pts.join(ring_df, on="cell", how="inner")
 
-        dist = 2.0 * F.lit(geom.EARTH_RADIUS_M) * F.asin(F.sqrt(
-            F.pow(F.sin(F.radians(F.col(lat_col) - F.col("qlat")) / 2), 2)
-            + F.cos(F.radians(F.col("qlat"))) * F.cos(F.radians(F.col(lat_col)))
-            * F.pow(F.sin(F.radians(F.col(lon_col) - F.col("qlon")) / 2), 2)))
+        dist = haversine_col(F.col("qlat"), F.col("qlon"),
+                             F.col(lat_col), F.col(lon_col))
         cand = cand.withColumn("dist_m", dist)
 
         w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(),
                                               F.col(point_id).asc())
-        # persist: the certification aggregate AND the per-round result
-        # both consume topk — unpersisted it would re-scan the corpus
+        # persist for the duration of the round only: the certification
+        # aggregate AND the done-row select both consume topk
         topk = (cand.withColumn("rnk", F.row_number().over(w))
                     .where(F.col("rnk") <= k)
                     .select("qid", "qlat", "qlon", point_id, "dist_m", "rnk")
                     .persist())
 
-        got = topk.groupBy("qid", "qlat", "qlon").agg(
-            F.count(F.lit(1)).alias("n"), F.max("dist_m").alias("dmax")).toPandas()
+        cert = (topk.groupBy("qid", "qlat")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.max("dist_m").alias("dmax")))
+        done_q = (cert.where((F.col("n") >= k)
+                             & (F.col("dmax") < _cover_m_col(ring, res)))
+                  .select("qid"))
 
-        if len(got) < len(remaining):
-            got = remaining.merge(got, on=["qid", "qlat", "qlon"], how="left")
-            got["n"] = got["n"].fillna(0)
-            got["dmax"] = got["dmax"].fillna(np.inf)
+        done = (topk.join(done_q, "qid", "left_semi")
+                .select("qid", point_id, "dist_m", "rnk")
+                .localCheckpoint(eager=True))
+        if not done.isEmpty():
+            results.append(done)
+        new_remaining = (remaining.join(done_q, "qid", "left_anti")
+                         .localCheckpoint(eager=True))
+        topk.unpersist()
+        remaining = new_remaining
+        n_remaining = remaining.count()
 
-        # certification: everything within dmax must lie inside the ring
-        # window. Guaranteed covered radius (meters, conservative):
-        lat_abs = np.abs(got["qlat"].to_numpy()) + ring * cell_h_deg
-        m_per_deg_lon = 111_320.0 * np.cos(np.radians(np.minimum(lat_abs, 89.9)))
-        cover_m = np.minimum(ring * cell_h_deg * MIN_M_PER_DEG_LAT,
-                             ring * cell_w_deg * m_per_deg_lon)
-        ok = (got["n"].to_numpy() >= k) & (got["dmax"].to_numpy() < cover_m)
-        ok_ids = set(got.loc[ok, "qid"])
-        if ok_ids:
-            done_df = topk.where(F.col("qid").isin([str(x) for x in ok_ids]))
-            results.append(done_df.select("qid", point_id, "dist_m", "rnk"))
-        remaining = remaining[~remaining["qid"].isin(ok_ids)].reset_index(drop=True)
-        if len(remaining) > 0 and ring >= max_ring:
+        if n_remaining > 0 and ring >= max_ring:
             # ring expansion exhausted (queries far from all data, or
             # fewer than k points exist): exact brute-force for the
-            # remaining handful of queries — still bounded, since only
-            # uncertified queries reach this branch
-            rest_q = spark.createDataFrame(
-                remaining, "qid string, qlat double, qlon double")
-            results.append(knn_bruteforce(points, rest_q, k,
+            # remaining queries — bounded, since only uncertified
+            # queries reach this branch
+            results.append(knn_bruteforce(points, remaining, k,
                                           point_id=point_id,
                                           lat_col=lat_col, lon_col=lon_col))
             break
@@ -145,8 +194,9 @@ def range_join(points: DataFrame, queries: DataFrame, radius_m: float, *,
     join the reference lacks — SURVEY.md §2.3 note).
 
     Each query's circle bbox explodes into covering cells (conservative
-    lat/lon padding); points equi-join on cell; the exact haversine
-    predicate filters JVM-side. No driver loop, no Python.
+    spherical padding: exact lat arc, exact lon chord inversion);
+    points equi-join on cell; the exact haversine predicate filters
+    JVM-side. No driver loop, no Python in the hot path.
     """
     import pandas as pd
 
@@ -159,9 +209,14 @@ def range_join(points: DataFrame, queries: DataFrame, radius_m: float, *,
             [], f"qid string, {point_id} string, dist_m double")
     qlat = q_pdf["qlat"].to_numpy(np.float64)
     qlon = q_pdf["qlon"].to_numpy(np.float64)
-    dlat = radius_m / MIN_M_PER_DEG_LAT
-    coslat = np.cos(np.radians(np.minimum(np.abs(qlat) + dlat, 89.9)))
-    dlon = radius_m / (110_567.0 * np.maximum(coslat, 1e-9))
+    dlat = radius_m / M_PER_DEG_LAT_LB
+    # exact longitude window: a point within radius_m satisfies
+    # sin(dlon/2) <= sin(radius/(2R)) / cos(phi_max)  (haversine bound)
+    phi_max = np.radians(np.minimum(np.abs(qlat) + dlat, 90.0))
+    s = math.sin(radius_m / (2.0 * geom.EARTH_RADIUS_M)) / \
+        np.maximum(np.cos(phi_max), 1e-12)
+    dlon = np.degrees(2.0 * np.arcsin(np.minimum(s, 1.0)))
+    dlon = np.where(s >= 1.0, 180.0, dlon)
 
     # one resolution for BOTH sides (cell equality is the join key):
     # coarsen until the widest circle bbox covers <= 256 cells

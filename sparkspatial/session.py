@@ -7,6 +7,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+# DataFrames persisted by engine internals (e.g. the mixed-resolution
+# spatial-join cover) register here so long-lived sessions can release
+# executor memory between jobs without tracking them by hand.
+_PERSISTED: list = []
+
+
+def register_persisted(df) -> None:
+    _PERSISTED.append(df)
+
+
+def unpersist_all(blocking: bool = False) -> int:
+    """Unpersist every engine-registered cached DataFrame; returns the
+    number released. Call between jobs in a long-lived session."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def get_spark(app: str = "sparkspatial", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.

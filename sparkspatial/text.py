@@ -254,8 +254,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     banded = (sigs.select(id_col, F.explode(F.array(*band_exprs)).alias("e"))
               .select(id_col, "e.band", "e.bh"))
     # persist: the self-join would otherwise recompute the full
-    # signature pipeline once per join side
+    # signature pipeline once per join side; registered so long-lived
+    # sessions can release it via session.unpersist_all()
     banded = banded.persist()
+    from . import session as _session
+    _session.register_persisted(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, on=["band", "bh"])
