@@ -49,6 +49,30 @@ ORACLE_ZONES = [
     ("band_s", -179.9301, -59.9707, 179.9301, -50.0707),
 ]
 
+# Non-rectangular zones exercising the even-odd PIP refinement through
+# the oracle gate (Transform.groovy:422-444 hole semantics): a convex
+# pentagon, a concave L, a polygon with a hole, and a disjoint
+# multipolygon. Each zone is a list of polygons; each polygon a list of
+# rings (shell first); rings are open (closed by the builders). The
+# DuckDB twin runs the identical raycast fold as crossing-count parity
+# over an edge VALUES table, so predicate arithmetic matches bit-wise.
+ORACLE_POLY_ZONES = [
+    ("poly_a", [[[(-74.6107, 39.7903), (-73.2903, 39.9107),
+                  (-73.1501, 40.8903), (-74.0103, 41.3307),
+                  (-74.7301, 40.7109)]]]),
+    ("poly_l", [[[(-74.5101, 39.9003), (-73.4907, 39.9003),
+                  (-73.4907, 40.4101), (-74.0903, 40.4101),
+                  (-74.0903, 41.0907), (-74.5101, 41.0907)]]]),
+    ("poly_hole", [[[(-74.7103, 39.8107), (-73.3301, 39.8107),
+                     (-73.3301, 41.1503), (-74.7103, 41.1503)],
+                    [(-74.2101, 40.2303), (-73.7907, 40.2303),
+                     (-73.7907, 40.6701), (-74.2101, 40.6701)]]]),
+    ("poly_multi", [[[(-130.1903, -40.0701), (-110.0307, -40.0701),
+                      (-110.0307, -20.0103), (-130.1903, -20.0103)]],
+                    [[(20.0307, -45.1101), (45.2903, -45.1101),
+                      (45.2903, -25.0907), (20.0307, -25.0907)]]]),
+]
+
 WGAEN_TYPES = ["Motorway", "Trunk road", "Major main road", "Main road",
                "Small main road", "Collecting road", "Service road",
                "Dead-end road"]
@@ -86,6 +110,57 @@ def _duck_points_cte() -> str:
         f"{lon_sql('source', u, 'duckdb')} AS lon "
         "FROM documents)"
     )
+
+
+def _poly_zone_geom(polys):
+    import numpy as np
+
+    from sparkspatial import geom as _g
+
+    def rings_of(rr):
+        return [_g.ensure_closed(np.asarray(r, dtype=np.float64)) for r in rr]
+
+    if len(polys) == 1:
+        return ("Polygon", rings_of(polys[0]))
+    return ("MultiPolygon", [("Polygon", rings_of(rr)) for rr in polys])
+
+
+def _poly_zones_df(spark: SparkSession) -> DataFrame:
+    rows = [zones.zone_row(zid, _poly_zone_geom(polys))
+            for zid, polys in ORACLE_POLY_ZONES]
+    return spark.createDataFrame(rows, zones.ZONE_SCHEMA)
+
+
+def _duck_poly_edges_cte() -> str:
+    """Edge VALUES table of every ring (shells AND holes, every
+    sub-polygon) — the DuckDB side of the even-odd raycast."""
+    import numpy as np
+
+    from sparkspatial import geom as _g
+
+    vals = []
+    for zid, polys in ORACLE_POLY_ZONES:
+        for rings in polys:
+            for ring in rings:
+                r = _g.ensure_closed(np.asarray(ring, dtype=np.float64))
+                for i in range(len(r) - 1):
+                    vals.append(
+                        f"('{zid}', {r[i, 0]!r}e0, {r[i, 1]!r}e0, "
+                        f"{r[i + 1, 0]!r}e0, {r[i + 1, 1]!r}e0)")
+    return ("edges(zone_id, x0, y0, x1, y1) AS "
+            f"(SELECT * FROM (VALUES {', '.join(vals)}))")
+
+
+# the same even-odd crossing test as join.pip_jvm_predicate, folded as
+# crossing-count parity (odd = inside); identical IEEE expression shape
+_DUCK_RAYCAST_PAIRS = """
+    SELECT p.url, e.zone_id
+    FROM pts p JOIN edges e
+      ON ((e.y0 > p.lat) != (e.y1 > p.lat))
+     AND p.lon < e.x0 + (p.lat - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)
+    GROUP BY p.url, e.zone_id
+    HAVING COUNT(*) % 2 = 1
+"""
 
 
 def _duck_zones_cte() -> str:
@@ -168,6 +243,27 @@ def q_spatial_join_shuffle_salted(spark, sf_dir):
     return (join.spatial_join(pts, zdf, how="inner", broadcast=False,
                               salt=True, hot_threshold=50)
             .select("url", "zone_id"))
+
+
+def q_spatial_join_polygon(spark, sf_dir):
+    """J5 on real polygons (convex/concave/holed/multi): exact
+    (url, zone_id) match set through the even-odd PIP refinement
+    (Transform.groovy:422-444 hole semantics, oracle-hash-checked)."""
+    pts = _points(spark, sf_dir)
+    zdf = _poly_zones_df(spark)
+    return (join.spatial_join(pts, zdf, how="inner", broadcast=True)
+            .select("url", "zone_id"))
+
+
+def q_spatial_join_polygon_counts(spark, sf_dir):
+    """J5 polygon zones, per-zone counts (grid-indicator shape)."""
+    pts = _points(spark, sf_dir)
+    zdf = _poly_zones_df(spark)
+    return (join.spatial_join(pts, zdf, how="inner", broadcast=True)
+            .groupBy("zone_id")
+            .agg(F.count(F.lit(1)).alias("page_count"),
+                 F.countDistinct("domain").alias("n_domains"))
+            .orderBy("zone_id"))
 
 
 def q_spatial_antijoin(spark, sf_dir):
@@ -676,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_counts": q_spatial_join_counts,
         "spatial_join_pairs": q_spatial_join_pairs,
         "spatial_join_shuffle_salted": q_spatial_join_shuffle_salted,
+        "spatial_join_polygon": q_spatial_join_polygon,
+        "spatial_join_polygon_counts": q_spatial_join_polygon_counts,
         "spatial_antijoin": q_spatial_antijoin,
         "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
@@ -780,6 +878,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spatial_join_pairs": pair_sql,
         "spatial_join_shuffle_salted": pair_sql,
+        "spatial_join_polygon": f"""
+            WITH {pts}, {_duck_poly_edges_cte()}
+            {_DUCK_RAYCAST_PAIRS}
+        """,
+        "spatial_join_polygon_counts": f"""
+            WITH {pts}, {_duck_poly_edges_cte()},
+            pairs AS ({_DUCK_RAYCAST_PAIRS}),
+            pd AS (SELECT url, domain FROM pts)
+            SELECT pr.zone_id, COUNT(*) AS page_count,
+                   COUNT(DISTINCT pd.domain) AS n_domains
+            FROM pairs pr JOIN pd ON pd.url = pr.url
+            GROUP BY pr.zone_id ORDER BY pr.zone_id
+        """,
         "spatial_antijoin": f"""
             WITH {pts}, {zon}
             SELECT p.url, p.lat, p.lon FROM pts p
