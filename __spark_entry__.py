@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sparkspatial import cells as cellmod
 from sparkspatial import extract, join, knn, layers, sim, text, tiles
+from sparkspatial import params as paramsmod
 from sparkspatial import transform, zones
 from sparkspatial.geocode import lat_sql, lon_sql, url_sql
 from sparkspatial.hashing import h32_duckdb_sql, h32_spark_sql
@@ -611,15 +612,17 @@ def _duck_building_heights_sql() -> str:
                     + COALESCE({v('roof:levels')},
                                {v('building:roof:levels')}, 0e0)
                  ELSE 0e0 END AS lev0,
-            -- first-match classification (single-match derivation)
-            CASE WHEN "building" = 'house' THEN 'residential'
+            -- first-match classification (single-match derivation,
+            -- FULL vocabulary: house->house, retail->commercial,
+            -- yes->building per buildingParams.json iteration order)
+            CASE WHEN "building" = 'house' THEN 'house'
                  WHEN "building" = 'retail' THEN 'commercial'
                  WHEN "building" = 'yes' THEN 'building'
                  ELSE 'building' END AS type,
             COALESCE(TRY_CAST("layer" AS INT), 0) AS zindex
             FROM raw),
         lvt AS (SELECT *,
-            CASE type WHEN 'residential' THEN 1 WHEN 'commercial' THEN 2
+            CASE type WHEN 'house' THEN 1 WHEN 'commercial' THEN 2
                       WHEN 'building' THEN 1 ELSE 0 END AS lev_type
             FROM base),
         s1 AS (SELECT *,
@@ -655,6 +658,218 @@ def _duck_building_heights_sql() -> str:
                CAST(FLOOR(lev2) AS INT) AS nb_lev,
                type, type AS main_use, zindex
         FROM s5 WHERE lev2 > 0 AND zindex >= 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# full-vocabulary classification (buildingParams/roadParams/railParams)
+# ---------------------------------------------------------------------------
+
+# per-tag value pools: (multiplier, offset, values). Each derived tag
+# column is pool[(doc_id*A+B) % N] — the same arithmetic in Spark and
+# DuckDB — chosen to exercise the full vocabularies including the
+# negation rules ("! no", "! chapel", the "!= no" shop quirk) and
+# multi-match main_use overwrites.
+_BUILDING_TAG_POOLS = {
+    "building": (7, 3, [None, "yes", "house", "detached", "residential",
+                        "apartments", "commercial", "retail", "industrial",
+                        "warehouse", "church", "chapel", "castle", "bunker",
+                        "train_station", "townhall", "toll_booth",
+                        "government", "historic", "grandstand",
+                        "farm_auxiliary", "barn", "greenhouse", "silo",
+                        "bungalow", "ruins", "agricultural", "farm",
+                        "terminal", "monument", "religious", "swimming_pool",
+                        "sports_centre", "office", "transportation", "bank",
+                        "slurb"]),
+    "amenity": (11, 5, [None, "terminal", "monastery", "place_of_worship",
+                        "swimming_pool", "townhall", "restaurant", "bar",
+                        "education", "college", "healthcare", "factory",
+                        "greenhouse", "house", "residential", "apartments",
+                        "bungalow", "train_station", "marketplace"]),
+    "leisure": (13, 1, [None, None, None, "monument", "swimming_pool",
+                        "stadium", "sports_centre", "grandstand", "park",
+                        "garden", "no"]),
+    "shop": (17, 2, [None, None, None, "no", "bakery", "supermarket"]),
+    "place_of_worship": (19, 7, [None, None, "no", "chapel", "church",
+                                 "mosque"]),
+    "military": (23, 4, [None, None, None, "bunker", "barracks", "no"]),
+    "railway": (29, 6, [None, None, None, "station", "subway", "building"]),
+    "office": (31, 8, [None, None, "government", "military", "no", "yes"]),
+    "house": (37, 9, [None, None, "detached", "bungalow", "residential",
+                      "no", "villa", "yes"]),
+    "historic": (41, 10, [None, None, None, "yes", "monument"]),
+    "government": (43, 11, [None, None, None, "yes", "no", "ministry"]),
+    "barrier": (47, 12, [None, None, None, "toll_booth", "fence"]),
+    "man_made": (53, 13, [None, None, None, "silo", "tower"]),
+    "public_transport": (59, 14, [None, None, None, "train_station",
+                                  "platform"]),
+    "aeroway": (61, 15, [None, None, None, "terminal", "hangar", "tower"]),
+    "restaurant": (67, 16, [None, None, None, "yes", "no"]),
+    "sustenance": (71, 17, [None, None, None, "yes", "no"]),
+    "education": (73, 18, [None, None, None, "school", "college"]),
+    "healthcare": (79, 19, [None, None, None, "yes", "no"]),
+    "industrial": (83, 20, [None, None, None, "factory", "greenhouse",
+                            "no"]),
+    "residential": (89, 21, [None, None, None, "university", "apartments",
+                             "building", "dormitory"]),
+    "agricultural": (97, 22, [None, None, None, "building", "no"]),
+    "ruins": (101, 23, [None, None, None, "ruins", "no"]),
+    "barn": (103, 24, [None, None, None, "yes", "no"]),
+    "grandstand": (107, 25, [None, None, None, "yes", "no"]),
+    "apartments": (109, 26, [None, None, None, "yes", "no"]),
+    "monument": (113, 27, [None, None, None, "yes", "no"]),
+}
+
+_ROAD_TAG_POOLS = {
+    "highway": (7, 3, [None, "motorway", "trunk", "primary", "secondary",
+                       "tertiary", "unclassified", "residential",
+                       "motorway_link", "trunk_link", "primary_link",
+                       "secondary_link", "tertiary_link", "service",
+                       "living_street", "road", "track", "footway"]),
+    "surface": (11, 5, [None, "unpaved", "grass_paver", "artificial_turf",
+                        "paved", "asphalt", "ground", "dirt", "earth",
+                        "clay", "gravel", "fine_gravel", "gravel_turf",
+                        "concrete", "concrete:lanes", "concrete:plates",
+                        "cement", "grass", "compacted", "sand",
+                        "cobblestone", "paving_stones", "sett",
+                        "unhewn_cobblestone", "wood", "woodchips",
+                        "pebblestone", "mud", "metal", "water", "lava"]),
+}
+
+_RAIL_TAG_POOLS = {
+    "railway": (7, 3, [None, "rail", "light_rail", "narrow_gauge",
+                       "disused", "funicular", "subway", "tram",
+                       "abandoned"]),
+    "service": (11, 5, [None, None, "yard", "siding", "spur", "crossover",
+                        "driveway"]),
+    "highspeed": (13, 1, [None, None, None, "yes", "no"]),
+    "bridge": (17, 2, [None, None, None, "yes", "aqueduct", "viaduct",
+                       "movable", "culvert"]),
+    "layer": (19, 7, [None, None, None, "-1", "1", "2"]),
+}
+
+
+def _pool_exprs(pools: dict, dialect: str) -> list[str]:
+    """Derived tag columns from doc_id, identical arithmetic per dialect."""
+    exprs = []
+    for col, (a, b, vals) in pools.items():
+        n = len(vals)
+        if dialect == "spark":
+            items = ", ".join("CAST(NULL AS STRING)" if v is None else f"'{v}'"
+                              for v in vals)
+            e = (f"element_at(array({items}), "
+                 f"CAST((doc_id * {a} + {b}) % {n} AS INT) + 1)")
+        else:
+            items = ", ".join("NULL" if v is None else f"'{v}'" for v in vals)
+            e = f"[{items}][(doc_id * {a} + {b}) % {n} + 1]"
+        exprs.append(f"{e} AS \"{col}\"" if dialect == "duckdb"
+                     else f"{e} AS `{col}`")
+    return exprs
+
+
+def q_building_type_full(spark, sf_dir):
+    """getTypeAndUse over the FULL buildingParams vocabulary (36 types,
+    negation rules, multi-match main_use) + the level lookup —
+    oracle-checked against the generated CASE twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.selectExpr("doc_id", *_pool_exprs(_BUILDING_TAG_POOLS,
+                                                 "spark"))
+    mapping = layers.BUILDING_PARAMS["type"]
+    levels = layers.BUILDING_PARAMS["level"]
+    out = layers.classify_df(raw, [(mapping, True, "type", "main_use")])
+    lev_items = F.create_map(
+        *[F.lit(x) for kv in levels.items() for x in kv])
+    return out.select(
+        "doc_id", "type", "main_use",
+        F.coalesce(lev_items[F.col("type")], F.lit(0)).alias("lev_type"))
+
+
+def _duck_building_type_full_sql() -> str:
+    cols = list(_BUILDING_TAG_POOLS)
+    mapping = layers.BUILDING_PARAMS["type"]
+    levels = layers.BUILDING_PARAMS["level"]
+    type_case = paramsmod.classify_case_sql(mapping, cols)
+    use_case = paramsmod.classify_case_sql(mapping, cols, use=True)
+    lev_case = paramsmod.level_case_sql(levels, "type")
+    derivs = ",\n               ".join(_pool_exprs(_BUILDING_TAG_POOLS,
+                                                   "duckdb"))
+    return f"""
+        WITH raw AS (SELECT doc_id, {derivs} FROM documents),
+        cls AS (SELECT doc_id, {type_case} AS type, {use_case} AS main_use
+                FROM raw)
+        SELECT doc_id, type, main_use,
+               CASE WHEN type IS NULL THEN 0 ELSE {lev_case} END AS lev_type
+        FROM cls
+    """
+
+
+def q_road_classify_full(spark, sf_dir):
+    """WGAEN type + surface classification over the FULL roadParams
+    vocabulary in one Arrow pass, with the reference's defaults
+    (unmatched type -> 'Small main road', per-type default maxspeed)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.selectExpr("doc_id", *_pool_exprs(_ROAD_TAG_POOLS, "spark"))
+    p = layers.ROAD_PARAMS
+    out = layers.classify_df(raw, [(p["type"], False, "wgaen_type", None),
+                                   (p["surface"], False, "surface_c", None)])
+    speed_map = F.create_map(
+        *[F.lit(x) for kv in p["maxspeed"].items() for x in kv])
+    typed = F.coalesce(F.col("wgaen_type"), F.lit("Small main road"))
+    return out.select(
+        "doc_id", typed.alias("wgaen_type"),
+        F.col("surface_c").alias("surface"),
+        F.coalesce(speed_map[typed], F.lit(30)).alias("default_maxspeed"))
+
+
+def _duck_road_classify_full_sql() -> str:
+    cols = list(_ROAD_TAG_POOLS)
+    p = layers.ROAD_PARAMS
+    type_case = paramsmod.classify_case_sql(p["type"], cols)
+    surf_case = paramsmod.classify_case_sql(p["surface"], cols)
+    speed_whens = " ".join(f"WHEN '{k}' THEN {v}"
+                           for k, v in p["maxspeed"].items())
+    derivs = ",\n               ".join(_pool_exprs(_ROAD_TAG_POOLS,
+                                                   "duckdb"))
+    return f"""
+        WITH raw AS (SELECT doc_id, {derivs} FROM documents),
+        cls AS (SELECT doc_id,
+                       COALESCE({type_case}, 'Small main road') AS wgaen_type,
+                       {surf_case} AS surface
+                FROM raw)
+        SELECT doc_id, wgaen_type, surface,
+               CASE wgaen_type {speed_whens} ELSE 30 END AS default_maxspeed
+        FROM cls
+    """
+
+
+def q_rail_classify(spark, sf_dir):
+    """Rail layer classification (railParams.json vocabulary): type
+    first-match + bridge crossing flag + zindex."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.selectExpr("doc_id", *_pool_exprs(_RAIL_TAG_POOLS, "spark"))
+    p = paramsmod.RAIL_PARAMS
+    out = layers.classify_df(raw, [(p["type"], False, "rail_type", None)])
+    crossing_vals = p["crossing"]["bridge"]
+    return out.select(
+        "doc_id", "rail_type",
+        F.when(F.col("bridge").isin(crossing_vals), F.lit("bridge"))
+        .alias("crossing"),
+        F.coalesce(F.col("layer").cast("int"), F.lit(0)).alias("zindex"))
+
+
+def _duck_rail_classify_sql() -> str:
+    cols = list(_RAIL_TAG_POOLS)
+    p = paramsmod.RAIL_PARAMS
+    type_case = paramsmod.classify_case_sql(p["type"], cols)
+    cvals = ", ".join(f"'{v}'" for v in p["crossing"]["bridge"])
+    derivs = ",\n               ".join(_pool_exprs(_RAIL_TAG_POOLS,
+                                                   "duckdb"))
+    return f"""
+        WITH raw AS (SELECT doc_id, {derivs} FROM documents)
+        SELECT doc_id, {type_case} AS rail_type,
+               CASE WHEN "bridge" IN ({cvals}) THEN 'bridge' END AS crossing,
+               COALESCE(TRY_CAST("layer" AS INT), 0) AS zindex
+        FROM raw
     """
 
 
@@ -796,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speed_parse": q_speed_parse,
         "traffic_wgaen": q_traffic_wgaen,
         "building_heights": q_building_heights,
+        "building_type_full": q_building_type_full,
+        "road_classify_full": q_road_classify_full,
+        "rail_classify": q_rail_classify,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
@@ -1088,6 +1306,9 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN traffic t ON r.wgaen_type = t.wgaen_type
         """,
         "building_heights": _duck_building_heights_sql(),
+        "building_type_full": _duck_building_type_full_sql(),
+        "road_classify_full": _duck_road_classify_full_sql(),
+        "rail_classify": _duck_rail_classify_sql(),
         "dedup_exact": f"""
             SELECT {text.fingerprint_sql('text', 'duckdb')} AS fp,
                    MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

@@ -23,9 +23,9 @@ layer is one mapInPandas pass: classification masks evaluate per
 Arrow batch in numpy, preserving the reference's first-match JSON
 iteration order exactly (SURVEY.md §7.3).
 
-The classification mappings below are a condensed, structurally
-identical stand-in for the reference's buildingParams/roadParams.json
-(same rule engine, fewer rows); callers can pass their own dicts.
+The classification mappings are the FULL reference vocabularies
+(params.py, re-derived one-for-one from buildingParams.json /
+roadParams.json / railParams.json); callers can pass their own dicts.
 """
 
 from __future__ import annotations
@@ -39,60 +39,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import geom
+from .params import BUILDING_PARAMS_FULL, RAIL_PARAMS, ROAD_PARAMS_FULL
 
 # ------------------------------------------------------------------ params
 
-BUILDING_PARAMS = {
-    "h_lev_min": 3,
-    "h_lev_max": 15,
-    "hThresholdLev2": 10,
-    "tags": ["building"],
-    "columns": ["height", "building:height", "roof:height",
-                "building:roof:height", "building:levels", "roof:levels",
-                "building:roof:levels", "building", "amenity", "layer"],
-    "level": {"building": 1, "house": 1, "detached": 1, "residential": 1,
-              "apartments": 1, "historic": 0, "ruins": 0, "commercial": 2,
-              "industrial": 0, "office": 1},
-    "type": {
-        "residential": {"building": ["residential", "apartments", "house",
-                                     "detached", "dormitory"]},
-        "commercial": {"building": ["commercial", "retail", "shop"],
-                       "amenity": ["marketplace"]},
-        "industrial": {"building": ["industrial", "warehouse", "factory"]},
-        "historic": {"building": ["historic", "castle", "ruins"],
-                     "amenity": ["monastery"]},
-        "building": {"building": ["yes", "building"]},
-    },
-}
-
-ROAD_PARAMS = {
-    "tags": {"highway": ["motorway", "trunk", "primary", "secondary",
-                         "tertiary", "unclassified", "residential",
-                         "motorway_link", "trunk_link", "primary_link",
-                         "secondary_link", "tertiary_link", "service",
-                         "living_street", "road", "track"]},
-    "columns": ["highway", "surface", "layer", "maxspeed", "oneway"],
-    "type": {
-        "Motorway": {"highway": ["motorway", "motorway_link"]},
-        "Trunk road": {"highway": ["trunk", "trunk_link"]},
-        "Main road": {"highway": ["primary", "primary_link"]},
-        "Small main road": {"highway": ["secondary", "secondary_link"]},
-        "Collecting road": {"highway": ["tertiary", "tertiary_link",
-                                        "unclassified"]},
-        "Service road": {"highway": ["residential"]},
-        "Dead-end road": {"highway": ["service", "living_street"]},
-    },
-    "surface": {
-        "unpaved": {"surface": ["unpaved", "grass_paver"]},
-        "paved": {"surface": ["paved", "asphalt"]},
-        "ground": {"surface": ["ground", "dirt", "earth", "clay"]},
-        "gravel": {"surface": ["gravel", "fine_gravel"]},
-        "concrete": {"surface": ["concrete", "cement"]},
-    },
-    "maxspeed": {"Motorway": 110, "Trunk road": 110, "Main road": 90,
-                 "Small main road": 80, "Collecting road": 50,
-                 "Service road": 30, "Dead-end road": 30},
-}
+# full reference vocabularies (36 building types, 7 road classes with
+# the 14-class surface map, 7 rail types) — see params.py for the quirk
+# notes (negation prefix handling, empty lists, dead keys)
+BUILDING_PARAMS = BUILDING_PARAMS_FULL
+ROAD_PARAMS = ROAD_PARAMS_FULL
 
 # WG-AEN default traffic properties (values from the reference's
 # roadDefaultWGAEN.sql seed — an 8-row public lookup table)
@@ -243,6 +198,40 @@ def format_heights_and_levels(hw: np.ndarray, hr: np.ndarray,
     tmp_hmax = lev * h_lev_max
     lev = np.where(rule & (tmp_hmax < hw), hw / h_lev_max, lev)
     return hw, hr, lev
+
+
+def classify_df(df: DataFrame, specs: list[tuple]) -> DataFrame:
+    """Apply one or more first-match classifications in a SINGLE Arrow
+    pass (never chain two Python stages in one task).
+
+    specs: list of (mapping, with_use, type_col, use_col) — use_col is
+    ignored when with_use is False. Output = input columns + the new
+    classification columns. Oracle twin: params.classify_case_sql.
+    """
+    new_cols = []
+    for mapping, with_use, type_col, use_col in specs:
+        new_cols.append(f"{type_col} string")
+        if with_use:
+            new_cols.append(f"{use_col} string")
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + new_cols)
+
+    def _cls(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            assign = {}
+            for mapping, with_use, type_col, use_col in specs:
+                if with_use:
+                    tp, use = classify_first_match(pdf, mapping,
+                                                   with_use=True)
+                    assign[type_col] = tp
+                    assign[use_col] = use
+                else:
+                    assign[type_col] = classify_first_match(pdf, mapping)
+            yield pdf.assign(**assign)
+
+    return df.mapInPandas(_cls, schema=out_schema)
 
 
 # ------------------------------------------------------------------ layers
@@ -409,6 +398,74 @@ def build_road_layer(lines: DataFrame, params: dict | None = None,
                 "oneway", "maxspeed", "zindex"])
 
     return lines.mapInPandas(_mk, schema=_ROAD_SCHEMA)
+
+
+_RAIL_SCHEMA = ("the_geom_wkb binary, id_source string, rail_type string, "
+                "crossing string, zindex int")
+
+
+def build_rail_layer(lines: DataFrame, params: dict | None = None,
+                     envelope: tuple | None = None,
+                     clip: bool = True) -> DataFrame:
+    """Transform lines output -> rail layer.
+
+    The reference ships railParams.json (tags/columns/type/crossing)
+    with no Groovy consumer; this operator realizes it by analogy with
+    the road layer (Data.groovy:244-328 shape): first-match `type`
+    classification over the railParams vocabulary, `crossing` set to
+    'bridge' when the bridge tag value is in the crossing list, zindex
+    from `layer`, line explode + optional envelope clip.
+    """
+    p = params or RAIL_PARAMS
+    mapping = p["type"]
+    crossing_vals = set(p.get("crossing", {}).get("bridge", []))
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=[
+                    "the_geom_wkb", "id_source", "rail_type", "crossing",
+                    "zindex"])
+                continue
+
+            def col(name):
+                return pdf[name] if name in pdf.columns \
+                    else pd.Series([None] * n)
+
+            tp = classify_first_match(pdf, mapping, with_use=False)
+            bridge = col("bridge")
+            crossing = np.where(
+                bridge.notna().to_numpy()
+                & bridge.isin(crossing_vals).to_numpy(),
+                "bridge", None)
+            zindex = pd.to_numeric(col("layer"), errors="coerce") \
+                .fillna(0).astype(int).to_numpy()
+
+            rows = []
+            for i in range(n):
+                g = geom.wkb_loads(bytes(pdf["the_geom_wkb"].iloc[i]))
+                pieces = [g[1]] if g[0] == "LineString" else \
+                    [sub[1] for sub in g[1] if sub[0] == "LineString"]
+                if envelope is not None:
+                    minx, miny, maxx, maxy = envelope
+                    if not geom.geom_intersects_box(g, minx, miny,
+                                                    maxx, maxy):
+                        continue
+                    if clip:
+                        pieces = [c for arr in pieces for c in
+                                  geom.clip_polyline_box(arr, minx, miny,
+                                                         maxx, maxy)]
+                for arr in pieces:
+                    rows.append((geom.wkb_dumps(("LineString", arr)),
+                                 pdf["id"].iloc[i], tp[i], crossing[i],
+                                 int(zindex[i])))
+            yield pd.DataFrame(rows, columns=[
+                "the_geom_wkb", "id_source", "rail_type", "crossing",
+                "zindex"])
+
+    return lines.mapInPandas(_mk, schema=_RAIL_SCHEMA)
 
 
 def wgaen_road_traffic(roads: DataFrame,

@@ -179,3 +179,43 @@ def test_road_clip_to_envelope(spark):
     assert len(roads) == 1  # w9 outside drops entirely
     g = geom.wkb_loads(bytes(roads[0].the_geom_wkb))
     assert g[1][0][0] == 0.0 and g[1][-1][0] == 5.0  # clipped at x=0
+
+
+def test_rail_layer(spark):
+    def line(*pts):
+        return bytearray(geom.wkb_dumps(
+            ("LineString", np.array(pts, dtype=np.float64))))
+
+    rows = [
+        # highspeed=yes wins over railway=rail (railParams.json order)
+        ("w1", line((0, 0), (1, 1)), "yes", "rail", None, None, "viaduct"),
+        ("w2", line((1, 1), (2, 2)), None, "subway", None, "-1", None),
+        # service match; bridge value outside the crossing list
+        ("w3", line((2, 2), (3, 3)), None, "rail", "siding", None, "no"),
+        ("w4", line((3, 3), (4, 4)), None, "monorail_x", None, None, None),
+    ]
+    lines = spark.createDataFrame(
+        rows, "id string, the_geom_wkb binary, highspeed string, "
+              "railway string, service string, layer string, bridge string")
+    got = {r.id_source: r for r in layers.build_rail_layer(lines).collect()}
+    assert got["w1"].rail_type == "highspeed"
+    assert got["w1"].crossing == "bridge"
+    assert got["w2"].rail_type == "subway"
+    assert got["w2"].zindex == -1
+    assert got["w3"].rail_type == "rail"  # rail precedes service_track
+    assert got["w3"].crossing is None
+    assert got["w4"].rail_type is None
+
+
+def test_full_vocab_negation_quirks(spark):
+    import pandas as pd
+
+    # "!= no" quirk: ANY non-null shop value classifies commercial —
+    # including the literal 'no' (Data.groovy:460 replace("! ","") is a
+    # no-op on "!= no"); place_of_worship "! no"/"! chapel"/"! church"
+    pdf = pd.DataFrame({"shop": ["no", "bakery", None],
+                        "place_of_worship": [None, None, "mosque"]})
+    tp, use = layers.classify_first_match(
+        pdf, layers.BUILDING_PARAMS["type"], with_use=True)
+    assert tp[0] == "commercial" and tp[1] == "commercial"
+    assert tp[2] == "religious"
