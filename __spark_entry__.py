@@ -311,6 +311,17 @@ def q_grid_lang_histogram(spark, sf_dir):
                  F.countDistinct("domain").alias("n_domains")))
 
 
+def q_grid_indicators_full(spark, sf_dir):
+    """Full grid-indicator pyramid: page_count + EXACT distinct_domains
+    + lang_histogram at the fine level AND every rollup level
+    (tiles.grid_indicators), exploded for value-hash comparison."""
+    pts = _points(spark, sf_dir)
+    out = tiles.grid_indicators(pts, res=7, rollup_res=[5, 3])
+    return out.select(
+        "res", "cell", "page_count", "distinct_domains",
+        F.explode("lang_histogram").alias("lang", "lang_n"))
+
+
 def q_zone_grid_indicators(spark, sf_dir):
     """The reference's grid-indicator shape: spatial join then per
     (zone, cell) rollup — zones x grid two-level aggregation."""
@@ -994,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_counts": q_grid_counts,
         "grid_rollup": q_grid_rollup,
         "grid_lang_histogram": q_grid_lang_histogram,
+        "grid_indicators_full": q_grid_indicators_full,
         "zone_grid_indicators": q_zone_grid_indicators,
         "cube_counts": q_cube_counts,
         "quantiles": q_quantiles,
@@ -1135,6 +1147,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT {cell6} AS cell, lang, COUNT(*) AS n,
                    COUNT(DISTINCT domain) AS n_domains
             FROM pts GROUP BY 1, 2
+        """,
+        "grid_indicators_full": f"""
+            WITH {pts}
+            {" UNION ALL ".join(f'''
+            SELECT {r} AS res, c.cell, t.page_count, t.distinct_domains,
+                   c.lang, c.lang_n
+            FROM (SELECT {cellmod.cell_sql("lat", "lon", r)} AS cell, lang,
+                         COUNT(*) AS lang_n FROM pts GROUP BY 1, 2) c
+            JOIN (SELECT {cellmod.cell_sql("lat", "lon", r)} AS cell,
+                         COUNT(*) AS page_count,
+                         COUNT(DISTINCT domain) AS distinct_domains
+                  FROM pts GROUP BY 1) t ON t.cell = c.cell''' for r in (7, 5, 3))}
         """,
         "zone_grid_indicators": f"""
             WITH {pts}, {zon}

@@ -45,40 +45,58 @@ def grid_indicators(points: DataFrame, res: int,
     """Per-cell indicators at `res` plus hierarchical rollups.
 
     Output: (cell, res, page_count, distinct_domains, lang_histogram)
-    with one row-group per resolution in {res} | rollup_res.
-    distinct_domains uses HLL (approx_count_distinct) at rollup levels
-    — exact distinct across levels would need re-shuffling raw rows per
-    level; the finest level is exact.
-    """
-    pts = assign_cells(points, res, lat_col, lon_col)
-    aggs = [F.count(F.lit(1)).alias("page_count")]
-    if domain_col:
-        aggs.append(F.countDistinct(domain_col).alias("distinct_domains"))
-    if lang_col:
-        aggs.append(F.map_from_entries(
-            F.collect_list(F.struct(lang_col, F.lit(1)))).alias("_langs_raw"))
-    base = pts.groupBy("cell").agg(*aggs)
-    if lang_col:
-        # fold the raw entry list into counts per lang via a lang-level agg
-        lang_counts = (pts.groupBy("cell", lang_col)
-                       .agg(F.count(F.lit(1)).alias("n")))
-        lang_maps = (lang_counts.groupBy("cell")
-                     .agg(F.map_from_entries(
-                         F.collect_list(F.struct(F.col(lang_col), F.col("n"))))
-                         .alias("lang_histogram")))
-        base = (base.drop("_langs_raw")
-                    .join(lang_maps, "cell", "left"))
-    base = base.withColumn("res", F.lit(res))
+    with one row-group per resolution in {res} | rollup_res; EVERY
+    indicator is carried to every level.
 
-    out = base
+    Scale shape: three narrow fine-level pre-aggregations — per-cell
+    counts, distinct (cell, domain) pairs, per-(cell, lang) counts —
+    are computed once from the raw scan and persisted; each rollup
+    level re-aggregates those (orders of magnitude smaller than the
+    corpus) on parent-cell arithmetic. distinct_domains stays EXACT at
+    every level because the pairs table re-distincts under the parent
+    key (a domain spanning several child cells counts once).
+    """
+    from . import session as _session
+
+    pts = assign_cells(points, res, lat_col, lon_col)
+    base = (pts.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("page_count")).persist())
+    _session.register_persisted(base)
+    dom_pairs = lang_counts = None
+    if domain_col:
+        dom_pairs = pts.select("cell", domain_col).distinct().persist()
+        _session.register_persisted(dom_pairs)
+    if lang_col:
+        lang_counts = (pts.groupBy("cell", lang_col)
+                       .agg(F.count(F.lit(1)).alias("n")).persist())
+        _session.register_persisted(lang_counts)
+
+    def level(pr: int) -> DataFrame:
+        def pcell(df):
+            if pr == res:
+                return df
+            return (df.withColumn("_p", parent_col("cell", res, pr))
+                    .drop("cell").withColumnRenamed("_p", "cell"))
+
+        out = (pcell(base).groupBy("cell")
+               .agg(F.sum("page_count").alias("page_count")))
+        if dom_pairs is not None:
+            dd = (pcell(dom_pairs).distinct().groupBy("cell")
+                  .agg(F.count(F.lit(1)).alias("distinct_domains")))
+            out = out.join(dd, "cell", "left")
+        if lang_counts is not None:
+            lm = (pcell(lang_counts)
+                  .groupBy("cell", lang_col).agg(F.sum("n").alias("n"))
+                  .groupBy("cell")
+                  .agg(F.map_from_entries(
+                      F.collect_list(F.struct(F.col(lang_col), F.col("n"))))
+                      .alias("lang_histogram")))
+            out = out.join(lm, "cell", "left")
+        return out.withColumn("res", F.lit(pr))
+
+    out = level(res)
     for pr in sorted(rollup_res or [], reverse=True):
-        level = (base
-                 .withColumn("pcell", parent_col("cell", res, pr))
-                 .groupBy("pcell")
-                 .agg(F.sum("page_count").alias("page_count"))
-                 .withColumnRenamed("pcell", "cell")
-                 .withColumn("res", F.lit(pr)))
-        out = out.unionByName(level, allowMissingColumns=True)
+        out = out.unionByName(level(pr))
     return out
 
 

@@ -164,6 +164,20 @@ def test_grid_indicators_rollup_consistent(spark, points_df):
     # lang histogram sums to page_count at the fine level
     row = fine.where(F.col("lang_histogram").isNotNull()).first()
     assert sum(row.lang_histogram.values()) == row.page_count
+    # EVERY indicator is carried to rollup levels (no NULL columns),
+    # histograms still sum to page_count, and distinct_domains is the
+    # exact distinct per parent cell (a domain spanning several child
+    # cells counts once)
+    for r in coarse.collect():
+        assert r.distinct_domains is not None and r.distinct_domains >= 1
+        assert r.lang_histogram is not None
+        assert sum(r.lang_histogram.values()) == r.page_count
+    pair_pdf = (tiles.assign_cells(points_df, res=8)
+                .select("cell", "domain").distinct().toPandas())
+    pair_pdf["pcell"] = cells.parent(pair_pdf["cell"].to_numpy(), 5)
+    want_dd = pair_pdf.groupby("pcell")["domain"].nunique().to_dict()
+    got_dd = {r.cell: r.distinct_domains for r in coarse.collect()}
+    assert got_dd == want_dd
 
 
 def test_cell_geometry_roundtrip(spark, points_df):
