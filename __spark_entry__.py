@@ -72,6 +72,12 @@ ORACLE_POLY_ZONES = [
                       (-110.0307, -20.0103), (-130.1903, -20.0103)]],
                     [[(20.0307, -45.1101), (45.2903, -45.1101),
                       (45.2903, -25.0907), (20.0307, -25.0907)]]]),
+    # self-intersecting (bowtie) ring: the engine side repairs it with
+    # geom.make_valid before the join; the DuckDB side raycasts the RAW
+    # edges — hash equality proves the repair preserves even-odd
+    # semantics end-to-end (ST_MAKEVALID, Data.groovy:177)
+    ("poly_bowtie", [[[(-74.4901, 40.0903), (-73.6903, 40.8901),
+                       (-73.6903, 40.0901), (-74.4903, 40.8907)]]]),
 ]
 
 WGAEN_TYPES = ["Motorway", "Trunk road", "Major main road", "Main road",
@@ -121,9 +127,11 @@ def _poly_zone_geom(polys):
     def rings_of(rr):
         return [_g.ensure_closed(np.asarray(r, dtype=np.float64)) for r in rr]
 
-    if len(polys) == 1:
-        return ("Polygon", rings_of(polys[0]))
-    return ("MultiPolygon", [("Polygon", rings_of(rr)) for rr in polys])
+    g = ("Polygon", rings_of(polys[0])) if len(polys) == 1 else \
+        ("MultiPolygon", [("Polygon", rings_of(rr)) for rr in polys])
+    # ST_MAKEVALID on zone inputs: identity (bit-exact rings) for the
+    # valid zones, node-and-rebuild for poly_bowtie
+    return _g.make_valid(g)
 
 
 def _poly_zones_df(spark: SparkSession) -> DataFrame:

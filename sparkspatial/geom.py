@@ -41,6 +41,7 @@ __all__ = [
     "points_in_rings", "points_in_geom", "geom_intersects_box",
     "clip_polyline_box", "clip_polygon_box", "linemerge",
     "ring_area", "is_ccw", "ensure_closed", "polyline_length",
+    "is_valid_polygon", "make_valid",
     "haversine_deg", "EARTH_RADIUS_M",
 ]
 
@@ -457,6 +458,254 @@ def clip_polygon_box(rings: Sequence[np.ndarray],
             arr = np.array(pts)
             out_rings.append(ensure_closed(arr))
     return out_rings
+
+
+# ---------------------------------------------------------------- validity
+
+def _poly_rings(g) -> list[np.ndarray]:
+    tag, body = g
+    if tag == "Polygon":
+        return [ensure_closed(np.asarray(r, dtype=np.float64)) for r in body]
+    if tag == "MultiPolygon":
+        out = []
+        for sub in body:
+            out.extend(ensure_closed(np.asarray(r, dtype=np.float64))
+                       for r in sub[1])
+        return out
+    raise ValueError(f"polygonal geometry expected, got {tag}")
+
+
+def _all_edges(rings) -> list[tuple[tuple, tuple]]:
+    edges = []
+    for r in rings:
+        for i in range(len(r) - 1):
+            p = (float(r[i, 0]), float(r[i, 1]))
+            q = (float(r[i + 1, 0]), float(r[i + 1, 1]))
+            if p != q:
+                edges.append((p, q))
+    return edges
+
+
+def _seg_events_pair(p, q, a, b):
+    """Intersection events of segments [p,q] and [a,b]: returns
+    (events_pq, events_ab), each a list of (param, point) with the
+    SAME point tuple shared across both lists (a split point computed
+    twice from different parametrizations would differ in the last ulp
+    and break vertex sharing in the planar graph). Shared endpoints of
+    the two segments are not events; collinear overlaps report the
+    contained endpoints of the other segment."""
+    px, py = p
+    qx, qy = q
+    ax, ay = a
+    bx, by = b
+    rx, ry = qx - px, qy - py
+    sx, sy = bx - ax, by - ay
+    denom = rx * sy - ry * sx
+    qpx, qpy = ax - px, ay - py
+    rr_len = rx * rx + ry * ry
+    ss_len = sx * sx + sy * sy
+    # relative parallel test: denom = |r||s|sin(theta); split sub-edges
+    # of one original line are collinear in geometry but carry ulp noise
+    # in the cross product, so an absolute !=0 test would misroute them
+    # into the crossing branch with garbage parameters
+    if denom * denom > 1e-18 * rr_len * ss_len:
+        t = (qpx * sy - qpy * sx) / denom
+        u = (qpx * ry - qpy * rx) / denom
+        if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+            pt = (px + t * rx, py + t * ry)
+            # snap to a touching endpoint so shared vertices compare equal
+            for cand in (p, q, a, b):
+                if abs(pt[0] - cand[0]) <= 1e-9 and abs(pt[1] - cand[1]) <= 1e-9:
+                    pt = cand
+                    break
+            if (pt in (p, q)) and (pt in (a, b)):
+                return [], []  # shared endpoint, not a crossing event
+            ev_pq = [] if pt in (p, q) else [(t, pt)]
+            ev_ab = [] if pt in (a, b) else [(u, pt)]
+            return ev_pq, ev_ab
+        return [], []
+    # parallel: collinear overlap check (relative epsilon as above)
+    cross = qpx * ry - qpy * rx
+    qq_len = qpx * qpx + qpy * qpy
+    if cross * cross > 1e-18 * max(qq_len, 1e-30) * rr_len:
+        return [], []
+    rr = rr_len
+    ss = ss_len
+    if rr == 0.0 or ss == 0.0:
+        return [], []
+    ev_pq, ev_ab = [], []
+    for cand in (a, b):
+        t = ((cand[0] - px) * rx + (cand[1] - py) * ry) / rr
+        if 1e-12 < t < 1 - 1e-12:
+            ev_pq.append((t, cand))
+    for cand in (p, q):
+        u = ((cand[0] - ax) * sx + (cand[1] - ay) * sy) / ss
+        if 1e-12 < u < 1 - 1e-12:
+            ev_ab.append((u, cand))
+    return ev_pq, ev_ab
+
+
+def _node_edges(edges):
+    """Split every edge at its intersections with every other edge;
+    returns undirected noded edges with even-multiplicity cancellation
+    (an edge drawn twice contributes nothing under even-odd)."""
+    splits: list[list] = [[] for _ in edges]
+    for i in range(len(edges)):
+        for j in range(i + 1, len(edges)):
+            ev_i, ev_j = _seg_events_pair(*edges[i], *edges[j])
+            splits[i].extend(ev_i)
+            splits[j].extend(ev_j)
+    counts: dict = {}
+    for (p, q), evs in zip(edges, splits):
+        pts = [p] + [pt for _, pt in sorted(set(evs))] + [q]
+        for k in range(len(pts) - 1):
+            if pts[k] == pts[k + 1]:
+                continue
+            key = (pts[k], pts[k + 1]) if pts[k] <= pts[k + 1] \
+                else (pts[k + 1], pts[k])
+            counts[key] = counts.get(key, 0) + 1
+    return [e for e, c in counts.items() if c % 2 == 1]
+
+
+def _face_walks(noded):
+    """Decompose the noded arrangement into closed boundary walks
+    (each directed edge used once) via the angular-next rule."""
+    out_nbrs: dict = {}
+    for p, q in noded:
+        out_nbrs.setdefault(p, []).append(q)
+        out_nbrs.setdefault(q, []).append(p)
+    ang = {}
+    for v, nbrs in out_nbrs.items():
+        nbrs.sort(key=lambda n: math.atan2(n[1] - v[1], n[0] - v[0]))
+        for n in nbrs:
+            ang[(v, n)] = math.atan2(n[1] - v[1], n[0] - v[0])
+    unused = set()
+    for p, q in noded:
+        unused.add((p, q))
+        unused.add((q, p))
+    walks = []
+    for start in sorted(unused):
+        if start not in unused:
+            continue
+        walk = []
+        e = start
+        while e in unused:
+            unused.discard(e)
+            walk.append(e[0])
+            u, v = e
+            nbrs = out_nbrs[v]
+            rev_ang = ang[(v, u)]
+            # next edge = outgoing from v immediately clockwise of the
+            # reverse edge: traces the face to the left of each edge
+            nxt = max(range(len(nbrs)),
+                      key=lambda k: (ang[(v, nbrs[k])]
+                                     if ang[(v, nbrs[k])] < rev_ang
+                                     else ang[(v, nbrs[k])] - 2 * math.pi))
+            e = (v, nbrs[nxt])
+        walks.append(np.array(walk + [walk[0]], dtype=np.float64))
+    return walks
+
+
+def _interior_point(ring: np.ndarray):
+    """A point strictly inside a simple closed ring (horizontal
+    midline crossing scan)."""
+    ys = np.unique(ring[:, 1])
+    for k in range(len(ys) - 1):
+        ymid = (ys[k] + ys[k + 1]) / 2.0
+        y0, y1 = ring[:-1, 1], ring[1:, 1]
+        x0, x1 = ring[:-1, 0], ring[1:, 0]
+        m = (y0 > ymid) != (y1 > ymid)
+        if not m.any():
+            continue
+        xs = np.sort(x0[m] + (ymid - y0[m]) / (y1[m] - y0[m])
+                     * (x1[m] - x0[m]))
+        if len(xs) >= 2:
+            return (xs[0] + xs[1]) / 2.0, ymid
+    return None
+
+
+def is_valid_polygon(g) -> bool:
+    """OGC-ish validity for the engine's purposes: every ring closed
+    with >= 4 points, and no segment crossings, touches, or collinear
+    overlaps anywhere in the ring set (ST_ISVALID, Data.groovy:177)."""
+    try:
+        rings = _poly_rings(g)
+    except ValueError:
+        return False
+    for r in rings:
+        if len(r) < 4:
+            return False
+    edges = _all_edges(rings)
+    for i in range(len(edges)):
+        for j in range(i + 1, len(edges)):
+            ev_i, ev_j = _seg_events_pair(*edges[i], *edges[j])
+            if ev_i or ev_j:
+                return False
+    return True
+
+
+def make_valid(g):
+    """ST_MAKEVALID (Data.groovy:177,278): node-and-rebuild repair that
+    preserves even-odd semantics exactly.
+
+    Valid inputs return unchanged (bit-identical rings). Invalid ones
+    (bowties, self-touches, duplicated edges, crossing holes) are noded
+    at every intersection, the arrangement decomposes into boundary
+    walks, and each bounded region keeps membership by testing a
+    representative interior point against the ORIGINAL rings with the
+    same even-odd raycast the join engine uses — so for every point,
+    points_in_geom(make_valid(g)) == points_in_geom semantics of g.
+    CW walks over even-parity regions become holes of their smallest
+    enclosing kept shell.
+    """
+    if is_valid_polygon(g):
+        tag, body = g
+        if tag == "Polygon":
+            return ("Polygon", [ensure_closed(np.asarray(r, np.float64))
+                                for r in body])
+        return ("MultiPolygon",
+                [("Polygon", [ensure_closed(np.asarray(r, np.float64))
+                              for r in sub[1]]) for sub in body])
+
+    rings = _poly_rings(g)
+    noded = _node_edges(_all_edges(rings))
+    if not noded:
+        return ("MultiPolygon", [])
+    walks = _face_walks(noded)
+
+    shells, holes = [], []
+    for w in walks:
+        area = ring_area(w)
+        if abs(area) < 1e-300:
+            continue
+        pt = _interior_point(w)
+        if pt is None:
+            continue
+        inside = bool(points_in_rings(
+            np.array([pt[0]]), np.array([pt[1]]), rings)[0])
+        if area > 0 and inside:
+            shells.append((abs(area), w))
+        elif area < 0 and not inside:
+            holes.append((pt, w))
+
+    shells.sort(key=lambda s: s[0])  # smallest first for hole assignment
+    polys = [[w] for _, w in shells]
+    for pt, w in holes:
+        px = np.array([pt[0]])
+        py = np.array([pt[1]])
+        for k, (_, shell) in enumerate(shells):
+            if bool(points_in_rings(px, py, [shell])[0]):
+                polys[k].append(w)
+                break
+        # a CW walk contained in no kept shell is the unbounded-face
+        # boundary (or a hole of a dropped region): ignored
+    # deterministic output order: by shell bbox then area
+    polys.sort(key=lambda rr: (float(rr[0][:, 0].min()),
+                               float(rr[0][:, 1].min()),
+                               float(ring_area(rr[0]))))
+    if len(polys) == 1:
+        return ("Polygon", polys[0])
+    return ("MultiPolygon", [("Polygon", rr) for rr in polys])
 
 
 # ---------------------------------------------------------------- linemerge

@@ -315,7 +315,11 @@ def build_building_layer(polygons: DataFrame, params: dict | None = None,
             keep = (lev > 0) & (zindex >= 0)
             rows = []
             for i in np.nonzero(keep)[0]:
-                g = geom.wkb_loads(bytes(pdf["the_geom_wkb"].iloc[i]))
+                # ST_MAKEVALID on every overlay input (Data.groovy:177):
+                # valid footprints pass through bit-identical, bowtie/
+                # self-touching rings rebuild with even-odd semantics
+                g = geom.make_valid(
+                    geom.wkb_loads(bytes(pdf["the_geom_wkb"].iloc[i])))
                 subs = g[1] if g[0] == "MultiPolygon" else [g]
                 for sub in subs:
                     if sub[0] != "Polygon":

@@ -108,3 +108,60 @@ def test_envelope_expand_monotonic(lat, lon, dist):
         lon, lat, lon + 0.1, lat + 0.1, dist)
     assert minx <= lon and miny <= lat
     assert maxx >= lon + 0.1 and maxy >= lat + 0.1
+
+
+def _seg_dist(px, py, a, b):
+    """Min distance of points to segment [a,b] (vectorized)."""
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0:
+        return np.hypot(px - ax, py - ay)
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
+    return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=4, max_size=8, unique=True))
+def test_make_valid_even_odd_equivalence(pts):
+    """make_valid output is valid AND preserves even-odd membership for
+    every sample point not on a boundary line (ST_MAKEVALID parity,
+    Data.groovy:177: node-and-rebuild must not move the interior)."""
+    ring = geom.ensure_closed(np.array(pts, dtype=np.float64))
+    g = ("Polygon", [ring])
+    mv = geom.make_valid(g)
+    assert geom.is_valid_polygon(mv) or mv == ("MultiPolygon", [])
+
+    xs, ys = np.meshgrid(np.linspace(-0.7, 12.7, 23),
+                         np.linspace(-0.6, 12.6, 23))
+    px, py = xs.ravel(), ys.ravel()
+    # exclude points near any original edge: half-open raycast boundary
+    # behavior is ulp-sensitive and not part of the contract
+    near = np.zeros(len(px), dtype=bool)
+    for i in range(len(ring) - 1):
+        near |= _seg_dist(px, py, ring[i], ring[i + 1]) < 1e-6
+    raw = geom.points_in_rings(px, py, [ring])
+    if mv == ("MultiPolygon", []):
+        assert not raw[~near].any()
+        return
+    rep = geom.points_in_geom(px, py, mv)
+    assert (raw[~near] == rep[~near]).all()
+
+
+def test_make_valid_identity_on_valid():
+    sq = ("Polygon", [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                               dtype=np.float64)])
+    mv = geom.make_valid(sq)
+    assert mv[0] == "Polygon"
+    assert np.array_equal(mv[1][0], sq[1][0])
+
+
+def test_make_valid_bowtie():
+    bow = ("Polygon", [np.array([[0, 0], [10, 10], [10, 0], [0, 10], [0, 0]],
+                                dtype=np.float64)])
+    assert not geom.is_valid_polygon(bow)
+    mv = geom.make_valid(bow)
+    assert mv[0] == "MultiPolygon" and len(mv[1]) == 2
+    assert geom.is_valid_polygon(mv)
