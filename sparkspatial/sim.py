@@ -41,8 +41,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
 
     Queries collect to the driver (small by contract) and broadcast
     into a mapInPandas over the corpus: per Arrow batch one matmul
-    computes all pair scores, then a per-query window takes top-k.
-    Self-matches (qid == vec_id) are excluded.
+    computes all pair scores, then a PARTIAL top-k per (batch, query)
+    under the same total order as the final window — only ~|q|*k rows
+    per batch reach the shuffle instead of |batch|*|q| (any global
+    top-k row is necessarily in its batch's top-k, so the pruning is
+    exact, ties included). Self-matches (qid == vec_id) are excluded.
     """
     q_pdf = queries.select(qid_col, qvec_col).toPandas()
     qids = q_pdf[qid_col].to_numpy()
@@ -60,16 +63,26 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            ids = pdf[id_col].to_numpy()
             mat = np.stack([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])
             norm = np.linalg.norm(mat, axis=1)
             norm[norm == 0] = 1.0
             cos = (mat @ qmat_b.T) / norm[:, None] / qnorm_b[None, :]
             n, q = cos.shape
+            # keep k+1 per query (self-match may occupy one slot);
+            # lexsort applies the exact (cos desc, id asc) tie order
+            kk = min(k + 1, n)
+            out_q, out_i, out_c = [], [], []
+            for j in range(q):
+                top = np.lexsort((ids, -cos[:, j]))[:kk]
+                out_q.append(np.full(kk, qids_b[j]))
+                out_i.append(ids[top])
+                out_c.append(cos[top, j])
             yield pd.DataFrame({
-                "qid": np.repeat(qids_b[None, :], n, axis=0).ravel(),
-                id_col: np.repeat(pdf[id_col].to_numpy(), q),
-                "cos": cos.ravel(),
+                "qid": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "cos": np.concatenate(out_c),
             })
 
     scored = corpus.mapInPandas(_score, schema=schema)
@@ -180,16 +193,19 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
 
 
 def ivf_centroids(corpus: DataFrame, n_clusters: int = 16, *,
-                  vec_col: str = "embedding", sample: int = 4096,
-                  iters: int = 12) -> np.ndarray:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  sample: int = 4096, iters: int = 12) -> np.ndarray:
     """IVF coarse quantizer: deterministic mini-kmeans on a driver-side
     sample (spherical: unit-normalized vectors, cosine assignment).
 
     At corpus scale the sample is a bounded collect (default 4096
-    rows); the k-means itself is a few numpy matmuls.
+    rows); the k-means itself is a few numpy matmuls. The sample is
+    ordered by `id_col` BEFORE the limit — a bare LIMIT's row choice
+    depends on partition layout/scheduling, which would make the
+    quantizer (and every downstream assignment) nondeterministic.
     """
-    pdf = (corpus.select(vec_col)
-           .limit(sample * 4).toPandas())  # deterministic source order
+    pdf = (corpus.select(id_col, vec_col)
+           .orderBy(id_col).limit(sample).toPandas())
     mat = np.stack([np.asarray(v, dtype=np.float64)
                     for v in pdf[vec_col]])[:sample]
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -250,7 +266,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     the full scan.
     """
     if centroids is None:
-        centroids = ivf_centroids(corpus, n_clusters, vec_col=vec_col)
+        centroids = ivf_centroids(corpus, n_clusters, id_col=id_col,
+                                  vec_col=vec_col)
     c = ivf_assign(corpus, centroids, vec_col=vec_col)
 
     q_pdf = queries.select(qid_col, qvec_col).toPandas()

@@ -164,3 +164,14 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
     # recall must respond to the table/probe knobs
     assert recall > len(e & w) / len(e)
+
+
+def test_ivf_centroids_stable_across_parallelism(emb):
+    """Quantizer sampling is orderBy(id)-deterministic: identical
+    centroids regardless of partition layout (the bare-LIMIT trap)."""
+    import numpy as np
+
+    a = sim.ivf_centroids(emb.repartition(3), 8, sample=256)
+    b = sim.ivf_centroids(emb.repartition(13), 8, sample=256)
+    c = sim.ivf_centroids(emb.coalesce(1), 8, sample=256)
+    assert np.array_equal(a, b) and np.array_equal(a, c)
