@@ -58,9 +58,24 @@ def _utm_lon0(epsg) -> np.ndarray:
     return (zone - 1) * 6.0 - 180.0 + 3.0
 
 
+def valid_utm_epsg(epsg) -> np.ndarray:
+    """Bool mask: EPSG codes in the UTM WGS84 families (326xx/327xx,
+    zone 1..60). The reference's processes reject epsg <= -1 by
+    returning false (TransformTest.groovy bad* cases)."""
+    e = np.asarray(epsg, dtype=np.int64)
+    fam = e // 100
+    zone = e % 100
+    return ((fam == 326) | (fam == 327)) & (zone >= 1) & (zone <= 60)
+
+
 def project_utm(lat, lon, epsg) -> tuple[np.ndarray, np.ndarray]:
     """WGS84 degrees -> UTM easting/northing meters for the given EPSG
-    (scalar or per-point array)."""
+    (scalar or per-point array). Invalid EPSG codes yield NaN
+    coordinates (negative-path contract: empty/absent, never garbage
+    meters)."""
+    bad = ~valid_utm_epsg(epsg)
+    if np.any(bad):
+        lat = np.where(bad, np.nan, np.asarray(lat, dtype=np.float64))
     lat = np.radians(np.asarray(lat, dtype=np.float64))
     lon = np.radians(np.asarray(lon, dtype=np.float64))
     lon0 = np.radians(_utm_lon0(epsg))

@@ -75,7 +75,11 @@ def create_where_filter(tags):
                 clauses.append(key_pred & F.col("tag_value").isin(vals))
         pred = reduce(lambda a, b: a | b, clauses) if clauses else F.lit(True)
         return pred, sorted(set(keys))
-    raise TypeError(f"tags must be list or mapping, got {type(tags)}")
+    # negative-path contract: the reference's processes return false
+    # (empty results) on malformed inputs instead of raising
+    # (TransformTest.groovy:76-99) — a False predicate yields the empty
+    # output with the declared schema through every downstream operator
+    return F.lit(False), []
 
 
 def get_column_selector(tag_table: DataFrame, tags, columns_to_keep) -> list[str]:

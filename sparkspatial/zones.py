@@ -64,21 +64,66 @@ def from_area(spark: SparkSession, area, zone_id: str = "zone",
     return spark.createDataFrame([zone_row(zone_id, g, distance_m)], ZONE_SCHEMA)
 
 
+def parse_geojson_geometry(obj: dict):
+    """GeoJSON-shaped dict -> tagged-tuple geometry.
+
+    Semantics of Utilities.parsePolygon/arrayToCoordinate
+    (Utilities.groovy:143-166, 175-185): coordinates[0] is the exterior
+    ring, the remaining arrays are holes; a MultiPolygon is one such
+    3D array per sub-polygon. Z values are dropped (the engine is 2D).
+    """
+    def ring(arr):
+        return np.asarray([[c[0], c[1]] for c in arr], dtype=np.float64)
+
+    t = obj["type"]
+    cc = obj["coordinates"]
+    if t == "Polygon":
+        return ("Polygon", [ring(r) for r in cc])
+    if t == "MultiPolygon":
+        return ("MultiPolygon",
+                [("Polygon", [ring(r) for r in poly]) for poly in cc])
+    raise ValueError(f"unsupported geojson type {t!r}")
+
+
+# embedded Nominatim-style responses (the no-network analog of the
+# reference's mocked geojson files, AbstractOSMTest.groovy:118-214) —
+# including a multipolygon-with-hole place exercising the full
+# parsePolygon path
+_GAZETTEER_GEOJSON: dict[str, dict] = {
+    "redon": {"type": "Polygon", "coordinates": [
+        [[-2.12, 47.62], [-2.02, 47.62], [-2.02, 47.72], [-2.12, 47.72],
+         [-2.12, 47.62]]]},
+    "paris": {"type": "Polygon", "coordinates": [
+        [[2.22, 48.81], [2.47, 48.81], [2.47, 48.90], [2.22, 48.90],
+         [2.22, 48.81]]]},
+    "new york": {"type": "Polygon", "coordinates": [
+        [[-74.26, 40.49], [-73.70, 40.49], [-73.70, 40.92], [-74.26, 40.92],
+         [-74.26, 40.49]]]},
+    "vannes": {"type": "Polygon", "coordinates": [
+        [[-2.81, 47.63], [-2.70, 47.63], [-2.70, 47.69], [-2.81, 47.69],
+         [-2.81, 47.63]]]},
+    # two islands, the larger with a lagoon hole
+    "atoll": {"type": "MultiPolygon", "coordinates": [
+        [[[-74.45, 40.05], [-73.55, 40.05], [-73.55, 40.95],
+          [-74.45, 40.95], [-74.45, 40.05]],
+         [[-74.25, 40.25], [-73.75, 40.25], [-73.75, 40.75],
+          [-74.25, 40.75], [-74.25, 40.25]]],
+        [[[-73.45, 40.35], [-73.30, 40.35], [-73.30, 40.65],
+          [-73.45, 40.65], [-73.45, 40.35]]]]},
+}
+
+
 def builtin_gazetteer(spark: SparkSession) -> DataFrame:
     """Small deterministic place->polygon lookup (no-network analog of
-    Utilities.getAreaFromPlace, Utilities.groovy:77-130)."""
-    places = {
-        # name: (minx, miny, maxx, maxy) - toy but stable
-        "redon": (-2.12, 47.62, -2.02, 47.72),
-        "paris": (2.22, 48.81, 2.47, 48.90),
-        "new york": (-74.26, 40.49, -73.70, 40.92),
-        "vannes": (-2.81, 47.63, -2.70, 47.69),
-    }
+    Utilities.getAreaFromPlace, Utilities.groovy:77-130), geometries
+    parsed from embedded GeoJSON-style literals."""
     rows = []
-    for name, (minx, miny, maxx, maxy) in sorted(places.items()):
-        g = geom.wkb_loads(geom.box_wkb(minx, miny, maxx, maxy))
+    for name in sorted(_GAZETTEER_GEOJSON):
+        g = parse_geojson_geometry(_GAZETTEER_GEOJSON[name])
+        minx, miny, maxx, maxy = geom.bounds(g)
         rows.append(Row(place=name, the_geom_wkb=bytearray(geom.wkb_dumps(g)),
-                        minx=minx, miny=miny, maxx=maxx, maxy=maxy))
+                        minx=float(minx), miny=float(miny),
+                        maxx=float(maxx), maxy=float(maxy)))
     return spark.createDataFrame(
         rows, "place string, the_geom_wkb binary, "
               "minx double, miny double, maxx double, maxy double")
@@ -90,16 +135,26 @@ def normalize_place(name: str) -> str:
     return re.sub(r"[^a-zA-Z0-9 _-]", "", name.strip().lower())
 
 
+def empty_zones(spark: SparkSession) -> DataFrame:
+    """Zero-row zones DataFrame with the declared schema — the engine's
+    negative-path contract (reference processes return false/empty on
+    bad inputs instead of raising, TransformTest.groovy:76-99)."""
+    return spark.createDataFrame([], ZONE_SCHEMA)
+
+
 def from_place(spark: SparkSession, place: str,
                gazetteer: DataFrame | None = None,
                distance_m: float = 0.0) -> DataFrame:
     """Place name -> 1-row zones DataFrame via gazetteer lookup
-    (Loader.fromPlace semantics, Loader.groovy:152-218)."""
+    (Loader.fromPlace semantics, Loader.groovy:152-218). An unknown
+    place yields the EMPTY zones DataFrame (declared schema), not an
+    exception — parity with the reference's false-returning processes.
+    """
     gaz = gazetteer if gazetteer is not None else builtin_gazetteer(spark)
     norm = normalize_place(place)
     hit = gaz.where(gaz.place == norm).limit(1).collect()
     if not hit:
-        raise ValueError(f"place not found in gazetteer: {place!r}")
+        return empty_zones(spark)
     row = hit[0]
     minx, miny, maxx, maxy = expand_envelope_meters(
         row.minx, row.miny, row.maxx, row.maxy, distance_m)

@@ -76,11 +76,67 @@ def test_from_place_gazetteer(spark):
     z = zones.from_place(spark, "  Paris!! ").collect()[0]
     assert z.zone_id == "paris"
     assert 2.0 < z.minx < 2.5 and 48.5 < z.miny < 49.0
-    with pytest.raises(ValueError):
-        zones.from_place(spark, "atlantis")
+    # negative path: unknown place -> EMPTY zones DF, declared schema
+    # (reference processes return false, TransformTest.groovy:76-99)
+    missing = zones.from_place(spark, "atlantis")
+    assert missing.isEmpty()
+    assert missing.schema == zones.empty_zones(spark).schema
 
 
 def test_normalize_place():
     assert zones.normalize_place(" Saint-Étienne ") == "saint-tienne"
     assert zones.normalize_place("New York") == "new york"
     assert zones.normalize_place("Redon;DROP TABLE") == "redondrop table"
+
+
+# ----------------------------------------------------------- negative paths
+
+def test_bad_tags_type_yields_empty(spark):
+    """Malformed tags -> False predicate -> empty output with declared
+    schema, mirroring the reference's false-returning processes."""
+    from sparkspatial import transform
+
+    pred, keys = transform.create_where_filter(12345)
+    assert keys == []
+    eav = spark.createDataFrame(
+        [(1, "k", "v")], "id long, tag_key string, tag_value string")
+    out = eav.where(pred)
+    assert out.isEmpty() and out.schema == eav.schema
+
+
+def test_bad_epsg_yields_nan_not_garbage():
+    import numpy as np
+
+    from sparkspatial import crs
+
+    assert not crs.valid_utm_epsg(-1)
+    assert crs.valid_utm_epsg(32630)
+    e, n = crs.project_utm([48.5], [2.3], [-1])
+    assert np.isnan(e).all() and np.isnan(n).all()
+    e2, n2 = crs.project_utm([48.5, 48.5], [2.3, 2.3], [32631, -1])
+    assert np.isfinite(e2[0]) and np.isnan(e2[1])
+
+
+def test_polygon_gazetteer_spatial_join(spark):
+    """Multipolygon-with-hole place (geojson parse path,
+    Utilities.groovy:143-166): points in the lagoon hole don't match,
+    island points do, second island counts."""
+    import numpy as np
+
+    from sparkspatial import join
+
+    zdf = zones.from_place(spark, "Atoll")
+    row = zdf.collect()[0]
+    g = geom.wkb_loads(bytes(row.the_geom_wkb))
+    assert g[0] == "MultiPolygon" and len(g[1]) == 2
+    assert len(g[1][0][1]) == 2  # island 1 carries the lagoon hole
+
+    pts = spark.createDataFrame(
+        [("in_island", 40.10, -74.35),      # inside shell, outside hole
+         ("in_lagoon", 40.50, -74.00),      # inside the hole -> no match
+         ("in_island2", 40.50, -73.40),     # second island
+         ("outside", 40.50, -75.50)],
+        "url string, lat double, lon double")
+    got = {r.url for r in join.spatial_join(
+        pts, zdf, how="inner", broadcast=True).collect()}
+    assert got == {"in_island", "in_island2"}
