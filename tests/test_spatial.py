@@ -261,3 +261,39 @@ def test_knn_fewer_than_k(spark):
                               "qid string, qlat double, qlon double")
     got = knn_join(pts, q, k=5, res=6, max_ring=4)
     assert got.count() == 2  # only two points exist
+
+
+def test_knn_large_query_set_no_driver_state(spark):
+    """10^4 queries through the DataFrame-native kNN loop at sf0.1:
+    completes with no driver-side query collect / IN-list literals
+    (the round loop only counts), and matches brute force on a sample."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    import __spark_entry__ as entrymod
+
+    pts = entrymod._points(spark, sf_dir).select("url", "lat", "lon")
+    base_q = pts.selectExpr("url AS qid", "lat AS qlat", "lon AS qlon")
+    jittered = base_q.selectExpr("qid || '#j' AS qid",
+                                 "qlat + 1e-4 AS qlat",
+                                 "qlon + 1e-4 AS qlon")
+    queries = base_q.unionByName(jittered)  # 10,000 queries
+    assert queries.count() == 10_000
+
+    out = knn_join(pts, queries, k=3, res=8).persist()
+    per_q = out.groupBy("qid").count()
+    assert per_q.count() == 10_000
+    assert per_q.where("count <> 3").isEmpty()
+
+    # exactness spot-check: 100 queries vs brute force
+    sample_q = queries.where("qid LIKE '%7#j'").limit(100).persist()
+    want = knn_bruteforce(pts, sample_q, 3)
+    got = out.join(sample_q.select("qid"), "qid", "left_semi")
+    w = {(r.qid, r.rnk): r.url for r in want.collect()}
+    g = {(r.qid, r.rnk): r.url for r in got.collect()}
+    assert set(g) == set(w)
+    assert g == w
+    out.unpersist()
+    sample_q.unpersist()
