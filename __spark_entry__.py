@@ -984,6 +984,29 @@ def q_ann_cosine(spark, sf_dir):
     return sim.cosine_topk(emb, queries, k=5).select("qid", "vec_id", "rnk")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (task brief dedup family):
+    exact all-pairs threshold join over the embeddings table. The
+    0.444 threshold sits in a wide gap of the pair-cosine distribution
+    at sf0.001 and sf0.01 (nearest values ~8e-4 away, orders of
+    magnitude above cross-engine fp noise); cos itself is excluded
+    from the compared columns."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (sim.cosine_pairs(emb, 0.444)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
+def q_embedding_dedup_survivors(spark, sf_dir):
+    """Embedding near-dup removal end-to-end: threshold pairs -> drop
+    the higher id of each pair -> surviving vectors (same survivor
+    convention as near_dedup_survivors)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    losers = (sim.cosine_pairs(emb, 0.444)
+              .select(F.col("id_b").alias("vec_id")).distinct())
+    return (emb.join(losers, "vec_id", "left_anti")
+            .select("vec_id").orderBy("vec_id"))
+
+
 def q_extract_roundtrip(spark, sf_dir):
     """Byte-identity invariant: extract_text(make_html(text)) vs the
     normalized text, per url (input_hint per-row invariant)."""
@@ -1045,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "near_dedup_survivors": q_near_dedup_survivors,
         "ann_cosine": q_ann_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "extract_roundtrip": q_extract_roundtrip,
     }
 
@@ -1450,6 +1475,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "ann_cosine": sim.cosine_topk_duckdb_sql(5, "vec_id % 50 = 0"),
+        "embedding_near_dup": (
+            sim.cosine_pairs_duckdb_sql("4.44e-1")
+            + " ORDER BY id_a, id_b"),
+        "embedding_dedup_survivors": f"""
+            WITH pairs AS ({sim.cosine_pairs_duckdb_sql('4.44e-1')})
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+            ORDER BY vec_id
+        """,
         "extract_roundtrip": f"""
             SELECT {url_sql('source', 'doc_id', 'duckdb')} AS url,
                    (text = trim(regexp_replace(text, '\\s+', ' ', 'g')))

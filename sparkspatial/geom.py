@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 import struct
+from fractions import Fraction
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -488,60 +489,66 @@ def _all_edges(rings) -> list[tuple[tuple, tuple]]:
 
 def _seg_events_pair(p, q, a, b):
     """Intersection events of segments [p,q] and [a,b]: returns
-    (events_pq, events_ab), each a list of (param, point) with the
-    SAME point tuple shared across both lists (a split point computed
-    twice from different parametrizations would differ in the last ulp
-    and break vertex sharing in the planar graph). Shared endpoints of
-    the two segments are not events; collinear overlaps report the
-    contained endpoints of the other segment."""
-    px, py = p
-    qx, qy = q
-    ax, ay = a
-    bx, by = b
+    (events_pq, events_ab), each a list of (param, point). Shared
+    endpoints of the two segments are not events; collinear overlaps
+    report the contained endpoints of the other segment.
+
+    EXACT rational arithmetic throughout: float coordinates are exact
+    rationals, so every intersection of float segments is an exact
+    Fraction point. This matters because the SAME geometric point
+    reached from two different edge pairs must compare equal — with
+    float math the two computations differ in the last ulp, the
+    undirected-edge parity cancellation in _node_edges misses doubled
+    collinear segments, and make_valid emits polygons sharing an edge
+    (found by the hypothesis even-odd property). Python guarantees
+    equal numbers hash equal across int/float/Fraction, so Fraction
+    event points interoperate with float endpoint tuples in dict keys.
+    """
+    # exact float bbox rejection first: disjoint boxes can't intersect,
+    # and float comparisons are exact — keeps the common case free of
+    # Fraction construction cost (make_valid runs per overlay row)
+    if (max(p[0], q[0]) < min(a[0], b[0])
+            or max(a[0], b[0]) < min(p[0], q[0])
+            or max(p[1], q[1]) < min(a[1], b[1])
+            or max(a[1], b[1]) < min(p[1], q[1])):
+        return [], []
+    px, py = Fraction(p[0]), Fraction(p[1])
+    qx, qy = Fraction(q[0]), Fraction(q[1])
+    ax, ay = Fraction(a[0]), Fraction(a[1])
+    bx, by = Fraction(b[0]), Fraction(b[1])
     rx, ry = qx - px, qy - py
     sx, sy = bx - ax, by - ay
     denom = rx * sy - ry * sx
     qpx, qpy = ax - px, ay - py
-    rr_len = rx * rx + ry * ry
-    ss_len = sx * sx + sy * sy
-    # relative parallel test: denom = |r||s|sin(theta); split sub-edges
-    # of one original line are collinear in geometry but carry ulp noise
-    # in the cross product, so an absolute !=0 test would misroute them
-    # into the crossing branch with garbage parameters
-    if denom * denom > 1e-18 * rr_len * ss_len:
+    if denom != 0:
         t = (qpx * sy - qpy * sx) / denom
         u = (qpx * ry - qpy * rx) / denom
-        if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+        if 0 <= t <= 1 and 0 <= u <= 1:
             pt = (px + t * rx, py + t * ry)
-            # snap to a touching endpoint so shared vertices compare equal
-            for cand in (p, q, a, b):
-                if abs(pt[0] - cand[0]) <= 1e-9 and abs(pt[1] - cand[1]) <= 1e-9:
-                    pt = cand
-                    break
-            if (pt in (p, q)) and (pt in (a, b)):
+            at_pq_end = t == 0 or t == 1
+            at_ab_end = u == 0 or u == 1
+            if at_pq_end and at_ab_end:
                 return [], []  # shared endpoint, not a crossing event
-            ev_pq = [] if pt in (p, q) else [(t, pt)]
-            ev_ab = [] if pt in (a, b) else [(u, pt)]
+            ev_pq = [] if at_pq_end else [(t, pt)]
+            ev_ab = [] if at_ab_end else [(u, pt)]
             return ev_pq, ev_ab
         return [], []
-    # parallel: collinear overlap check (relative epsilon as above)
-    cross = qpx * ry - qpy * rx
-    qq_len = qpx * qpx + qpy * qpy
-    if cross * cross > 1e-18 * max(qq_len, 1e-30) * rr_len:
+    # parallel: exact collinear overlap check
+    if qpx * ry - qpy * rx != 0:
         return [], []
-    rr = rr_len
-    ss = ss_len
-    if rr == 0.0 or ss == 0.0:
+    rr = rx * rx + ry * ry
+    ss = sx * sx + sy * sy
+    if rr == 0 or ss == 0:
         return [], []
     ev_pq, ev_ab = [], []
-    for cand in (a, b):
-        t = ((cand[0] - px) * rx + (cand[1] - py) * ry) / rr
-        if 1e-12 < t < 1 - 1e-12:
-            ev_pq.append((t, cand))
-    for cand in (p, q):
-        u = ((cand[0] - ax) * sx + (cand[1] - ay) * sy) / ss
-        if 1e-12 < u < 1 - 1e-12:
-            ev_ab.append((u, cand))
+    for cx, cy in ((ax, ay), (bx, by)):
+        t = ((cx - px) * rx + (cy - py) * ry) / rr
+        if 0 < t < 1:
+            ev_pq.append((t, (cx, cy)))
+    for cx, cy in ((px, py), (qx, qy)):
+        u = ((cx - ax) * sx + (cy - ay) * sy) / ss
+        if 0 < u < 1:
+            ev_ab.append((u, (cx, cy)))
     return ev_pq, ev_ab
 
 

@@ -56,4 +56,12 @@ def get_spark(app: str = "sparkspatial", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    # Benchmarks pre-size the heap (-Xms == -Xmx) so timed runs never
+    # pay heap-growth page-fault storms (observed 89% sys time cold at
+    # local[32], see .claude/skills/verify/SKILL.md). Env-gated: tests
+    # and ad-hoc sessions keep the default lazy heap.
+    xms = os.environ.get("SPARK_GRAFT_XMS")
+    if xms:
+        builder = builder.config("spark.driver.extraJavaOptions",
+                                 f"-Xms{xms}")
     return builder.getOrCreate()

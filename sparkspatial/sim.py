@@ -93,6 +93,68 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             .where(F.col("rnk") <= k))
 
 
+def cosine_pairs(corpus: DataFrame, threshold: float, *,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine threshold join: (id_a, id_b, cos) for
+    every unordered pair with cosine >= threshold (embedding near-dup,
+    task brief "embedding-cosine near-dup").
+
+    The corpus collects to the driver and broadcasts into a
+    mapInPandas over itself: per Arrow batch one matmul scores the
+    batch against the whole corpus, and ONLY pairs above the threshold
+    (with id_a < id_b, so each pair once) reach the shuffle. This is
+    the exact oracle/baseline twin of the LSH-candidates + exact-verify
+    scale path (text.lsh_candidate_pairs / add_lsh_buckets), same
+    broadcast contract as :func:`cosine_topk`.
+    """
+    c_pdf = corpus.select(id_col, vec_col).toPandas()
+    ids_all = c_pdf[id_col].to_numpy()
+    mat_all = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in c_pdf[vec_col]])
+    norm_all = np.linalg.norm(mat_all, axis=1)
+    norm_all[norm_all == 0] = 1.0
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((ids_all, mat_all, norm_all))
+
+    schema = "id_a long, id_b long, cos double"
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            norm = np.linalg.norm(mat, axis=1)
+            norm[norm == 0] = 1.0
+            cos = (mat @ mat_b.T) / norm[:, None] / norm_b[None, :]
+            keep = (cos >= threshold) & (ids[:, None] < ids_b[None, :])
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": ids[ii], "id_b": ids_b[jj],
+                                "cos": cos[ii, jj]})
+
+    return corpus.mapInPandas(_pairs, schema=schema)
+
+
+def cosine_pairs_duckdb_sql(threshold: str,
+                            table: str = "embeddings") -> str:
+    """DuckDB oracle for cosine_pairs (pass threshold as an e-notation
+    literal so DuckDB types it DOUBLE, not DECIMAL). cos is excluded
+    from the compared columns (fp summation order differs between
+    engines); callers select (id_a, id_b) only and must pick thresholds
+    sitting in a wide gap of the pair-cosine distribution."""
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding, b.embedding)
+              / (sqrt(list_dot_product(a.embedding, a.embedding))
+                 * sqrt(list_dot_product(b.embedding, b.embedding)))
+              >= {threshold}
+    """
+
+
 def add_lsh_buckets(df: DataFrame, *, vec_col: str = "embedding",
                     n_bits: int = 8, n_tables: int = 8,
                     out_col: str = "bucket",

@@ -71,9 +71,13 @@ def test_salted_join_balances_partitions(spark, skewed_points):
 
 # ------------------------------------------------------------ negative paths
 
-def test_bad_tags_type_raises():
-    with pytest.raises(TypeError):
-        transform.create_where_filter(42)
+def test_bad_tags_type_yields_false_predicate():
+    # negative-path contract (TransformTest.groovy:76-99): malformed
+    # tags produce a False predicate (empty downstream results), not an
+    # exception — round-2 parity change, see test_zones_schema too
+    pred, keys = transform.create_where_filter(42)
+    assert keys == []
+    assert "false" in str(pred).lower()
 
 
 def test_join_rejects_unknown_how(spark, skewed_points):

@@ -133,6 +133,24 @@ def test_cosine_topk_matches_duckdb(emb, duck):
     assert g == w
 
 
+def test_cosine_pairs_matches_bruteforce(emb):
+    """cosine_pairs (embedding near-dup) == numpy all-pairs brute
+    force, including symmetry dedup (id_a < id_b) and thresholding."""
+    import numpy as np
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"]])
+    norm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / norm[:, None] / norm[None, :]
+    thr = 0.35
+    ii, jj = np.nonzero((cos >= thr) & (ids[:, None] < ids[None, :]))
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+    got = {(r.id_a, r.id_b)
+           for r in sim.cosine_pairs(emb, thr).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_ivf_topk_recall_and_exactness(emb):
     queries = emb.where("vec_id % 100 = 0").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
