@@ -1007,6 +1007,26 @@ def q_embedding_dedup_survivors(spark, sf_dir):
             .select("vec_id").orderBy("vec_id"))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: stamp each click event with the latest prior-or-
+    equal error event of the same user (union + running-last window —
+    one shuffle, no range explosion; temporal.py). Oracle twin is
+    DuckDB's native ASOF LEFT JOIN."""
+    from sparkspatial import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where("event_type = 'click'")
+    right = ev.where("event_type = 'error'")
+    out = temporal.asof_join(left, right, ["user_id"], "ts", "ts",
+                             payload=["event_id", "value"], suffix="_e")
+    return (out.select(
+                "event_id", "user_id",
+                F.col("event_id_e").alias("err_event_id"),
+                F.col("value_e").alias("err_value"),
+                "asof_gap_s")
+            .orderBy("event_id"))
+
+
 def q_extract_roundtrip(spark, sf_dir):
     """Byte-identity invariant: extract_text(make_html(text)) vs the
     normalized text, per url (input_hint per-row invariant)."""
@@ -1045,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_envelope": q_zone_envelope,
         "tessellate": q_tessellate,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "pricing_summary": q_pricing_summary,
         "top_parts": q_top_parts,
         "tag_filter": q_tag_filter,
@@ -1273,6 +1294,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sess_id, COUNT(*) AS n_events,
                    MIN(event_id) AS first_event
             FROM s2 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS err_event_id,
+                   r.value AS err_value,
+                   CASE WHEN r.event_id IS NULL THEN NULL
+                        ELSE (epoch_us(l.ts) - epoch_us(r.ts)) // 1000000
+                   END AS asof_gap_s
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
