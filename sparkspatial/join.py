@@ -189,6 +189,54 @@ def cover_stats(polys: DataFrame, poly_id: str, wkb_col: str, res: int,
         stats.unpersist()
 
 
+class ZoneIndex:
+    """Precomputed polygon-side join state (cover + chosen resolution).
+
+    The polygon side of a spatial join is the small, slowly-changing
+    dimension: at corpus scale the same zone set joins against many
+    page batches (and every micro-batch of a stream). Building the
+    cover once and passing it to each `spatial_join` call removes the
+    per-call stats pass + cover rebuild — the RTREE-build-once analog
+    of the reference's `CREATE INDEX ... USING RTREE` before its join
+    queries (SURVEY.md §2.8 P2/P3).
+
+    `persist()` pins the exploded cover in executor memory (caller
+    owns the lifetime; `release()` or session.unpersist_all() frees).
+    """
+
+    def __init__(self, cover: DataFrame, res: int, n_cover: int,
+                 refine: str, poly_id: str):
+        self.cover = cover
+        self.res = res
+        self.n_cover = n_cover
+        self.refine = refine
+        self.poly_id = poly_id
+
+    def persist(self) -> "ZoneIndex":
+        from . import session as _session
+        self.cover = self.cover.persist()
+        self.cover.count()
+        _session.register_persisted(self.cover)
+        return self
+
+    def release(self) -> None:
+        self.cover.unpersist()
+
+
+def build_zone_index(polys: DataFrame, poly_id: str = "zone_id",
+                     wkb_col: str = "the_geom_wkb", res: int = DEFAULT_RES,
+                     max_cells_per_poly: int = MAX_CELLS_PER_POLY,
+                     refine: str = "jvm") -> ZoneIndex:
+    """One stats pass + cover build, reusable across spatial_join
+    calls (see ZoneIndex)."""
+    r, n_cover = cover_stats(polys, poly_id, wkb_col, res,
+                             max_cells_per_poly)
+    cover = cover_polygons(polys, poly_id=poly_id, wkb_col=wkb_col,
+                           res=r, max_cells_per_poly=max_cells_per_poly,
+                           with_edges=(refine == "jvm"))
+    return ZoneIndex(cover, r, n_cover, refine, poly_id)
+
+
 def point_cells(points: DataFrame, res_list: list[int],
                 lat_col: str = "lat", lon_col: str = "lon",
                 cell_col: str = "cell") -> DataFrame:
@@ -269,7 +317,8 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
                  salt: bool = False,
                  hot_threshold: int = skew.DEFAULT_HOT_THRESHOLD,
                  keep_poly_cols: list[str] | None = None,
-                 single_res: bool = True) -> DataFrame:
+                 single_res: bool = True,
+                 index: ZoneIndex | None = None) -> DataFrame:
     """Point-in-polygon spatial join (J5/J6 of SURVEY.md §2.3).
 
     Parameters
@@ -292,7 +341,16 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
     point_id_cols = point_id_cols or ["url"]
     keep_poly_cols = keep_poly_cols if keep_poly_cols is not None else [poly_id]
 
-    if single_res:
+    if index is not None:
+        # prebuilt polygon-side state: no stats pass, no cover rebuild
+        if index.refine != refine:
+            raise ValueError(
+                f"index built for refine={index.refine!r}, got {refine!r}")
+        cover, res, n_cover = index.cover, index.res, index.n_cover
+        res_list = [res]
+        if broadcast is None:
+            broadcast = n_cover <= BROADCAST_MAX_COVER_ROWS
+    elif single_res:
         # one bounded stats pass over the (small) polygon side picks the
         # global resolution and sizes the cover; the exploded cover
         # itself is then built lazily inside the join plan and never

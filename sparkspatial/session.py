@@ -32,7 +32,8 @@ def unpersist_all(blocking: bool = False) -> int:
 
 
 def get_spark(app: str = "sparkspatial", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
     Local-mode defaults come from env (`SPARK_GRAFT_CPUS`); on a real
@@ -64,4 +65,6 @@ def get_spark(app: str = "sparkspatial", master: str | None = None,
     if xms:
         builder = builder.config("spark.driver.extraJavaOptions",
                                  f"-Xms{xms}")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
     return builder.getOrCreate()

