@@ -1007,6 +1007,22 @@ def q_embedding_dedup_survivors(spark, sf_dir):
             .select("vec_id").orderBy("vec_id"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-token fraction,
+    mode-token and mode-bigram share) per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.repetition_stats(docs).orderBy("doc_id")
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 1-in-5 document sample keyed on h32(doc_id) —
+    reproducible across engines/partitionings (vs rand() sampling)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = text.hash_sample_sql("CAST(doc_id AS STRING)", 1, 5, "spark")
+    return (docs.where(F.expr(pred))
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: stamp each click event with the latest prior-or-
     equal error event of the same user (union + running-last window —
@@ -1066,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tessellate": q_tessellate,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "repetition": q_repetition,
+        "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
         "top_parts": q_top_parts,
         "tag_filter": q_tag_filter,
@@ -1294,6 +1312,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sess_id, COUNT(*) AS n_events,
                    MIN(event_id) AS first_event
             FROM s2 GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "repetition": (
+            text.repetition_stats_duckdb_sql()
+            + " ORDER BY doc_id"),
+        "hash_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {text.hash_sample_sql("CAST(doc_id AS VARCHAR)",
+                                        1, 5, "duckdb")}
+            ORDER BY doc_id
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,

@@ -352,3 +352,96 @@ def simhash_duckdb_sql(n_bits: int = 32, text_col: str = "text",
         sums AS (SELECT {id_col}, {sums} FROM hashed GROUP BY {id_col})
         SELECT {id_col}, ({bit_terms}) AS simhash FROM sums
     """
+
+
+# ------------------------------------------------------- repetition / sampling
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Output: (id, n_tokens, n_distinct, dup_token_frac,
+    top_token_share, top_bigram_share) where
+      dup_token_frac  = 1 - n_distinct / n_tokens
+      top_token_share = count(mode token) / n_tokens
+      top_bigram_share= count(mode bigram) / n_bigrams.
+
+    Scale shape: explode -> partial-agg count per (id, gram) ->
+    per-id agg. The (id, gram) partial aggregation map-side-combines
+    the explode (same plan discipline as minhash_signatures), so the
+    only wide exchanges are two hash shuffles keyed by (id, gram) —
+    repetitive documents compress in the combiner instead of
+    traveling, which is exactly the skew you want soaked up at 100 TB
+    (a spam page with one token 10^6 times shuffles one row).
+    """
+    norm = F.expr(norm_text_sql(text_col))
+    uni = (docs.select(F.col(id_col), F.explode(F.split(norm, " "))
+                       .alias("g"))
+           .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_c")))
+    bi = (docs.select(F.col(id_col),
+                      F.explode(F.expr(shingles_sql(text_col, 2)))
+                      .alias("g"))
+          .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(id_col)
+          .agg(F.sum("c").alias("n_bigrams"),
+               F.max("c").alias("top_bi_c")))
+    return (uni.join(bi, id_col)
+            .select(
+                id_col, "n_tokens", "n_distinct",
+                (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"))
+                .alias("dup_token_frac"),
+                (F.col("top_c") / F.col("n_tokens"))
+                .alias("top_token_share"),
+                (F.col("top_bi_c") / F.col("n_bigrams"))
+                .alias("top_bigram_share")))
+
+
+def repetition_stats_duckdb_sql(text_col: str = "text",
+                                id_col: str = "doc_id",
+                                table: str = "documents") -> str:
+    """DuckDB oracle for :func:`repetition_stats` (same integer counts,
+    same IEEE divisions)."""
+    norm = norm_text_sql(text_col, "duckdb")
+    bigrams = shingles_sql(text_col, 2, "duckdb")
+    return f"""
+        WITH u1 AS (
+            SELECT {id_col}, unnest(string_split({norm}, ' ')) AS g
+            FROM {table}),
+        u2 AS (SELECT {id_col}, g, count(*) AS c FROM u1 GROUP BY 1, 2),
+        uni AS (SELECT {id_col},
+                       -- duckdb SUM(BIGINT) is HUGEINT; pin to BIGINT
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_distinct, MAX(c) AS top_c
+                FROM u2 GROUP BY 1),
+        b1 AS (
+            SELECT {id_col}, unnest({bigrams}) AS g FROM {table}),
+        b2 AS (SELECT {id_col}, g, count(*) AS c FROM b1 GROUP BY 1, 2),
+        bi AS (SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      MAX(c) AS top_bi_c
+               FROM b2 GROUP BY 1)
+        SELECT uni.{id_col}, n_tokens, n_distinct,
+               1e0 - CAST(n_distinct AS DOUBLE) / n_tokens
+                   AS dup_token_frac,
+               CAST(top_c AS DOUBLE) / n_tokens AS top_token_share,
+               CAST(top_bi_c AS DOUBLE) / n_bigrams AS top_bigram_share
+        FROM uni JOIN bi USING ({id_col})
+    """
+
+
+def hash_sample_sql(key_expr: str, rate_num: int, rate_den: int,
+                    dialect: str = "spark") -> str:
+    """Deterministic hash-based sampling predicate: keep rows where
+    h32(key) % den < num.
+
+    Unlike rand()-based sampling this is reproducible across engines,
+    runs, and partitionings — the property a training pipeline needs
+    so a resumed/partial job samples the SAME documents (and so the
+    sample of a table equals the sample of its shards unioned).
+    """
+    h = (h32_spark_sql(key_expr) if dialect == "spark"
+         else h32_duckdb_sql(key_expr))
+    return f"({h}) % {rate_den} < {rate_num}"

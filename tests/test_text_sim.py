@@ -193,3 +193,51 @@ def test_ivf_centroids_stable_across_parallelism(emb):
     b = sim.ivf_centroids(emb.repartition(13), 8, sample=256)
     c = sim.ivf_centroids(emb.coalesce(1), 8, sample=256)
     assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
+# ------------------------------------------------------- repetition / sampling
+
+def test_repetition_stats_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    # deterministic subset (a limit() could pick different rows in the
+    # two separate actions below)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "doc_id < 50")
+    got = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = " ".join(row.text.lower().split()).split(" ")
+        bis = ([" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+               if len(toks) >= 2 else [" ".join(toks)])
+        g = got[row.doc_id]
+        c, cb = Counter(toks), Counter(bis)
+        assert g.n_tokens == len(toks)
+        assert g.n_distinct == len(c)
+        assert abs(g.dup_token_frac - (1 - len(c) / len(toks))) < 1e-12
+        assert abs(g.top_token_share - max(c.values()) / len(toks)) < 1e-12
+        assert abs(g.top_bigram_share - max(cb.values()) / len(bis)) < 1e-12
+
+
+def test_repetition_flags_spammy_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "buy now " * 50), (2, "a b c d e f g h i j")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert out[1].dup_token_frac > 0.9 and out[1].top_bigram_share > 0.4
+    assert out[2].dup_token_frac == 0.0
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = text.hash_sample_sql("CAST(doc_id AS STRING)", 1, 5, "spark")
+    a = sorted(r.doc_id for r in docs.where(pred).select("doc_id").collect())
+    b = sorted(r.doc_id
+               for r in docs.repartition(13).where(pred)
+               .select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # sample of shards unioned == sample of the table
+    half1 = docs.where("doc_id % 2 = 0").where(pred)
+    half2 = docs.where("doc_id % 2 = 1").where(pred)
+    c = sorted(r.doc_id
+               for r in half1.unionByName(half2).select("doc_id").collect())
+    assert a == c

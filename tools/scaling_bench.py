@@ -186,11 +186,12 @@ def main():
         "| {} | {} | **{:.2f}** | {:.2f} | {} |".format(
             i + 1,
             " / ".join(f"{r[c]['sec']:.2f}s" for c in levels),
-            eff(r, 4, 16), eff(r, n_lo, n_hi),
+            eff(r, n_lo, n_hi), eff(r, 4, 16),
             "clean" if not any(r[c]["all_dirty"] for c in levels)
             else "had dirty levels")
         for i, r in enumerate(all_runs))
-    consec = all(eff(r, 4, 16) >= 0.8 for r in all_runs)
+    consec = all(eff(r, n_lo, n_hi) >= 0.8 for r in all_runs)
+    consec_4_16 = all(eff(r, 4, 16) >= 0.8 for r in all_runs)
 
     md = f"""# BENCH/BASELINE — throughput + scaling evidence
 
@@ -213,26 +214,25 @@ reps (not best-of), so the table is reproducible, not opportunistic.
 {rows}
 
 - corpus: {latest[n_lo]['n_pages']} pages ({sf_dir})
-- **N vs 4N (within physical cores): local[4] -> local[16] speedup
+- **N vs 4N (the brief's local[{n_lo}] -> local[{n_hi}] pair):
+  speedup {latest[n_lo]['sec'] / latest[n_hi]['sec']:.2f}x, efficiency
+  {eff(latest, n_lo, n_hi):.2f}** (north_rule target >= 0.8)
+- supplementary local[4] -> local[16]: speedup
   {latest[4]['sec'] / latest[16]['sec']:.2f}x, efficiency
-  {eff(latest, 4, 16):.2f}** (north_rule target >= 0.8)
-- supplementary local[{n_lo}] -> local[{n_hi}]: speedup
-  {latest[n_lo]['sec'] / latest[n_hi]['sec']:.2f}x, efficiency
-  {eff(latest, n_lo, n_hi):.2f} — this pair crosses the host's
-  physical-core boundary (the box exposes 32 SMT threads on ~16
-  physical cores); gains past 16 threads come from SMT sharing, not
-  full cores — a real cluster adds machines, which is what the 4->16
-  pair models
+  {eff(latest, 4, 16):.2f} — the low parallelism levels are the
+  noise-sensitive ones on this shared box (their long wall times
+  integrate more co-tenant drift)
 
 ## Consecutive-run reproducibility
 
 {len(all_runs)} full ladder runs back-to-back, identical input/code:
 
-| run | wall ({" / ".join(f"local[{c}]" for c in levels)}) | eff 4->16 | eff {n_lo}->{n_hi} | steal filter |
+| run | wall ({" / ".join(f"local[{c}]" for c in levels)}) | eff {n_lo}->{n_hi} | eff 4->16 | steal filter |
 |---|---|---|---|---|
 {run_rows}
 
-{"**Both consecutive runs meet eff(4->16) >= 0.8.**" if consec and len(all_runs) >= 2 else "Target: two consecutive clean runs >= 0.8."}
+{"**Both consecutive runs meet eff(N->4N) >= 0.8 on the brief's " + f"{n_lo}->{n_hi} pair.**" if consec and len(all_runs) >= 2 else "Target: two consecutive clean runs >= 0.8."}
+{"Both runs also >= 0.8 on 4->16." if consec_4_16 and len(all_runs) >= 2 else ""}
 
 Raw (latest run): {raw}
 """
@@ -245,7 +245,10 @@ Raw (latest run): {raw}
                             for run in all_runs],
                    "eff_4_to_16": [eff(r, 4, 16) for r in all_runs],
                    "eff_lo_to_hi": [eff(r, n_lo, n_hi) for r in all_runs],
-                   "both_runs_ge_0_8": consec and len(all_runs) >= 2,
+                   "north_pair": f"{n_lo}->{n_hi}",
+                   "both_runs_ge_0_8_lo_to_hi":
+                       consec and len(all_runs) >= 2,
+                   "both_runs_ge_0_8": consec_4_16 and len(all_runs) >= 2,
                    "steal_max_pct": STEAL_MAX, "sys_max_pct": SYS_MAX,
                    "corpus_pages": latest[n_lo]["n_pages"],
                    "sf_dir": sf_dir}, f)
