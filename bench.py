@@ -171,10 +171,18 @@ def bench_queries(spark, sf_dir: str, pages_path: str):
         ("dedup_minhash_lsh", dedup_minhash_lsh),
         ("ann_cosine", ann_cosine),
     ]
+    # median of 5 per query: single-shot timings on this shared host
+    # swing 2-10x with co-tenant noise bursts (see BENCH/scaling.json
+    # rep spreads; an idle-host rep ladder still showed one 9 s spike
+    # among 0.8 s reps) — the median tolerates two noisy reps
     for name, fn in named:
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        reps = []
+        for _ in range(5):
+            t0 = time.monotonic()
+            fn()
+            reps.append(time.monotonic() - t0)
+        reps.sort()
+        timings[name] = round(reps[2], 3)
     return timings, n_pages
 
 
@@ -182,8 +190,16 @@ def main():
     os.makedirs(CACHE, exist_ok=True)
     from sparkspatial.session import get_spark
 
+    # small-file corpus (64 x ~150 KB at sf0.1 x1): Spark's default
+    # 128 MB/4 MB split packing would coalesce it into ~3 partitions
+    # and run the whole suite 3-wide on 32 cores; size splits so the
+    # scan fans out one task per file
     spark = get_spark(app="sparkspatial-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 8))
+                      shuffle_partitions=max(CPUS, 8),
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": str(4 << 20),
+                          "spark.sql.files.openCostInBytes": str(64 << 10),
+                      })
     spark.sparkContext.setLogLevel("ERROR")
 
     pages_path = build_pages_cache(spark, SF_DIR)
