@@ -79,3 +79,49 @@ def run_to_memory(stream_df: DataFrame, name: str = "stream_out"):
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def streaming_spatial_join(pages: DataFrame, zone_index,
+                           lat_col: str = "lat", lon_col: str = "lon",
+                           poly_id: str = "zone_id") -> DataFrame:
+    """Stream->static spatial join against a prebuilt ZoneIndex.
+
+    The batch join's exact shape — point cell-encode, equi-join on
+    `cell` against the (static, broadcastable) exploded cover, JVM
+    envelope prefilter, codegen'd even-odd PIP refine — is legal
+    inside a streaming query because every step is stateless per row:
+    a stream-static equi-join + filters. One code path for batch and
+    stream (Kappa), with the polygon side built once per zone-set
+    version, exactly how a continuous ingest of 10^12 pages would pin
+    its dimension state.
+    """
+    from pyspark.sql import functions as F
+
+    from . import join as joinmod
+
+    geo = (pages
+           .withColumn(lat_col, F.expr(lat_sql("domain", "url", "spark")))
+           .withColumn(lon_col, F.expr(lon_sql("domain", "url", "spark")))
+           .withColumn("cell", F.expr(
+               cells.cell_sql(lat_col, lon_col, zone_index.res))))
+    cover = F.broadcast(zone_index.cover)
+    coarse = (geo.join(cover, on="cell", how="inner")
+              .where((F.col(lon_col) >= F.col("minx"))
+                     & (F.col(lon_col) <= F.col("maxx"))
+                     & (F.col(lat_col) >= F.col("miny"))
+                     & (F.col(lat_col) <= F.col("maxy"))))
+    refined = coarse.where(joinmod.pip_jvm_predicate(lat_col, lon_col))
+    return refined.select("url", "warc_ts", lat_col, lon_col, poly_id)
+
+
+def streaming_zone_counts(pages: DataFrame, zone_index,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streamed per-(window, zone) page counts over the spatial join."""
+    matched = streaming_spatial_join(pages, zone_index)
+    return (matched.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"),
+                     F.col("zone_id"))
+            .agg(F.count(F.lit(1)).alias("page_count"))
+            .select(F.col("w.start").alias("window_start"), "zone_id",
+                    "page_count"))

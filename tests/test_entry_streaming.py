@@ -113,3 +113,37 @@ def test_streaming_grid_counts(spark, tmp_path):
                  .withColumnRenamed("sum(page_count)", "page_count")
                  .collect()}
     assert got_cells == want
+
+
+def test_streaming_spatial_join_equals_batch(spark, tmp_path):
+    """Stream-static spatial join via a prebuilt ZoneIndex: streamed
+    (zone, count) totals == the batch spatial join on the same pages
+    (one code path, Kappa property)."""
+    from sparkspatial import extract, join, zones
+
+    pages = fixtures.synthetic_pages(spark, n=500, n_domains=25)
+    path = str(tmp_path / "pages_sj_stream")
+    pages.write.mode("overwrite").parquet(path)
+
+    zdf = zones.synthetic_zones(spark, n=24).persist()
+    zidx = join.build_zone_index(zdf, res=10).persist()
+    try:
+        stream = streaming.read_pages_stream(spark, path)
+        agg = streaming.streaming_zone_counts(stream, zidx,
+                                              window="24 hours")
+        name = streaming.run_to_memory(agg, "t_sj_out")
+        got = {r.zone_id: r.page_count for r in
+               spark.sql(f"SELECT zone_id, SUM(page_count) AS page_count "
+                         f"FROM {name} GROUP BY zone_id").collect()}
+
+        batch_pts = extract.geotag(spark.read.parquet(path),
+                                   "domain", "url")
+        batch = join.spatial_join(batch_pts, zdf, how="inner",
+                                  broadcast=True, index=zidx)
+        want = {r.zone_id: r.n for r in
+                batch.groupBy("zone_id").agg(
+                    F.count(F.lit(1)).alias("n")).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        zidx.release()
+        zdf.unpersist()
