@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sparkspatial import cells as cellmod
 from sparkspatial import extract, join, knn, layers, sim, text, tiles
+from sparkspatial import graph as graphmod
 from sparkspatial import params as paramsmod
 from sparkspatial import transform, zones
 from sparkspatial.geocode import lat_sql, lon_sql, url_sql
@@ -1043,6 +1044,127 @@ def q_asof_join(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def _lined_corpus(spark, sf_dir):
+    """Multi-line corpus for line-level dedup: a boilerplate header on
+    every doc, the unique body, a footer shared by doc_id % 3 class."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("common header\n"), F.col("text"),
+                 F.lit("\nfooter "),
+                 (F.col("doc_id") % 3).cast("string")).alias("text"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line (paragraph) dedup, CCNet-style: one surviving
+    copy of every distinct line (min (doc_id, pos) occurrence),
+    documents reassembled from their surviving lines (text.line_dedup;
+    map-side-combined min-struct agg, no hot-key window)."""
+    return text.line_dedup(_lined_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (GPT-3-style n-gram overlap): docs
+    with doc_id % 10 = 0 form the benchmark; the corpus is the rest,
+    with the % 10 = 3 docs 'leaking' their benchmark neighbour's full
+    text. Flags every corpus doc sharing a 5-token shingle with the
+    benchmark — only hashes travel, the eval side reduces to a
+    broadcastable DISTINCT hash set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    ev = docs.where("doc_id % 10 = 0")
+    leaked = (docs.where("doc_id % 10 = 3").alias("c")
+              .join(ev.selectExpr("doc_id AS eid", "text AS etext"),
+                    F.col("c.doc_id") - 3 == F.col("eid"))
+              .select("c.doc_id",
+                      F.concat("c.text", F.lit(" "), "etext")
+                      .alias("text")))
+    corpus = docs.where("doc_id % 10 NOT IN (0, 3)").unionByName(leaked)
+    return (text.decontaminate(corpus, ev, shingle_k=5)
+            .orderBy("doc_id"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing: emails/phones/IPv4s replaced by typed tokens +
+    per-category counts (codegen regexp chain — a pure map stage at
+    100 TB). PII is injected deterministically since the synthetic
+    corpus has none."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.selectExpr(
+        "doc_id",
+        "concat(text,"
+        " CASE WHEN doc_id % 7 = 0 THEN"
+        "   concat(' contact user', doc_id, '@mail.example') ELSE '' END,"
+        " CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END,"
+        " CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.10.42' ELSE '' END"
+        ") AS text")
+    counts = text.pii_count_sqls("text", "spark")
+    return (aug.selectExpr(
+                "doc_id",
+                text.pii_scrub_sql("text", "spark") + " AS text_clean",
+                counts["email"] + " AS n_email",
+                counts["phone"] + " AS n_phone",
+                counts["ip"] + " AS n_ip")
+            .orderBy("doc_id"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic concat-then-chunk sequence packing for LM
+    training: h32-sharded, h32-ordered token layout; each doc gets the
+    (shard, pack, offset) its first token lands in. Reproducible
+    across runs/engines/partitionings (text.pack_sequences)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.pack_sequences(docs, seq_len=256, n_shards=8) \
+        .orderBy("doc_id")
+
+
+def q_url_host_stats(spark, sf_dir):
+    """URL normalization + per-host rollup: scheme/www/query/trailing-
+    slash-insensitive host & path extraction (codegen regexp), then
+    page and distinct-path counts per (host, tld)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.selectExpr(
+        "doc_id",
+        "concat('https://WWW.', source, '.Example.COM/docs/', doc_id,"
+        " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,"
+        " CASE WHEN doc_id % 4 = 0 THEN '?ref=feed' ELSE '' END"
+        ") AS url")
+    p = text.url_parts_sqls("url", "spark")
+    return (urls.selectExpr("doc_id", p["host"] + " AS host",
+                            p["path"] + " AS path", p["tld"] + " AS tld")
+            .groupBy("host", "tld")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("path").alias("n_paths"))
+            .orderBy("host"))
+
+
+def q_near_dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: MinHash -> LSH candidates ->
+    exact-Jaccard verify (>= 0.8) -> CONNECTED COMPONENTS over the
+    verified pair graph (graph.connected_components, hash-min label
+    propagation) -> every doc mapped to its cluster-min
+    representative. Transitive closure merges chains A~B~C that the
+    per-pair survivor convention under-merges; the oracle twin is a
+    DuckDB recursive CTE."""
+    from sparkspatial import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    dup = docs.where("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text")
+    corpus = docs.unionByName(dup)
+    sigs = text.minhash_signatures(corpus, n_hashes=8)
+    pairs = text.lsh_candidate_pairs(sigs, bands=4)
+    verified = (text.token_jaccard_pairs(corpus, pairs)
+                .where(F.col("jaccard") >= 0.8)
+                .select("id_a", "id_b"))
+    comp = graph.connected_components(verified)
+    return (corpus.join(comp, corpus.doc_id == comp.node, "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("rep_id"))
+            .orderBy("doc_id"))
+
+
 def q_extract_roundtrip(spark, sf_dir):
     """Byte-identity invariant: extract_text(make_html(text)) vs the
     normalized text, per url (input_hint per-row invariant)."""
@@ -1082,6 +1204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tessellate": q_tessellate,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
+        "url_host_stats": q_url_host_stats,
+        "near_dedup_components": q_near_dedup_components,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1156,6 +1284,9 @@ def oracle_sql() -> dict[str, str]:
     mh_aggs = ", ".join(text.minhash_sql_exprs(8, "sh"))
     sh_duck = text.shingles_sql("text", 3, "duckdb")
     shh_duck = text.shingle_hashes_duckdb_sql("text", 3)
+    shh5_duck = text.shingle_hashes_duckdb_sql("text", 5)
+    pii_duck = text.pii_count_sqls("text", "duckdb")
+    url_duck = text.url_parts_sqls("url", "duckdb")
     h32_sh = h32_duckdb_sql("shingle")
 
     haversine = """
@@ -1334,6 +1465,109 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT * FROM events WHERE event_type = 'error') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id
+        """,
+        "line_dedup": (
+            "WITH corpus AS (SELECT doc_id, "
+            "'common header' || chr(10) || text || chr(10) || 'footer ' "
+            "|| CAST(doc_id % 3 AS VARCHAR) AS text FROM documents), "
+            + text.line_dedup_duckdb_sql("corpus")
+            + " ORDER BY doc_id"),
+        "decontaminate": f"""
+            WITH ev AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+            leaked AS (
+                SELECT c.doc_id, c.text || ' ' || e.text AS text
+                FROM documents c JOIN ev e ON c.doc_id - 3 = e.doc_id
+                WHERE c.doc_id % 10 = 3),
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 NOT IN (0, 3)
+                UNION ALL SELECT doc_id, text FROM leaked),
+            evsh AS (SELECT DISTINCT unnest({shh5_duck}) AS sh FROM ev),
+            csh AS (SELECT doc_id, unnest({shh5_duck}) AS sh FROM corpus),
+            hit AS (SELECT DISTINCT doc_id FROM csh JOIN evsh USING (sh))
+            SELECT c.doc_id,
+                   c.doc_id IN (SELECT doc_id FROM hit) AS contaminated
+            FROM corpus c ORDER BY doc_id
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id, text
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@mail.example' ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0
+                            THEN ' call 555-123-4567' ELSE '' END
+                    || CASE WHEN doc_id % 13 = 0
+                            THEN ' from 192.168.10.42' ELSE '' END AS text
+                FROM documents)
+            SELECT doc_id,
+                   {text.pii_scrub_sql("text", "duckdb")} AS text_clean,
+                   {pii_duck["email"]} AS n_email,
+                   {pii_duck["phone"]} AS n_phone,
+                   {pii_duck["ip"]} AS n_ip
+            FROM aug ORDER BY doc_id
+        """,
+        "pack_sequences": (
+            "WITH "
+            + text.pack_sequences_duckdb_sql("documents", seq_len=256,
+                                             n_shards=8)
+            + " ORDER BY doc_id"),
+        "url_host_stats": f"""
+            WITH urls AS (
+                SELECT doc_id,
+                       'https://WWW.' || source || '.Example.COM/docs/'
+                       || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN '?ref=feed'
+                               ELSE '' END AS url
+                FROM documents),
+            parts AS (
+                SELECT {url_duck["host"]} AS host,
+                       {url_duck["path"]} AS path,
+                       {url_duck["tld"]} AS tld
+                FROM urls)
+            SELECT host, tld, COUNT(*) AS n_pages,
+                   COUNT(DISTINCT path) AS n_paths
+            FROM parts GROUP BY host, tld ORDER BY host
+        """,
+        "near_dedup_components": f"""
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+            hashed AS (SELECT doc_id, unnest({shh_duck}) AS sh FROM corpus),
+            sigs AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+                 AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+                   OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+                   OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+                   OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
+            shing AS (
+                SELECT DISTINCT doc_id, unnest({sh_duck}) AS shingle
+                FROM corpus),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY 1),
+            inter AS (
+                SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+                FROM pairs p
+                JOIN shing a ON a.doc_id = p.id_a
+                JOIN shing b ON b.doc_id = p.id_b
+                            AND a.shingle = b.shingle
+                GROUP BY 1, 2),
+            verified AS (
+                SELECT p.id_a, p.id_b FROM pairs p
+                JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+                JOIN sizes sa ON sa.doc_id = p.id_a
+                JOIN sizes sb ON sb.doc_id = p.id_b
+                WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 8e-1),
+            {graphmod.components_duckdb_sql("verified")}
+            SELECT c.doc_id,
+                   COALESCE(comp.component, c.doc_id) AS rep_id
+            FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+            ORDER BY c.doc_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

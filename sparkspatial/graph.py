@@ -1,0 +1,114 @@
+"""Distributed connected components over a pair/edge DataFrame.
+
+The dedup family (LSH near-dup, embedding near-dup) emits PAIRS; the
+correct corpus-level grouping is the transitive closure of those pairs
+— doc A~B, B~C must land in one group even if A~C never paired (the
+survivor-per-pair convention in near_dedup_survivors under-merges
+chains). This module computes, for every node, the minimum node id
+reachable through the pair graph ("hash-min" connected components),
+which is the canonical duplicate-cluster representative used by
+large-scale dedup pipelines.
+
+Algorithm: iterative min-label propagation. labels(v) starts at v;
+each round sets labels(v) = min(labels(v), min over neighbors u of
+labels(u)); a monotonically non-increasing global sum certifies
+convergence with a scalar driver check (no data collected). Rounds
+needed = graph diameter; duplicate clusters are short-diameter blobs
+(a spam template cluster is a near-clique), so 3-6 rounds in practice.
+For adversarially long path graphs the round count grows, which is the
+known trade-off of hash-min vs the O(log n)-round large-star/small-star
+scheme (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — the per-round join below is the building block
+either way.
+
+Scale shape per round: one equi-join of the symmetric edge list with
+the label table on the node key + one groupBy(node) min — two hash
+exchanges over data that shrinks as labels stabilize. Labels/edges are
+persisted per round and the previous round unpersisted (no cache
+leak); lineage is cut every round by the persist so the plan does not
+grow with iterations.
+
+No SQL-recursion is used on the Spark side; the DuckDB oracle twin
+(`components_duckdb_sql`) expresses the same fixpoint as a recursive
+CTE, which the driver hash-compares at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import session as _session
+
+__all__ = ["connected_components", "components_duckdb_sql"]
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node appearing in `edges`;
+    component = min node id in the node's connected component.
+
+    Only scalar convergence stats ever reach the driver. Raises
+    RuntimeError if `max_iter` rounds do not converge (diameter
+    larger than max_iter — raise it or switch to star-contraction).
+    """
+    sym = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .unionByName(
+               edges.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+           .distinct()
+           .persist())
+    _session.register_persisted(sym)
+
+    # localCheckpoint (eager) per round: persist alone leaves the full
+    # join lineage in the logical plan, which grows superlinearly with
+    # rounds (measured: a 12-round chain overflows plan analysis). On
+    # a cluster use a reliable checkpoint dir instead (localCheckpoint
+    # state dies with an executor); semantics are identical.
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint())
+
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, sym.src == labels.node)
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.min("lbl").alias("nbr_lbl")))
+        labels = (labels.join(nbr_min, "node", "left")
+                  .select("node",
+                          F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                          .alias("lbl"))
+                  .localCheckpoint())
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:
+            sym.unpersist()
+            return labels.select(F.col("node"),
+                                 F.col("lbl").alias("component"))
+        prev_sum = new_sum
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds")
+
+
+def components_duckdb_sql(edges_cte: str, id_a: str = "id_a",
+                          id_b: str = "id_b") -> str:
+    """DuckDB twin: min reachable id via recursive CTE over the edge
+    set produced by `edges_cte` (a CTE name visible in the enclosing
+    WITH RECURSIVE query). UNION (distinct) bounds the recursion:
+    reach holds (node, reachable-id) pairs, so it grows to at most
+    sum of component sizes squared — fine at oracle scale, and an
+    exact fixpoint semantics match for the Spark hash-min loop."""
+    return f"""
+        sym AS (
+            SELECT {id_a} AS src, {id_b} AS dst FROM {edges_cte}
+            UNION
+            SELECT {id_b} AS src, {id_a} AS dst FROM {edges_cte}),
+        reach(node, r) AS (
+            SELECT src, src FROM sym
+            UNION
+            SELECT s.dst, reach.r FROM sym s
+            JOIN reach ON reach.node = s.src),
+        comp AS (
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    """

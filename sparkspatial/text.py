@@ -200,37 +200,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     per token instead of per concatenated shingle), then
     explode(shingle hashes) -> groupBy(id) with N partial-agg mins:
     the explode never shuffles (map-side combine collapses it before
-    the exchange on id).
+    the exchange on id). Shingle hashing lives in
+    :func:`shingle_hash_rows` (shared with decontaminate).
     """
-    norm = norm_text_sql(text_col, "spark")
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
-        F.size(F.split(F.expr(norm), " ")).alias("ntok"))
-    th = toks.select(
-        id_col, "pos", "ntok",
-        (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
-    # rolling k-shingle hash via window leads — each token hashes once
-    # (an array formulation re-evaluates the token-hash array per
-    # shingle after projection collapse: O(tokens^2) md5 per doc)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
-             for j in range(shingle_k)]
-    parts = [(F.lead("th", j).over(w) if j else F.col("th"))
-             * F.lit(coefs[j]) % MERSENNE31
-             for j in range(shingle_k)]
-    sh_expr = parts[0]
-    for p in parts[1:]:
-        sh_expr = sh_expr + p
-    long_docs = (th.where(F.col("ntok") >= shingle_k)
-                 .select(id_col, (sh_expr % MERSENNE31).alias("sh"))
-                 .where(F.col("sh").isNotNull()))
-    short_docs = (docs
-                  .where(F.expr(f"size(split({norm}, ' '))") < shingle_k)
-                  .select(F.col(id_col),
-                          (F.expr(h32_spark_sql(norm)) % MERSENNE31)
-                          .alias("sh")))
-    exploded = long_docs.unionByName(short_docs)
+    exploded = shingle_hash_rows(docs, text_col, id_col, shingle_k)
     aggs = [F.expr(e) for e in minhash_sql_exprs(n_hashes)]
     return exploded.groupBy(id_col).agg(*aggs)
 
@@ -445,3 +418,324 @@ def hash_sample_sql(key_expr: str, rate_num: int, rate_den: int,
     h = (h32_spark_sql(key_expr) if dialect == "spark"
          else h32_duckdb_sql(key_expr))
     return f"({h}) % {rate_den} < {rate_num}"
+
+
+# ------------------------------------------------------------- line dedup
+
+def line_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               sep: str = "\n") -> DataFrame:
+    """Corpus-wide line (paragraph) dedup, CCNet-style.
+
+    Splits every document into lines, keeps exactly ONE copy of each
+    distinct line across the whole corpus — the occurrence with the
+    smallest (doc_id, position) — and reassembles documents from their
+    surviving lines. Boilerplate lines (nav bars, cookie banners,
+    footers) that repeat across millions of pages collapse to a single
+    retained copy; everything else passes through unchanged.
+
+    Output: (id, text_clean, n_lines_kept, n_lines_dropped). Documents
+    whose every line was claimed elsewhere come back with
+    text_clean='' (never dropped from the corpus).
+
+    Scale shape: two hash exchanges. (1) groupBy(md5(line)) with a
+    min(struct(doc_id, pos, line)) aggregate — the map-side combiner
+    collapses a boilerplate line repeated 10^8 times to one row per
+    input partition BEFORE the shuffle, so hot lines cost bandwidth
+    proportional to partition count, not occurrence count (same
+    discipline as minhash_signatures). (2) groupBy(doc_id) to
+    reassemble. No window over the line-hash key (a hot key would
+    serialize into one task), no join-back (the kept line rides inside
+    the min-struct).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+    kept = (lines
+            .groupBy(F.md5(F.col("line")).alias("lh"))
+            .agg(F.min(F.struct(id_col, "pos", "line")).alias("k"),
+                 F.count(F.lit(1)).alias("occ"))
+            .select(F.col(f"k.{id_col}").alias(id_col),
+                    F.col("k.pos").alias("pos"),
+                    F.col("k.line").alias("line")))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda x: x["line"]),
+                        sep).alias("text_clean"),
+                    F.count(F.lit(1)).alias("n_lines_kept")))
+    n_total = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).alias("n_lines"))
+    return (n_total.join(rebuilt, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+                (F.col("n_lines")
+                 - F.coalesce("n_lines_kept", F.lit(0)))
+                .alias("n_lines_dropped")))
+
+
+def line_dedup_duckdb_sql(table: str = "corpus", text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`line_dedup` (parallel unnest zips the
+    line list with its 1-based positions; row_number picks the same
+    (doc_id, pos)-min occurrence)."""
+    return f"""
+        lines AS (
+            SELECT {id_col},
+                   unnest(generate_series(1, len(string_split({text_col}, chr(10))))) AS pos,
+                   unnest(string_split({text_col}, chr(10))) AS line
+            FROM {table}),
+        ranked AS (
+            SELECT {id_col}, pos, line,
+                   row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY {id_col}, pos) AS rn
+            FROM lines),
+        kept AS (SELECT {id_col}, pos, line FROM ranked WHERE rn = 1),
+        rebuilt AS (
+            SELECT {id_col},
+                   string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_lines_kept
+            FROM kept GROUP BY {id_col}),
+        totals AS (
+            SELECT {id_col},
+                   len(string_split({text_col}, chr(10))) AS n_lines
+            FROM {table})
+        SELECT t.{id_col},
+               COALESCE(text_clean, '') AS text_clean,
+               COALESCE(n_lines_kept, 0) AS n_lines_kept,
+               t.n_lines - COALESCE(n_lines_kept, 0) AS n_lines_dropped
+        FROM totals t LEFT JOIN rebuilt r USING ({id_col})
+    """
+
+
+# --------------------------------------------------------- decontamination
+
+def shingle_hash_rows(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      shingle_k: int = 3) -> DataFrame:
+    """Exploded (id, sh) token-shingle hash rows — the shared substrate
+    of MinHash signatures and eval-set decontamination.
+
+    Same rolling window-lead formulation as minhash_signatures (each
+    token md5-hashes exactly ONCE; an array formulation re-evaluates
+    the hash array per shingle after projection collapse — measured
+    O(tokens^2)). Short documents (< k tokens) hash whole-text.
+    """
+    norm = norm_text_sql(text_col, "spark")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
+        F.size(F.split(F.expr(norm), " ")).alias("ntok"))
+    th = toks.select(
+        id_col, "pos", "ntok",
+        (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
+             for j in range(shingle_k)]
+    parts = [(F.lead("th", j).over(w) if j else F.col("th"))
+             * F.lit(coefs[j]) % MERSENNE31
+             for j in range(shingle_k)]
+    sh_expr = parts[0]
+    for p in parts[1:]:
+        sh_expr = sh_expr + p
+    long_docs = (th.where(F.col("ntok") >= shingle_k)
+                 .select(id_col, (sh_expr % MERSENNE31).alias("sh"))
+                 .where(F.col("sh").isNotNull()))
+    short_docs = (docs
+                  .where(F.expr(f"size(split({norm}, ' '))") < shingle_k)
+                  .select(F.col(id_col),
+                          (F.expr(h32_spark_sql(norm)) % MERSENNE31)
+                          .alias("sh")))
+    return long_docs.unionByName(short_docs)
+
+
+def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_k: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    k-token shingle with an evaluation set (the GPT-3/PaLM-style
+    n-gram-overlap contamination test; k=13 in those reports, smaller
+    here because the synthetic docs are short).
+
+    Returns (id, contaminated). Scale shape: the eval side reduces to
+    DISTINCT shingle hashes — for real benchmarks that is a few 10^6
+    rows (broadcastable) regardless of corpus size; the corpus side is
+    a left_semi equi-join on the 4-byte hash, then distinct doc ids.
+    No text ever crosses the wire, only hashes.
+    """
+    ev = shingle_hash_rows(eval_docs, text_col, id_col, shingle_k) \
+        .select("sh").distinct()
+    hit = (shingle_hash_rows(corpus, text_col, id_col, shingle_k)
+           .join(ev, "sh", "left_semi")
+           .select(id_col).distinct()
+           .withColumn("contaminated", F.lit(True)))
+    return (corpus.select(id_col).join(hit, id_col, "left")
+            .select(id_col,
+                    F.coalesce("contaminated", F.lit(False))
+                    .alias("contaminated")))
+
+
+# ----------------------------------------------------------------- PII scrub
+
+# Shared-syntax regexes: Java (Spark) and RE2 (DuckDB) agree on these
+# constructs — character classes, bounded repetition, alternation; no
+# lookarounds (RE2 has none), no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+IP_RE = (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+
+_PII_RULES = [("email", EMAIL_RE, "<EMAIL>"),
+              ("phone", PHONE_RE, "<PHONE>"),
+              ("ip", IP_RE, "<IP>")]
+
+
+def _sql_quote(pat: str, dialect: str = "spark") -> str:
+    """Regex pattern -> SQL string literal. Spark SQL literals process
+    backslash escapes (so `\\+` must be doubled); DuckDB standard
+    strings are escape-free."""
+    if dialect == "spark":
+        pat = pat.replace("\\", "\\\\")
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def pii_scrub_sql(col: str, dialect: str = "spark") -> str:
+    """Expression: text with emails/phones/IPv4s replaced by typed
+    placeholder tokens (applied in rule order; email first so an IP-
+    looking domain fragment is consumed by the email rule, same
+    precedence both engines).
+
+    All-JVM (codegen regexp_replace) on the Spark side — PII scrubbing
+    at 100 TB is a pure map stage, no shuffle, no Python.
+    """
+    out = col
+    for _, pat, repl in _PII_RULES:
+        if dialect == "spark":
+            out = f"regexp_replace({out}, {_sql_quote(pat, dialect)}, '{repl}')"
+        else:
+            out = (f"regexp_replace({out}, {_sql_quote(pat, dialect)}, "
+                   f"'{repl}', 'g')")
+    return out
+
+
+def pii_count_sqls(col: str, dialect: str = "spark") -> dict[str, str]:
+    """Per-category match-count expressions (email/phone/ip).
+
+    Counts are computed on the ORIGINAL text per category with the
+    same precedence as pii_scrub_sql: higher-priority rules' matches
+    are blanked before counting (so the '@10.0.0.1' tail of an email
+    never double-counts as an IP).
+    """
+    out = {}
+    masked = col
+    for name, pat, _ in _PII_RULES:
+        if dialect == "spark":
+            out[name] = (f"size(regexp_extract_all({masked}, "
+                         f"{_sql_quote(pat, dialect)}, 0))")
+            masked = f"regexp_replace({masked}, {_sql_quote(pat, dialect)}, ' ')"
+        else:
+            out[name] = (f"len(regexp_extract_all({masked}, "
+                         f"{_sql_quote(pat, dialect)}))")
+            masked = (f"regexp_replace({masked}, {_sql_quote(pat, dialect)}, "
+                      f"' ', 'g')")
+    return out
+
+
+# ------------------------------------------------------------ seq packing
+
+def pack_sequences(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", seq_len: int = 256,
+                   n_shards: int = 8) -> DataFrame:
+    """Deterministic contiguous sequence packing for LM training.
+
+    Orders documents by (shard = h32(id) % n_shards, h32(id), id),
+    lays their tokens end-to-end within each shard, and assigns each
+    document the training sequence (pack) its FIRST token lands in:
+    pack_id = floor(start_tok / seq_len). Documents may straddle a
+    boundary (the standard "concat-then-chunk" GPT pretraining
+    packing); start_off locates the document inside its pack.
+
+    Output: (id, shard, pack_id, start_off, n_tokens).
+
+    Scale shape: one hash exchange on shard + an in-shard sort feeding
+    a running-sum window — each shard is an independent packing
+    stream, so parallelism = n_shards (pick ~#cores x 4 in
+    production). The hash-ordered layout is also a shuffle of the
+    corpus (well-mixed training batches) that is nonetheless
+    bit-reproducible across runs, engines, and input partitionings —
+    which rand()-shuffled packing is not.
+    """
+    h = F.expr(h32_spark_sql(f"CAST({id_col} AS STRING)"))
+    base = docs.select(
+        F.col(id_col),
+        (h % n_shards).alias("shard"),
+        h.alias("hkey"),
+        F.expr(token_count_sql(text_col, "spark")).alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("hkey", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    start = (F.col("cum") - F.col("n_tokens"))
+    return cum.select(
+        id_col, "shard",
+        F.floor(start / seq_len).alias("pack_id"),
+        (start % seq_len).alias("start_off"),
+        "n_tokens")
+
+
+def pack_sequences_duckdb_sql(table: str = "documents",
+                              text_col: str = "text",
+                              id_col: str = "doc_id", seq_len: int = 256,
+                              n_shards: int = 8) -> str:
+    """DuckDB oracle for :func:`pack_sequences` (same h32 shard/order
+    keys, same running-sum window)."""
+    h = h32_duckdb_sql(f"CAST({id_col} AS VARCHAR)")
+    ntok = token_count_sql(text_col, "duckdb")
+    return f"""
+        base AS (
+            SELECT {id_col}, ({h}) % {n_shards} AS shard,
+                   ({h}) AS hkey, {ntok} AS n_tokens
+            FROM {table}),
+        cums AS (
+            SELECT *, CAST(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY hkey, {id_col}
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM base)
+        SELECT {id_col}, shard,
+               CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / {seq_len})
+                    AS BIGINT) AS pack_id,
+               (cum - n_tokens) % {seq_len} AS start_off, n_tokens
+        FROM cums
+    """
+
+
+# ------------------------------------------------------------- URL analysis
+
+def url_parts_sqls(col: str, dialect: str = "spark") -> dict[str, str]:
+    """Normalized URL decomposition: host (lowercased, scheme and
+    leading www. stripped), registrable-suffix-ish tld (last dotted
+    label), path (query/fragment stripped, trailing slash trimmed).
+
+    Pure regexp_extract both engines — a map-only stage at scale; the
+    per-host aggregation downstream is the only exchange.
+    """
+    def q(p, d=None):
+        return _sql_quote(p, dialect)
+    host_pat = r"^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/?#]*)"
+    path_pat = r"^(?:[a-z][a-z0-9+.-]*://)?[^/?#]*([^?#]*)"
+    tld_pat = r"\.([a-z0-9-]+)$"
+    low = f"lower({col})"
+    if dialect == "spark":
+        host = f"regexp_extract({low}, {q(host_pat)}, 1)"
+        path = (f"regexp_replace(regexp_extract({low}, {q(path_pat)}, 1), "
+                f"'/+$', '')")
+        tld = f"regexp_extract({host}, {q(tld_pat)}, 1)"
+    else:
+        host = f"COALESCE(regexp_extract({low}, {q(host_pat)}, 1), '')"
+        path = (f"regexp_replace(COALESCE(regexp_extract({low}, "
+                f"{q(path_pat)}, 1), ''), '/+$', '')")
+        tld = f"COALESCE(regexp_extract({host}, {q(tld_pat)}, 1), '')"
+    return {"host": host, "path": path, "tld": tld}

@@ -1,0 +1,267 @@
+"""Tests for the round-2 training-pipeline ops: line-level dedup,
+eval-set decontamination, PII scrubbing, sequence packing, URL
+normalization, connected-components dedup groups, streaming dedup."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sparkspatial import graph, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    yield df
+    # unpersist: a cached scan of this parquet would otherwise be
+    # substituted into later test modules' plans (test_plans asserts
+    # on ReadSchema of the raw scan)
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+# ------------------------------------------------------------- line dedup
+
+def _lined(df):
+    """Multi-line corpus: shared header on every doc, unique body,
+    footer shared by thirds."""
+    return df.select(
+        "doc_id",
+        F.concat(F.lit("common header\n"), F.col("text"),
+                 F.concat(F.lit("\nfooter "),
+                          (F.col("doc_id") % 3).cast("string")))
+        .alias("text"))
+
+
+def test_line_dedup_semantics(spark):
+    rows = [(0, "a\nb\nc"), (1, "b\nd"), (2, "a\nd\ne"), (3, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_clean, r.n_lines_kept, r.n_lines_dropped)
+           for r in text.line_dedup(df).collect()}
+    # first (doc_id, pos) occurrence of each distinct line survives
+    assert got[0] == ("a\nb\nc", 3, 0)
+    assert got[1] == ("d", 1, 1)
+    assert got[2] == ("e", 1, 2)
+    assert got[3] == ("", 0, 1)
+
+
+def test_line_dedup_cross_engine(docs, duck):
+    corpus = _lined(docs)
+    got = {r.doc_id: (r.text_clean, r.n_lines_kept, r.n_lines_dropped)
+           for r in text.line_dedup(corpus).collect()}
+    # line_dedup_duckdb_sql already ends in the final SELECT
+    full = ("WITH corpus AS (SELECT doc_id, "
+            "'common header' || chr(10) || text || chr(10) || 'footer ' "
+            "|| CAST(doc_id % 3 AS VARCHAR) AS text FROM documents), "
+            + text.line_dedup_duckdb_sql("corpus"))
+    want = {r[0]: (r[1], r[2], r[3]) for r in duck.execute(full).fetchall()}
+    assert got == want
+    # exactly one doc keeps the common header
+    n_with_header = sum(
+        1 for t, _, _ in got.values() if "common header" in t)
+    assert n_with_header == 1
+    # exactly 3 footer survivors (one per doc_id % 3 class)
+    n_with_footer = sum(1 for t, _, _ in got.values() if "footer" in t)
+    assert n_with_footer == 3
+
+
+# -------------------------------------------------------- decontamination
+
+def test_decontaminate_flags_leaked_docs(spark):
+    evald = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "completely unrelated words here nothing shared at all"),
+         (2, "he said the quick brown fox jumps right in"),  # 5-gram hit
+         (3, "quick brown fox is short")],  # only a 3-gram overlap
+        "doc_id long, text string")
+    got = {r.doc_id: r.contaminated
+           for r in text.decontaminate(corpus, evald, shingle_k=5).collect()}
+    assert got == {1: False, 2: True, 3: False}
+
+
+def test_decontaminate_shared_shingle_substrate(docs):
+    """shingle_hash_rows is the same substrate minhash uses: a doc is
+    always contaminated against an eval set containing itself."""
+    ev = docs.where("doc_id % 50 = 0").select("doc_id", "text")
+    got = text.decontaminate(docs.select("doc_id", "text"), ev,
+                             shingle_k=5)
+    flagged = {r.doc_id for r in got.where("contaminated").collect()}
+    assert {r.doc_id for r in ev.collect()} <= flagged
+
+
+# ----------------------------------------------------------------- PII
+
+def test_pii_scrub_cross_engine(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.com or call 555-123-4567"),
+        (2, "server at 10.0.42.7 port 80"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io c@d.org and +33 555-000-1234"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = text.pii_count_sqls("text", "spark")
+    got = {r.doc_id: (r.clean, r.n_email, r.n_phone, r.n_ip)
+           for r in df.selectExpr(
+               "doc_id",
+               text.pii_scrub_sql("text", "spark") + " AS clean",
+               counts["email"] + " AS n_email",
+               counts["phone"] + " AS n_phone",
+               counts["ip"] + " AS n_ip").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dcounts = text.pii_count_sqls("text", "duckdb")
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(
+        f"SELECT doc_id, {text.pii_scrub_sql('text', 'duckdb')}, "
+        f"{dcounts['email']}, {dcounts['phone']}, {dcounts['ip']} "
+        f"FROM t").fetchall()}
+    assert got == want
+    assert got[1][0] == "mail <EMAIL> or call <PHONE>"
+    assert got[1][1:] == (1, 1, 0)
+    assert got[2][0] == "server at <IP> port 80"
+    assert got[3][1:] == (0, 0, 0)
+    assert got[4][1:] == (2, 1, 0)
+
+
+# ------------------------------------------------------------ seq packing
+
+def test_pack_sequences_cross_engine(docs, duck, sf_dir):
+    got = {r.doc_id: (r.shard, r.pack_id, r.start_off, r.n_tokens)
+           for r in text.pack_sequences(docs).collect()}
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in duck.execute(
+        "WITH " + text.pack_sequences_duckdb_sql("documents")).fetchall()}
+    assert got == want
+
+
+def test_pack_sequences_invariants(docs):
+    out = text.pack_sequences(docs, seq_len=256, n_shards=8).collect()
+    assert {r.shard for r in out} <= set(range(8))
+    assert all(0 <= r.start_off < 256 for r in out)
+    # within a shard, token spans tile contiguously: sorting docs by
+    # (pack_id*256+start_off) gives end == next start
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r.shard].append((r.pack_id * 256 + r.start_off,
+                                  r.n_tokens))
+    for spans in by_shard.values():
+        spans.sort()
+        pos = 0
+        for start, n in spans:
+            assert start == pos
+            pos += n
+
+
+def test_pack_sequences_partition_invariant(docs):
+    a = {tuple(r) for r in text.pack_sequences(docs).collect()}
+    b = {tuple(r)
+         for r in text.pack_sequences(docs.repartition(13)).collect()}
+    assert a == b
+
+
+# ----------------------------------------------------------------- URL
+
+def test_url_parts_cross_engine(spark):
+    rows = [(1, "https://WWW.Example.COM/a/b/?q=1#frag"),
+            (2, "http://sub.shop.co.uk/path/"),
+            (3, "example.org"),
+            (4, "ftp://files.example.net/pub")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    p = text.url_parts_sqls("url", "spark")
+    got = {r.id: (r.host, r.path, r.tld) for r in df.selectExpr(
+        "id", p["host"] + " AS host", p["path"] + " AS path",
+        p["tld"] + " AS tld").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    d = text.url_parts_sqls("url", "duckdb")
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        f"SELECT id, {d['host']}, {d['path']}, {d['tld']} FROM t"
+    ).fetchall()}
+    assert got == want
+    assert got[1] == ("example.com", "/a/b", "com")
+    assert got[2] == ("sub.shop.co.uk", "/path", "uk")
+    assert got[3] == ("example.org", "", "org")
+    assert got[4] == ("files.example.net", "/pub", "net")
+
+
+# ------------------------------------------------- connected components
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9), (7, 3)],
+        "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in graph.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_chain_vs_duckdb(spark):
+    # a 12-node path graph (worst case for hash-min: diameter rounds)
+    # + a clique, checked against the recursive-CTE oracle
+    rows = [(i, i + 1) for i in range(20, 32)] + \
+           [(40, 41), (41, 42), (40, 42)]
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in graph.connected_components(edges).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    want = dict(con.execute(
+        "WITH RECURSIVE " + graph.components_duckdb_sql("e")
+        + " SELECT node, component FROM comp").fetchall())
+    assert got == want
+    assert got[31] == 20 and got[42] == 40
+
+
+def test_connected_components_transitive_closure_beats_pairwise(spark):
+    """A~B, B~C with no A~C pair: components merge all three (the
+    survivor-per-pair convention would under-merge)."""
+    edges = spark.createDataFrame([(10, 11), (11, 12)],
+                                  "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in graph.connected_components(edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10}
+
+
+# -------------------------------------------------------- streaming dedup
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    from sparkspatial import streaming
+
+    src = str(tmp_path / "pages_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("p/"), (F.col("doc_id") % 120).cast("string"))
+        .alias("url"),
+        F.to_timestamp(
+            F.from_unixtime(F.lit(1700000000) + F.col("doc_id") * 60))
+        .alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+        "text", "lang",
+        F.col("source").alias("domain"))
+    pages.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = streaming.read_pages_stream(spark, src,
+                                         max_files_per_trigger=2)
+    deduped = streaming.streaming_dedup(stream, key_cols=("url",),
+                                        watermark="365 days")
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT url FROM dedup_out")
+    # one row per distinct url, exactly
+    assert got.count() == 120
+    assert got.distinct().count() == 120
