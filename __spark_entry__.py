@@ -1165,6 +1165,62 @@ def q_near_dedup_components(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_semdedup_survivors(spark, sf_dir):
+    """SemDeDup (cluster-then-prune semantic dedup, sim.semdedup):
+    IVF-cluster the embeddings, drop the higher id of every
+    within-cluster pair with cosine >= 0.444, return survivors.
+    Deterministic but k-means is not SQL-expressible — no oracle twin
+    (rows-only check); per-cluster brute-force parity is pinned in
+    tests/test_pipeline_ops.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (sim.semdedup(emb, 0.444, n_clusters=8)
+            .select("vec_id").orderBy("vec_id"))
+
+
+def q_gopher_filter(spark, sf_dir):
+    """End-to-end Gopher-style quality gate: repetition signals +
+    lang-ID + heuristic quality composed into per-rule booleans and a
+    final keep decision — the complete 'filter the crawl' pipeline
+    stage. All-relational: repetition_stats' two combiner-friendly
+    aggregations are the only exchanges; the rule evaluation is a
+    codegen projection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = text.repetition_stats(docs)
+    sig = docs.selectExpr(
+        "doc_id",
+        text.lang_id_sql("text", "spark") + " AS lang_pred",
+        text.quality_score_sql("text", "spark") + " AS q")
+    out = rep.join(sig, "doc_id").select(
+        "doc_id",
+        (F.col("n_tokens") >= 20).alias("ok_len"),
+        (F.col("dup_token_frac") <= 0.6).alias("ok_rep"),
+        (F.col("top_token_share") <= 0.2).alias("ok_top"),
+        (F.col("lang_pred") == "en").alias("ok_lang"),
+        (F.col("q") >= 0.5).alias("ok_quality"))
+    return out.withColumn(
+        "keep", F.col("ok_len") & F.col("ok_rep") & F.col("ok_top")
+        & F.col("ok_lang") & F.col("ok_quality")).orderBy("doc_id")
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Dataset-card rollup: per (predicted-lang, source) doc/token
+    counts and high-quality share numerator — the reporting stage of a
+    training-data pipeline. Integer-only aggregates (no double sums,
+    which are summation-order-dependent across engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.selectExpr(
+        "doc_id", "source",
+        text.lang_id_sql("text", "spark") + " AS lang_pred",
+        text.token_count_sql("text", "spark") + " AS n_tokens",
+        text.quality_score_sql("text", "spark") + " AS q")
+    return (base.groupBy("lang_pred", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0))
+                 .alias("n_high_quality"))
+            .orderBy("lang_pred", "source"))
+
+
 def q_extract_roundtrip(spark, sf_dir):
     """Byte-identity invariant: extract_text(make_html(text)) vs the
     normalized text, per url (input_hint per-row invariant)."""
@@ -1210,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "url_host_stats": q_url_host_stats,
         "near_dedup_components": q_near_dedup_components,
+        "gopher_filter": q_gopher_filter,
+        "corpus_stats": q_corpus_stats,
+        "semdedup_survivors": q_semdedup_survivors,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1568,6 +1627,39 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(comp.component, c.doc_id) AS rep_id
             FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
             ORDER BY c.doc_id
+        """,
+        "gopher_filter": f"""
+            WITH rep AS ({text.repetition_stats_duckdb_sql()}),
+            sig AS (
+                SELECT doc_id,
+                       {text.lang_id_sql("text", "duckdb")} AS lang_pred,
+                       {text.quality_score_sql("text", "duckdb")} AS q
+                FROM documents)
+            SELECT r.doc_id,
+                   r.n_tokens >= 20 AS ok_len,
+                   r.dup_token_frac <= 6e-1 AS ok_rep,
+                   r.top_token_share <= 2e-1 AS ok_top,
+                   s.lang_pred = 'en' AS ok_lang,
+                   s.q >= 5e-1 AS ok_quality,
+                   (r.n_tokens >= 20 AND r.dup_token_frac <= 6e-1
+                    AND r.top_token_share <= 2e-1 AND s.lang_pred = 'en'
+                    AND s.q >= 5e-1) AS keep
+            FROM rep r JOIN sig s USING (doc_id)
+            ORDER BY r.doc_id
+        """,
+        "corpus_stats": f"""
+            WITH base AS (
+                SELECT doc_id, source,
+                       {text.lang_id_sql("text", "duckdb")} AS lang_pred,
+                       {text.token_count_sql("text", "duckdb")} AS n_tokens,
+                       {text.quality_score_sql("text", "duckdb")} AS q
+                FROM documents)
+            SELECT lang_pred, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN q >= 5e-1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_high_quality
+            FROM base GROUP BY lang_pred, source
+            ORDER BY lang_pred, source
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -403,3 +403,49 @@ def cosine_topk_duckdb_sql(k: int, query_filter: str,
         SELECT qid, vec_id, CAST(rnk AS INT) AS rnk
         FROM ranked WHERE rnk <= {k}
     """
+
+
+def semdedup(corpus: DataFrame, threshold: float, *,
+             n_clusters: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup at
+    scale by clustering embeddings first and comparing pairs only
+    WITHIN a cluster — survivors = corpus minus the higher-id member
+    of every within-cluster pair with cosine >= threshold.
+
+    Scale shape: the global all-pairs O(n^2) matmul becomes
+    sum-over-clusters O((n/k)^2) — per-cluster all-pairs is the whole
+    point of the paper (clusters of ~10^4 vectors are one numpy
+    matmul). Plan: deterministic coarse quantizer (ivf_centroids,
+    bounded driver sample) -> Arrow-batched assignment (one Python
+    stage) -> hash exchange on cluster -> per-cluster pair scoring in
+    applyInPandas -> distinct losers -> left_anti survivors. Cluster
+    skew is the known hazard (a mega-cluster re-introduces n^2);
+    production mitigation is capping cluster size by re-splitting on a
+    secondary LSH bit, not needed at test scale.
+
+    Deterministic end-to-end: quantizer sample is orderBy(id)-bounded,
+    k-means seeding is h32-derived, scoring is exact numpy.
+    """
+    cent = ivf_centroids(corpus, n_clusters, id_col=id_col,
+                         vec_col=vec_col)
+    assigned = ivf_assign(corpus.select(id_col, vec_col), cent,
+                          vec_col=vec_col)
+
+    def _losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"loser": np.array([], dtype=np.int64)})
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]])
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        cos = (mat @ mat.T) / norm[:, None] / norm[None, :]
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        _, jj = np.nonzero(keep)
+        return pd.DataFrame({"loser": np.unique(ids[jj])})
+
+    losers = (assigned.groupBy("cluster")
+              .applyInPandas(_losers, schema="loser long")
+              .select(F.col("loser").alias(id_col)).distinct())
+    return corpus.join(losers, id_col, "left_anti")

@@ -265,3 +265,43 @@ def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
     # one row per distinct url, exactly
     assert got.count() == 120
     assert got.distinct().count() == 120
+
+
+# ----------------------------------------------------------------- semdedup
+
+def test_semdedup_matches_per_cluster_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from sparkspatial import sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r.vec_id
+           for r in sim.semdedup(emb, 0.444, n_clusters=8).collect()}
+
+    cent = sim.ivf_centroids(emb, 8)
+    pdf = sim.ivf_assign(emb.select("vec_id", "embedding"), cent) \
+        .toPandas()
+    expect_losers = set()
+    for _, grp in pdf.groupby("cluster"):
+        ids = grp["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in grp["embedding"]])
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        cos = (mat @ mat.T) / norm[:, None] / norm[None, :]
+        keep = (cos >= 0.444) & (ids[:, None] < ids[None, :])
+        _, jj = np.nonzero(keep)
+        expect_losers.update(ids[jj].tolist())
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert got == all_ids - expect_losers
+    assert len(expect_losers) > 0  # threshold actually fires
+
+
+def test_semdedup_partition_invariant(spark, sf_dir):
+    from sparkspatial import sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {r.vec_id for r in sim.semdedup(emb, 0.444).collect()}
+    b = {r.vec_id
+         for r in sim.semdedup(emb.repartition(17), 0.444).collect()}
+    assert a == b

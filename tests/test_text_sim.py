@@ -12,7 +12,9 @@ from sparkspatial import sim, text
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    yield df
+    df.unpersist()  # keep cached scans out of later modules' plans
 
 
 @pytest.fixture(scope="module")
@@ -119,7 +121,9 @@ def test_simhash_spark_vs_duckdb(docs, duck):
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 def test_cosine_topk_matches_duckdb(emb, duck):
