@@ -105,3 +105,47 @@ def test_geotag_is_whole_stage_codegen(spark, pts):
     # "*(n)" prefixes mark whole-stage-codegen spans in toString()
     assert "*(1)" in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_line_dedup_plan_combines_before_exchange(spark, sf_dir):
+    """Hot-line safety: the min-struct aggregation must have a partial
+    (map-side) phase below the exchange on md5(line), and there must
+    be NO Window over the line hash (a window would serialize a hot
+    boilerplate line into one task)."""
+    from sparkspatial import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(text.line_dedup(docs))
+    assert "partial_min(struct" in plan
+    assert "Window" not in plan
+
+
+def test_pack_sequences_single_exchange_on_shard(spark, sf_dir):
+    """One hash exchange (on shard) feeds the running-sum window; no
+    second data shuffle."""
+    from sparkspatial import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(text.pack_sequences(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "Window" in plan
+
+
+def test_decontaminate_only_hashes_cross_the_semi_join(spark, sf_dir):
+    """The contamination check joins on the 8-byte shingle hash (sh);
+    document text must never be a join key or shuffle column of the
+    semi-join side."""
+    from sparkspatial import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    ev = docs.where("doc_id % 10 = 0")
+    plan = _plan(text.decontaminate(docs, ev, shingle_k=5))
+    assert "LeftSemi" in plan
+    # the semi-join keys are the shingle hashes
+    import re
+    m = re.search(r"Join [^,]*\[sh#\d+L?\], \[sh#\d+L?\], LeftSemi", plan) \
+        or re.search(r"BroadcastHashJoin \[sh#\d+L?\], \[sh#\d+L?\], LeftSemi",
+                     plan)
+    assert m, plan[:2000]

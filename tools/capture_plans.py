@@ -63,6 +63,32 @@ Regenerate with `python tools/capture_plans.py > docs/PLANS.md`.
          "codegen'd higher-order functions; explode collapses in the "
          "partial-agg before the exchange on doc_id.")
 
+    lined = docs.select(
+        "doc_id",
+        F.concat(F.lit("h\n"), F.col("text"), F.lit("\nf")).alias("text"))
+    show("Line-level dedup (CCNet)", text.line_dedup(lined),
+         "partial_min(struct) below the exchange on md5(line): a "
+         "boilerplate line repeated 10^8 times shuffles one row per "
+         "input partition. NO Window over the line hash (a hot key "
+         "would serialize into one task) and no join-back — the kept "
+         "line rides inside the min-struct. Second exchange: "
+         "reassembly groupBy(doc_id).")
+
+    ev = docs.where("doc_id % 10 = 0").select("doc_id", "text")
+    show("Eval-set decontamination",
+         text.decontaminate(docs.select("doc_id", "text"), ev,
+                            shingle_k=5),
+         "Both sides are the SAME shingle-hash substrate as MinHash "
+         "(token md5 once, window-lead rolling combine). The eval "
+         "side reduces to DISTINCT 8-byte hashes before the semi-join "
+         "on sh; only hashes cross the wire, never text.")
+
+    show("Sequence packing", text.pack_sequences(docs),
+         "Single exchange: hash partition on shard, in-shard sort, "
+         "running-sum window. Each shard is an independent packing "
+         "stream — parallelism = n_shards, reproducible layout "
+         "(h32 order, not rand()).")
+
 
 if __name__ == "__main__":
     main()
