@@ -305,3 +305,32 @@ def test_semdedup_partition_invariant(spark, sf_dir):
     b = {r.vec_id
          for r in sim.semdedup(emb.repartition(17), 0.444).collect()}
     assert a == b
+
+
+# ------------------------------------------------- streaming quality gate
+
+def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
+    """Kappa property: the text quality/lang expressions are plain
+    column expressions, so the SAME code path filters a stream and a
+    batch identically (no separate streaming implementation)."""
+    from sparkspatial import streaming
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(5).write.mode("overwrite").parquet(src)
+
+    pred = (text.quality_score_sql("text", "spark") + " >= 5e-1 AND "
+            + text.lang_id_sql("text", "spark") + " = 'en'")
+    batch_ids = {r.doc_id
+                 for r in docs.where(F.expr(pred)).select("doc_id").collect()}
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (stream.where(F.expr(pred)).select("doc_id")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("qfilter_out").start())
+    q.processAllAvailable()
+    q.stop()
+    stream_ids = {r.doc_id for r in spark.sql(
+        "SELECT doc_id FROM qfilter_out").collect()}
+    assert stream_ids == batch_ids and len(batch_ids) > 0
