@@ -334,3 +334,62 @@ def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
     stream_ids = {r.doc_id for r in spark.sql(
         "SELECT doc_id FROM qfilter_out").collect()}
     assert stream_ids == batch_ids and len(batch_ids) > 0
+
+
+# ------------------------------------------------- randomized brute force
+
+def test_line_dedup_random_corpus_bruteforce(spark):
+    """200 random multi-line docs (seeded): Spark line_dedup ==
+    pure-Python reference implementation."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"line{i}" for i in range(30)]
+    rows = [(i, "\n".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 8))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_clean, r.n_lines_kept, r.n_lines_dropped)
+           for r in text.line_dedup(df).collect()}
+
+    seen = {}
+    for did, t in rows:  # rows are already (doc_id, pos)-ordered
+        for pos, line in enumerate(t.split("\n")):
+            seen.setdefault(line, (did, pos))
+    want = {}
+    for did, t in rows:
+        lines = t.split("\n")
+        kept = [l for pos, l in enumerate(lines)
+                if seen[l] == (did, pos)]
+        want[did] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    assert got == want
+
+
+def test_connected_components_random_graph_bruteforce(spark):
+    """Seeded random graph: hash-min components == union-find."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(120))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_graph = {a for a, _ in edges} | {b for _, b in edges}
+    want = {n: find(n) for n in in_graph}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in graph.connected_components(df).collect()}
+    assert got == want
