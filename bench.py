@@ -156,10 +156,25 @@ def bench_queries(spark, sf_dir: str, pages_path: str):
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
         return sim.cosine_topk(emb, queries, k=10).count()
 
-    # warm up with the full flagship job: the first large job pays JIT +
-    # JVM heap-growth page faults + Python worker spawn (cold local[32]
-    # showed 89% kernel time); steady-state throughput is the metric
-    pipeline_extract_join_tile()
+    # Adaptive warmup with the full flagship job: JIT (C2 keeps
+    # compiling for several reps), JVM heap-growth page faults (cold
+    # local[32] shows 80-90% kernel time) and page-cache fill take
+    # ~4-6 REPS, not one — measured decay 33s -> 19 -> 5 -> 3 -> 2 ->
+    # 0.7s steady state. Warm until within 25% of the best-so-far
+    # (storms, which INCREASE the time, keep the loop warming).
+    best = float("inf")
+    for i in range(10):
+        t0 = time.monotonic()
+        pipeline_extract_join_tile()
+        dt = time.monotonic() - t0
+        best = min(best, dt)
+        if i >= 2 and dt <= 1.25 * best:
+            break
+
+    def _sys_pct():
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return sum(v), v[2] + (v[7] if len(v) > 7 else 0)
 
     timings = {}
     named = [
@@ -171,18 +186,27 @@ def bench_queries(spark, sf_dir: str, pages_path: str):
         ("dedup_minhash_lsh", dedup_minhash_lsh),
         ("ann_cosine", ann_cosine),
     ]
-    # median of 5 per query: single-shot timings on this shared host
-    # swing 2-10x with co-tenant noise bursts (see BENCH/scaling.json
-    # rep spreads; an idle-host rep ladder still showed one 9 s spike
-    # among 0.8 s reps) — the median tolerates two noisy reps
+    # median of 5 CLEAN reps per query: reps bracketed by /proc/stat;
+    # a rep whose host-wide kernel+steal share exceeds 20% is a noise
+    # storm (co-tenant burst or heap-growth fault storm) and is
+    # re-run, up to 4 extra attempts (same protocol as
+    # tools/scaling_bench.py; medians alone still let a storm through
+    # when it lands mid-warmup)
     for name, fn in named:
-        reps = []
-        for _ in range(5):
+        fn()  # per-query warmup: each plan shape compiles its own codegen
+        reps, attempts = [], 0
+        while len(reps) < 5 and attempts < 9:
+            attempts += 1
+            c0, d0 = _sys_pct()
             t0 = time.monotonic()
             fn()
-            reps.append(time.monotonic() - t0)
+            dt = time.monotonic() - t0
+            c1, d1 = _sys_pct()
+            dirty = (d1 - d0) > 0.20 * max(c1 - c0, 1)
+            if not dirty or attempts >= 9:
+                reps.append(dt)
         reps.sort()
-        timings[name] = round(reps[2], 3)
+        timings[name] = round(reps[len(reps) // 2], 3)
     return timings, n_pages
 
 
