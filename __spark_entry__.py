@@ -1177,6 +1177,18 @@ def q_semdedup_survivors(spark, sf_dir):
             .select("vec_id").orderBy("vec_id"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts next to whitespace counts — the
+    LM training-budget estimate (contractions/punct/digit runs count;
+    same lookahead-free pattern compiles in Java regex and RE2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.selectExpr(
+                "doc_id",
+                text.token_count_sql("text", "spark") + " AS n_ws",
+                text.token_count_bpe_sql("text", "spark") + " AS n_bpe")
+            .orderBy("doc_id"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1269,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "corpus_stats": q_corpus_stats,
         "semdedup_survivors": q_semdedup_survivors,
+        "token_count_bpe": q_token_count_bpe,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1627,6 +1640,12 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(comp.component, c.doc_id) AS rep_id
             FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
             ORDER BY c.doc_id
+        """,
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   {text.token_count_sql("text", "duckdb")} AS n_ws,
+                   {text.token_count_bpe_sql("text", "duckdb")} AS n_bpe
+            FROM documents ORDER BY doc_id
         """,
         "gopher_filter": f"""
             WITH rep AS ({text.repetition_stats_duckdb_sql()}),

@@ -147,3 +147,47 @@ def streaming_dedup(pages: DataFrame, key_cols=("url",),
     """
     return (pages.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
+def streaming_near_dup_alerts(pages: DataFrame, corpus_bands: DataFrame,
+                              *, n_hashes: int = 8, bands: int = 4,
+                              ts_col: str = "warc_ts",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Streaming near-duplicate detection against a STATIC corpus
+    index: each arriving page's MinHash band keys equi-join the
+    prebuilt (doc_id, band, bh) banded-signature index
+    (`text.band_keys` over `text.minhash_signatures` of the corpus,
+    built once like a ZoneIndex); a hit alerts (url, doc_id).
+
+    Per-row signatures come from `text.minhash_pandas` (one Arrow
+    stage — the batch path's window-lead rolling is illegal on a
+    stream), bit-identical to the batch signatures, so stream alerts
+    == batch LSH candidates for the same rows (pinned in tests). Band
+    hashing itself stays JVM (xxhash64). Multiple band collisions of
+    the same (url, doc_id) are collapsed by
+    dropDuplicatesWithinWatermark — bounded state, not a global
+    distinct.
+    """
+    from . import text as textmod
+
+    sig_schema = (f"url string, {ts_col} timestamp, "
+                  + ", ".join(f"mh{j} long" for j in range(n_hashes)))
+
+    def _sig(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = textmod.minhash_pandas(pdf["text"].tolist(), n_hashes)
+            out = pdf[["url", ts_col]].copy()
+            for j in range(n_hashes):
+                out[f"mh{j}"] = mat[:, j]
+            yield out
+
+    sigs = pages.mapInPandas(_sig, schema=sig_schema)
+    stream_bands = textmod.band_keys(sigs, id_col="url", bands=bands,
+                                     keep_cols=(ts_col,))
+    hits = stream_bands.join(F.broadcast(corpus_bands),
+                             on=["band", "bh"], how="inner")
+    return (hits.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["url", "doc_id"])
+            .select("url", "doc_id", ts_col))

@@ -208,14 +208,12 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 4) -> DataFrame:
-    """Band the signature matrix; docs sharing a band-hash pair up.
-
-    Returns distinct (id_a, id_b), id_a < id_b. The band join is an
-    equi-join on (band_idx, band_hash) — broadcast-or-shuffle by size,
-    AQE-managed; no all-pairs comparison ever materializes.
-    """
+def band_keys(sigs: DataFrame, id_col: str = "doc_id",
+              bands: int = 4, keep_cols: tuple = ()) -> DataFrame:
+    """(id[, keep_cols...], band, bh) LSH band keys from a signature
+    matrix — the shared substrate of batch candidate pairing and
+    streaming near-dup alerts (band hashing is JVM xxhash64 over
+    signature chunks, stateless, so it is legal on a stream)."""
     mh_cols = [c for c in sigs.columns if c.startswith("mh")]
     rows_per_band = len(mh_cols) // bands
     band_exprs = []
@@ -224,8 +222,20 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         band_exprs.append(
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(*[F.col(c) for c in chunk]).alias("bh")))
-    banded = (sigs.select(id_col, F.explode(F.array(*band_exprs)).alias("e"))
-              .select(id_col, "e.band", "e.bh"))
+    carry = [id_col, *keep_cols]
+    return (sigs.select(*carry, F.explode(F.array(*band_exprs)).alias("e"))
+            .select(*carry, "e.band", "e.bh"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4) -> DataFrame:
+    """Band the signature matrix; docs sharing a band-hash pair up.
+
+    Returns distinct (id_a, id_b), id_a < id_b. The band join is an
+    equi-join on (band_idx, band_hash) — broadcast-or-shuffle by size,
+    AQE-managed; no all-pairs comparison ever materializes.
+    """
+    banded = band_keys(sigs, id_col, bands)
     # persist: the self-join would otherwise recompute the full
     # signature pipeline once per join side; registered so long-lived
     # sessions can release it via session.unpersist_all()
@@ -739,3 +749,74 @@ def url_parts_sqls(col: str, dialect: str = "spark") -> dict[str, str]:
                 f"{q(path_pat)}, 1), ''), '/+$', '')")
         tld = f"COALESCE(regexp_extract({host}, {q(tld_pat)}, 1), '')"
     return {"host": host, "path": path, "tld": tld}
+
+
+# ----------------------------------------------------- BPE-ish tokenizer
+
+# GPT-2-style pre-tokenizer, lookahead-free so the SAME pattern runs in
+# Java regex (Spark, codegen) and RE2 (DuckDB): contraction suffixes,
+# letter runs (unicode \p{L}), digit runs, punctuation runs. The real
+# GPT-2 pattern's ?! lookahead and \p{N} are avoided (RE2 has neither
+# lookahead nor identical \p{N} behavior across engines).
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)|[\p{L}]+|[0-9]+|[^\s\p{L}0-9]+"
+
+
+def bpe_tokens_sql(col: str, dialect: str = "spark") -> str:
+    """Array of BPE-ish pre-tokens of raw text (no case folding — BPE
+    vocabularies are case-sensitive)."""
+    pat = _sql_quote(BPE_SPLIT_RE, dialect)
+    if dialect == "spark":
+        return f"regexp_extract_all({col}, {pat}, 0)"
+    return f"regexp_extract_all({col}, {pat})"
+
+
+def token_count_bpe_sql(col: str, dialect: str = "spark") -> str:
+    """BPE-ish token count — the LM-budget estimate (punctuation and
+    contractions count as tokens, unlike whitespace counting)."""
+    f = "size" if dialect == "spark" else "len"
+    return f"{f}({bpe_tokens_sql(col, dialect)})"
+
+
+# ---------------------------------------------- streaming-safe signatures
+
+def minhash_pandas(texts, n_hashes: int = 16, shingle_k: int = 3):
+    """Per-row MinHash signatures in numpy — bit-identical to
+    :func:`minhash_signatures` (same norm, token h32, rolling shingle
+    combine, affine permutations mod M31).
+
+    Exists for STREAMING: the batch path's window-lead shingle rolling
+    is illegal on an unbounded stream (non-time window), so streams
+    compute signatures row-local inside an Arrow batch instead. Both
+    paths are pinned equal in tests.
+
+    Returns an (len(texts), n_hashes) int64 ndarray.
+    """
+    import re as _re
+
+    import numpy as np
+
+    from .hashing import h32
+
+    params = minhash_params(n_hashes)
+    a = np.array([p[0] for p in params], dtype=np.int64)
+    b = np.array([p[1] for p in params], dtype=np.int64)
+    coefs = np.array([pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
+                      for j in range(shingle_k)], dtype=np.int64)
+    out = np.empty((len(texts), n_hashes), dtype=np.int64)
+    for i, t in enumerate(texts):
+        norm = _re.sub(r"\s+", " ", (t or "").lower()).strip()
+        toks = norm.split(" ")
+        if len(toks) < shingle_k:
+            sh = np.array([h32(norm) % MERSENNE31], dtype=np.int64)
+        else:
+            th = np.fromiter((h32(x) % MERSENNE31 for x in toks),
+                             dtype=np.int64, count=len(toks))
+            n_sh = len(toks) - shingle_k + 1
+            acc = np.zeros(n_sh, dtype=np.int64)
+            for j in range(shingle_k):
+                acc = (acc + th[j:j + n_sh] * coefs[j] % MERSENNE31) \
+                    % MERSENNE31
+            sh = acc
+        out[i] = ((a[None, :] * (sh[:, None] % MERSENNE31) + b[None, :])
+                  % MERSENNE31).min(axis=0)
+    return out

@@ -393,3 +393,90 @@ def test_connected_components_random_graph_bruteforce(spark):
     got = {r.node: r.component
            for r in graph.connected_components(df).collect()}
     assert got == want
+
+
+# ------------------------------------------------------- BPE tokenizer
+
+def test_bpe_token_count_cross_engine(spark):
+    rows = [(1, "Hello world, it's 2026! café #42 naïve—dash"),
+            (2, "   "), (3, "don't you'll we've I'm he'd they're"),
+            (4, "a1b2c3 ...!!! end")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n, list(r.toks)) for r in df.selectExpr(
+        "doc_id",
+        text.token_count_bpe_sql("text", "spark") + " AS n",
+        text.bpe_tokens_sql("text", "spark") + " AS toks").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        f"SELECT doc_id, {text.token_count_bpe_sql('text', 'duckdb')}, "
+        f"{text.bpe_tokens_sql('text', 'duckdb')} FROM t").fetchall()}
+    assert got == want
+    assert got[1][0] == 13
+    assert got[2][0] == 0
+    # contraction suffixes split off as their own tokens
+    assert "'t" in got[3][1] and "'re" in got[3][1]
+
+
+# ------------------------------------------------- streaming near-dup
+
+def test_minhash_pandas_matches_batch(docs):
+    """The streaming-safe numpy signature path is bit-identical to the
+    batch window-lead path."""
+    import numpy as np
+
+    pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+    got = text.minhash_pandas(pdf["text"].tolist(), n_hashes=8)
+    batch = (text.minhash_signatures(docs, n_hashes=8)
+             .orderBy("doc_id").toPandas())
+    want = batch[[f"mh{j}" for j in range(8)]].to_numpy()
+    assert (batch["doc_id"].to_numpy() == pdf["doc_id"].to_numpy()).all()
+    assert np.array_equal(got, want)
+
+
+def test_streaming_near_dup_alerts_match_batch(spark, sf_dir, tmp_path):
+    """Alerts from the stream == batch band join of the same rows
+    against the same static index."""
+    from sparkspatial import streaming
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # static corpus index: every 3rd doc
+    corpus = docs.where("doc_id % 3 = 0").select("doc_id", "text")
+    corpus_bands = text.band_keys(
+        text.minhash_signatures(corpus, n_hashes=8), bands=4).persist()
+    corpus_bands.count()
+
+    # the stream: every 5th doc (multiples of 15 are exact dups of
+    # indexed corpus docs -> guaranteed alerts)
+    stream_rows = docs.where("doc_id % 5 = 0").select(
+        F.concat(F.lit("p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.from_unixtime(F.lit(1700000000) + F.col("doc_id")))
+        .alias("warc_ts"),
+        "text")
+    src = str(tmp_path / "ndup_src")
+    stream_rows.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(stream_rows.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    alerts = streaming.streaming_near_dup_alerts(
+        stream, corpus_bands, n_hashes=8, bands=4, watermark="365 days")
+    q = (alerts.writeStream.outputMode("append")
+         .format("memory").queryName("ndup_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.url, r.doc_id) for r in spark.sql(
+        "SELECT url, doc_id FROM ndup_out").collect()}
+
+    batch_sigs = text.minhash_signatures(
+        stream_rows.withColumnRenamed("url", "sid"), id_col="sid",
+        n_hashes=8)
+    want = {(r.sid, r.doc_id) for r in
+            text.band_keys(batch_sigs, id_col="sid", bands=4)
+            .join(corpus_bands, ["band", "bh"])
+            .select("sid", "doc_id").distinct().collect()}
+    corpus_bands.unpersist()
+    assert got == want
+    # every streamed multiple of 15 must alert against its twin
+    both = {r.doc_id for r in docs.where("doc_id % 15 = 0").collect()}
+    assert {(f"p/{d}", d) for d in both} <= got
