@@ -1189,6 +1189,41 @@ def q_token_count_bpe(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_image_features(spark, sf_dir):
+    """REAL image decode through Spark: per-doc solid-color PPM (P6)
+    payloads are synthesized (dims + RGB derived from doc_id), decoded
+    pixel-for-pixel by the dependency-free numpy codec
+    (multimodal.decode_ppm), and feature-extracted. The oracle side
+    computes the same features ANALYTICALLY (mean of a solid image =
+    its color), so a decode/shape/mean bug on real bytes hash-fails."""
+    import pandas as pd
+
+    from sparkspatial import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+        for pdf in batches:
+            pays = []
+            for d in pdf["doc_id"]:
+                w, h = 4 + int(d) % 5, 3 + int(d) % 7
+                color = np.array([int(d) % 256, (int(d) * 7) % 256,
+                                  (int(d) * 13) % 256], dtype=np.uint8)
+                pays.append(mm.encode_ppm(
+                    np.broadcast_to(color, (h, w, 3))))
+            yield pd.DataFrame({"url": pdf["doc_id"].astype(str),
+                                "payload": pays})
+
+    media = docs.mapInPandas(_mk, schema="url string, payload binary")
+    return (mm.image_features(media, codec="ppm")
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    "width", "height", "mean_r", "mean_g", "mean_b",
+                    "valid")
+            .orderBy("doc_id"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1282,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "semdedup_survivors": q_semdedup_survivors,
         "token_count_bpe": q_token_count_bpe,
+        "image_features": q_image_features,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1640,6 +1676,16 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(comp.component, c.doc_id) AS rep_id
             FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
             ORDER BY c.doc_id
+        """,
+        "image_features": """
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INT) AS width,
+                   CAST(3 + doc_id % 7 AS INT) AS height,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+                   CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+                   TRUE AS valid
+            FROM documents ORDER BY doc_id
         """,
         "token_count_bpe": f"""
             SELECT doc_id,

@@ -86,3 +86,60 @@ def test_checkpoint_invalidate(spark, tmp_path):
     assert ck.is_complete("s", fp)
     ck.invalidate("s")
     assert not ck.is_complete("s", fp)
+
+
+# ------------------------------------------------------- real PPM codec
+
+def test_ppm_roundtrip_and_meta(spark):
+    import numpy as np
+
+    from sparkspatial import multimodal as mm
+
+    imgs = []
+    for i, (w, h) in enumerate([(16, 9), (3, 5), (64, 64)]):
+        arr = ((np.arange(h * w * 3) * (i + 7)) % 256) \
+            .astype(np.uint8).reshape(h, w, 3)
+        imgs.append((f"img{i}", mm.encode_ppm(arr)))
+    imgs.append(("bad", b"not a ppm at all"))
+    df = spark.createDataFrame(imgs, "url string, payload binary")
+    meta = {r.url: (r.kind, r.width, r.height, r.valid)
+            for r in mm.extract_meta(df, codec="ppm").collect()}
+    assert meta["img0"] == ("image", 16, 9, True)
+    assert meta["img1"] == ("image", 3, 5, True)
+    assert meta["bad"] == (None, 0, 0, False)
+
+
+def test_ppm_resize_real_pixels(spark):
+    import numpy as np
+
+    from sparkspatial import multimodal as mm
+
+    arr = (np.arange(32 * 48 * 3) % 256).astype(np.uint8) \
+        .reshape(32, 48, 3)
+    df = spark.createDataFrame([("a", mm.encode_ppm(arr))],
+                               "url string, payload binary")
+    out = mm.resize_images(df, max_side=16, codec="ppm").collect()[0]
+    got = mm.decode_ppm(bytes(out.payload))
+    # 32x48 -> 16x24 -> 8x12: stops at max side 12 <= 16
+    want = mm._halve(mm._halve(arr))
+    assert got.shape == (8, 12, 3)
+    assert np.array_equal(got, want)
+
+
+def test_ppm_image_features(spark):
+    import numpy as np
+
+    from sparkspatial import multimodal as mm
+
+    solid = np.full((4, 4, 3), 200, dtype=np.uint8)
+    dark = np.zeros((2, 2, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("solid", mm.encode_ppm(solid)), ("dark", mm.encode_ppm(dark)),
+         ("junk", b"\x00\x01")],
+        "url string, payload binary")
+    got = {r.url: r for r in mm.image_features(df, codec="ppm").collect()}
+    assert got["solid"].mean_r == 200.0
+    assert abs(got["solid"].mean_luma - 200.0) < 1e-9
+    assert list(got["solid"].luma_hist)[6] == 16  # 200/32 = bin 6
+    assert got["dark"].mean_luma == 0.0
+    assert not got["junk"].valid
