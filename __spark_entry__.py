@@ -1224,6 +1224,42 @@ def q_image_features(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode through Spark: per-doc square-wave PCM16 WAV
+    payloads (amplitude/length/rate derived from doc_id) decoded by
+    the dependency-free RIFF walker (multimodal.decode_wav) and
+    feature-extracted; the oracle computes the same features
+    analytically (rms of an alternating +-a square wave is exactly a,
+    zero crossings = n-1)."""
+    import pandas as pd
+
+    from sparkspatial import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+        for pdf in batches:
+            pays = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                a, n = 1000 + d % 1000, 80 + d % 40
+                sr = 8000 if d % 2 == 0 else 16000
+                s = np.where(np.arange(n) % 2 == 0, a, -a) \
+                    .astype(np.int16)
+                pays.append(mm.encode_wav(s, sr))
+            yield pd.DataFrame({"url": pdf["doc_id"].astype(str),
+                                "payload": pays})
+
+    media = docs.mapInPandas(_mk, schema="url string, payload binary")
+    return (mm.audio_features(media, codec="wav")
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    "sample_rate", "n_samples", "duration_s", "rms",
+                    "peak", "zero_crossings", "valid")
+            .orderBy("doc_id"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1318,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_survivors": q_semdedup_survivors,
         "token_count_bpe": q_token_count_bpe,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1684,6 +1721,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 256 AS DOUBLE) AS mean_r,
                    CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
+                   TRUE AS valid
+            FROM documents ORDER BY doc_id
+        """,
+        "audio_features": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000
+                        END AS INT) AS sample_rate,
+                   CAST(80 + doc_id % 40 AS INT) AS n_samples,
+                   CAST(80 + doc_id % 40 AS DOUBLE)
+                       / (CASE WHEN doc_id % 2 = 0 THEN 8000
+                               ELSE 16000 END) AS duration_s,
+                   CAST(1000 + doc_id % 1000 AS DOUBLE) AS rms,
+                   CAST(1000 + doc_id % 1000 AS INT) AS peak,
+                   CAST(80 + doc_id % 40 - 1 AS BIGINT)
+                       AS zero_crossings,
                    TRUE AS valid
             FROM documents ORDER BY doc_id
         """,

@@ -143,3 +143,49 @@ def test_ppm_image_features(spark):
     assert list(got["solid"].luma_hist)[6] == 16  # 200/32 = bin 6
     assert got["dark"].mean_luma == 0.0
     assert not got["junk"].valid
+
+
+# ------------------------------------------------------- real WAV codec
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+
+    from sparkspatial import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    mono = (rng.randint(-3000, 3000, 500)).astype(np.int16)
+    stereo = np.stack([mono, -mono], axis=1)
+    rows = [("mono", mm.encode_wav(mono, 8000)),
+            ("stereo", mm.encode_wav(stereo, 44100, 2)),
+            ("junk", b"RIFFxxxx"), ("empty", b"")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r.url: r for r in mm.audio_features(df, codec="wav").collect()}
+
+    assert got["mono"].sample_rate == 8000
+    assert got["mono"].n_samples == 500
+    assert got["mono"].n_channels == 1
+    x = mono.astype(np.float64)
+    assert abs(got["mono"].rms - np.sqrt((x ** 2).mean())) < 1e-9
+    assert got["mono"].peak == int(np.abs(mono).max())
+    assert got["stereo"].n_channels == 2
+    assert got["stereo"].sample_rate == 44100
+    assert not got["junk"].valid and not got["empty"].valid
+
+
+def test_wav_chunk_walker_skips_unknown_chunks():
+    import struct
+
+    import numpy as np
+
+    from sparkspatial import multimodal as mm
+
+    s = np.array([7, -7, 7], dtype=np.int16)
+    b = mm.encode_wav(s, 8000)
+    # splice a LIST chunk (odd size -> word-align padding) before fmt
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    patched = b[:12] + extra + b[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    dec = mm.decode_wav(patched)
+    assert dec is not None
+    pcm, sr = dec
+    assert sr == 8000 and np.array_equal(pcm[:, 0], s)
