@@ -1260,6 +1260,41 @@ def q_audio_features(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video frame sampling through Spark: per-doc Y4M clips
+    (n_frames/dims from doc_id, frame i solid gray (doc_id*11+i*17)%256)
+    decoded by the dependency-free YUV4MPEG2 parser, every 2nd frame
+    sampled with its mean luma — checked against the analytic
+    oracle (solid frame => mean luma == its gray level)."""
+    import pandas as pd
+
+    from sparkspatial import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+        for pdf in batches:
+            pays = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf, w, h = 1 + d % 5, 4 + 2 * (d % 3), 2 + 2 * (d % 4)
+                fr = np.stack([
+                    np.full((h, w), (d * 11 + i * 17) % 256,
+                            dtype=np.uint8)
+                    for i in range(nf)])
+                pays.append(mm.encode_y4m(fr))
+            yield pd.DataFrame({"url": pdf["doc_id"].astype(str),
+                                "payload": pays})
+
+    media = docs.mapInPandas(_mk, schema="url string, payload binary")
+    return (mm.sample_frames_y4m(media, every_n=2)
+            .select(F.col("url").cast("long").alias("doc_id"),
+                    "frame_idx", "width", "height", "mean_luma")
+            .orderBy("doc_id", "frame_idx"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1355,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1723,6 +1759,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
                    TRUE AS valid
             FROM documents ORDER BY doc_id
+        """,
+        "video_frames": """
+            WITH f AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, CAST(doc_id % 5 AS INT), 2))
+                           AS frame_idx
+                FROM documents)
+            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(4 + 2 * (doc_id % 3) AS INT) AS width,
+                   CAST(2 + 2 * (doc_id % 4) AS INT) AS height,
+                   CAST((doc_id * 11 + frame_idx * 17) % 256 AS DOUBLE)
+                       AS mean_luma
+            FROM f ORDER BY doc_id, frame_idx
         """,
         "audio_features": """
             SELECT doc_id,

@@ -189,3 +189,26 @@ def test_wav_chunk_walker_skips_unknown_chunks():
     assert dec is not None
     pcm, sr = dec
     assert sr == 8000 and np.array_equal(pcm[:, 0], s)
+
+
+# ------------------------------------------------------- real Y4M codec
+
+def test_y4m_roundtrip_and_frame_sampling(spark):
+    import numpy as np
+
+    from sparkspatial import multimodal as mm
+
+    fr = (np.arange(5 * 6 * 8) % 256).astype(np.uint8).reshape(5, 6, 8)
+    df = spark.createDataFrame(
+        [("clip", mm.encode_y4m(fr, 30)), ("junk", b"nope")],
+        "url string, payload binary")
+    got = mm.sample_frames_y4m(df, every_n=2).collect()
+    by_idx = {r.frame_idx: r for r in got if r.url == "clip"}
+    assert set(by_idx) == {0, 2, 4}
+    assert by_idx[0].width == 8 and by_idx[0].height == 6
+    for i, r in by_idx.items():
+        # frame payload is a PPM of the gray luma plane, pixel-exact
+        arr = mm.decode_ppm(bytes(r.frame))
+        assert np.array_equal(arr[..., 0], fr[i])
+        assert abs(r.mean_luma - fr[i].astype(np.float64).mean()) < 1e-9
+    assert not any(r.url == "junk" for r in got)
