@@ -4,16 +4,20 @@ Image/audio/video payloads ride as opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched mapInPandas operators (task brief
 "multimodal columns"). Three codec paths:
 
-- ``codec="ppm"``: a REAL image codec — binary PPM (P6) parsed,
-  decoded, box-filter-resized and feature-extracted in pure numpy (no
-  PIL needed; PPM is a 3-token ASCII header + raw RGB bytes). Pixel
-  semantics are genuinely exercised end to end.
-- ``codec="real"`` raises NotImplementedError (general formats —
-  JPEG/PNG/ffmpeg — need libs not in this container; marked stub), and
+- REAL dependency-free codecs, one per modality, all pure
+  struct/numpy: ``codec="ppm"`` images (P6 decode, box-filter resize,
+  RGB/luma features), ``codec="wav"`` audio (RIFF chunk walker,
+  duration/rms/peak/zero-crossing features), Y4M video
+  (``sample_frames_y4m``: YUV4MPEG2 frame decode + per-frame luma).
+  Pixel/sample semantics are genuinely exercised end to end and
+  value-hash-checked against analytic DuckDB oracles.
+- ``codec="real"`` raises NotImplementedError (general compressed
+  formats — JPEG/PNG/mp4 — need PIL/ffmpeg, not in this container;
+  the marked stub), and
 - ``codec="fake"`` (default) parses the deterministic fake container
-  format below, making all Spark-side plumbing — schema, partitioning,
-  UDF signatures, batch shapes, explode semantics — real and testable
-  for audio/video too.
+  format below, keeping the Spark-side plumbing — schema,
+  partitioning, UDF signatures, batch shapes, explode semantics —
+  testable independently of any codec.
 
 Fake container format (little-endian):
     magic   4 bytes  b"IMG!" | b"AUD!" | b"VID!"
