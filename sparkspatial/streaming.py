@@ -56,10 +56,15 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
     `session_window` (watermarked, merging state managed by Spark).
 
     Spark-first choice: the native session window beats a hand-rolled
-    stateful operator for gap-based sessions (custom state in Spark 4
-    would use transformWithStateInPandas; the older
-    applyInPandasWithState path is deprecated there — and hangs in
-    this build). Emits one row per closed session.
+    stateful operator for gap-based sessions. Custom state in Spark 4
+    would use transformWithStateInPandas — probed in this build: its
+    Python runner crashes at init (`ImportError: google.protobuf`; the
+    protobuf package is not in this container and installs are
+    disallowed), and the older applyInPandasWithState is deprecated
+    and hangs. So the engine's stateful streaming uses the JVM-native
+    operators (session_window, watermarked aggs,
+    dropDuplicatesWithinWatermark), which cover every streaming op
+    here. Emits one row per closed session.
     """
     return (events
             .withWatermark("ts", watermark)

@@ -458,9 +458,13 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
     serialize into one task), no join-back (the kept line rides inside
     the min-struct).
     """
+    import re as _re
+
+    sep_pat = _re.escape(sep)  # F.split takes a REGEX; quote the literal
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+        F.posexplode(F.split(F.col(text_col), sep_pat))
+        .alias("pos", "line"))
     kept = (lines
             .groupBy(F.md5(F.col("line")).alias("lh"))
             .agg(F.min(F.struct(id_col, "pos", "line")).alias("k"),
@@ -478,7 +482,7 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
                     F.count(F.lit(1)).alias("n_lines_kept")))
     n_total = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).alias("n_lines"))
+        F.size(F.split(F.col(text_col), sep_pat)).alias("n_lines"))
     return (n_total.join(rebuilt, id_col, "left")
             .select(
                 id_col,
