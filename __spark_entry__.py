@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkspatial import cells as cellmod
@@ -1295,6 +1295,38 @@ def q_video_frames(spark, sf_dir):
             .orderBy("doc_id", "frame_idx"))
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus-wide token vocabulary, top 50 by frequency — the
+    counting step of tokenizer (BPE) training. explode -> two-level
+    count with map-side combine (the hot-token skew compresses in the
+    combiner); deterministic ties by token text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split(
+        F.expr(text.norm_text_sql("text", "spark")), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit = distributed TakeOrdered (per-partition top-50,
+    # driver merge) — a global row_number window would single-
+    # partition the whole 10^6-10^8-token vocabulary; the window runs
+    # only on the 50 survivors
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (top.withColumn("rnk", F.row_number().over(w))
+            .select("rnk", "tok", "n"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: exactly min(n, 10) docs per
+    (source) stratum, chosen by h32 order — the balanced-mixture
+    draw of a training-data pipeline, reproducible across engines,
+    runs and partitionings (vs rand() stratification)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.expr(h32_spark_sql("CAST(doc_id AS STRING)"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 10)
+            .select("doc_id", "source", "rnk").orderBy("doc_id"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1391,6 +1423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "vocab_topk": q_vocab_topk,
+        "stratified_sample": q_stratified_sample,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1759,6 +1793,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
                    TRUE AS valid
             FROM documents ORDER BY doc_id
+        """,
+        "vocab_topk": f"""
+            WITH toks AS (
+                SELECT unnest(string_split(
+                    {text.norm_text_sql("text", "duckdb")}, ' ')) AS tok
+                FROM documents),
+            counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, tok ASC)
+                        AS INT) AS rnk, tok, n
+            FROM counts QUALIFY rnk <= 50 ORDER BY rnk
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source, rnk FROM (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY {h32_duckdb_sql(
+                               "CAST(doc_id AS VARCHAR)")} ASC,
+                                    doc_id ASC) AS INT) AS rnk
+                FROM documents)
+            WHERE rnk <= 10 ORDER BY doc_id
         """,
         "video_frames": """
             WITH f AS (
