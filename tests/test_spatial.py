@@ -317,3 +317,43 @@ def test_knn_large_query_set_no_driver_state(spark):
     assert g == w
     out.unpersist()
     sample_q.unpersist()
+
+
+def test_range_join_large_query_set_no_driver_state(spark):
+    """10^4 queries through the DataFrame-native range join at sf0.1:
+    only one scalar (max window width) reaches the driver; pair counts
+    spot-checked against brute force on a sample of queries."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    import __spark_entry__ as entrymod
+    from sparkspatial.knn import range_join
+
+    pts = entrymod._points(spark, sf_dir).select("url", "lat", "lon")
+    base_q = pts.selectExpr("url AS qid", "lat AS qlat", "lon AS qlon")
+    jittered = base_q.selectExpr("qid || '#j' AS qid",
+                                 "qlat + 1e-4 AS qlat",
+                                 "qlon + 1e-4 AS qlon")
+    queries = base_q.unionByName(jittered)
+    assert queries.count() == 10_000
+
+    out = range_join(pts, queries, radius_m=2000.0, res=8,
+                     broadcast=False).persist()
+    # every query contains at least its own point (or its jitter twin)
+    assert out.select("qid").distinct().count() == 10_000
+
+    # brute-force a sample of 5 queries
+    from sparkspatial import geom as g
+    import numpy as np
+    sample = queries.where("qid LIKE '%0#j'").limit(5).collect()
+    pts_pdf = pts.toPandas()
+    for q in sample:
+        d = g.haversine_deg(
+            np.full(len(pts_pdf), q.qlat), np.full(len(pts_pdf), q.qlon),
+            pts_pdf["lat"].to_numpy(), pts_pdf["lon"].to_numpy())
+        want = int((d <= 2000.0).sum())
+        got = out.where(F.col("qid") == q.qid).count()
+        assert got == want, (q.qid, got, want)
+    out.unpersist()
