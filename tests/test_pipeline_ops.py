@@ -480,3 +480,58 @@ def test_streaming_near_dup_alerts_match_batch(spark, sf_dir, tmp_path):
     # every streamed multiple of 15 must alert against its twin
     both = {r.doc_id for r in docs.where("doc_id % 15 = 0").collect()}
     assert {(f"p/{d}", d) for d in both} <= got
+
+
+# ------------------------------------------- cross-engine regex fuzzing
+
+def test_regex_ops_cross_engine_fuzz(spark):
+    """800 seeded random strings (ASCII + accented letters + digits +
+    punctuation + PII-shaped fragments) through every regex-based op
+    in BOTH engines: Java regex (Spark) and RE2 (DuckDB) must agree
+    exactly — this is where dialect drift (unicode classes, greediness,
+    anchors) would silently break the oracle gate."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = (list("abcdefgh XYZ0123456789 .,!?#@:/-_'\n\t")
+                + list("àéîöñçß€日本"))
+    frags = ["user@ex.com", "x@y.io.", "555-123-4567", "+1 555-000-1111",
+             "10.0.0.1", "999.1.2.3", "https://www.Ex.COM/a/b?q=1",
+             "ftp://f.net/", "it's", "don't", "'", "@", "P6", "@@"]
+
+    def rand_s():
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            parts.append(rng.choice(frags) if rng.random() < 0.3
+                         else "".join(rng.choice(alphabet)
+                                      for _ in range(rng.randint(1, 8))))
+        return " ".join(parts)
+
+    rows = [(i, rand_s()) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    counts = text.pii_count_sqls("s", "spark")
+    parts = text.url_parts_sqls("s", "spark")
+    got = {r.id: tuple(r)[1:] for r in df.selectExpr(
+        "id",
+        text.pii_scrub_sql("s", "spark") + " AS scrub",
+        counts["email"] + " AS ne", counts["phone"] + " AS np",
+        counts["ip"] + " AS ni",
+        text.token_count_bpe_sql("s", "spark") + " AS nb",
+        text.norm_text_sql("s", "spark") + " AS norm",
+        text.token_count_sql("s", "spark") + " AS nt",
+        parts["host"] + " AS host", parts["tld"] + " AS tld").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dcounts = text.pii_count_sqls("s", "duckdb")
+    dparts = text.url_parts_sqls("s", "duckdb")
+    want = {r[0]: tuple(r)[1:] for r in con.execute(
+        f"SELECT id, {text.pii_scrub_sql('s', 'duckdb')}, "
+        f"{dcounts['email']}, {dcounts['phone']}, {dcounts['ip']}, "
+        f"{text.token_count_bpe_sql('s', 'duckdb')}, "
+        f"{text.norm_text_sql('s', 'duckdb')}, "
+        f"{text.token_count_sql('s', 'duckdb')}, "
+        f"{dparts['host']}, {dparts['tld']} FROM t").fetchall()}
+    mismatches = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not mismatches, list(mismatches.items())[:3]
