@@ -1217,6 +1217,10 @@ def q_image_features(spark, sf_dir):
                                 "payload": pays})
 
     media = docs.mapInPandas(_mk, schema="url string, payload binary")
+    # exchange between synthesis (test-fixture generation, not a
+    # production path) and the operator under test: never two chained
+    # Python stages in one task (CLAUDE.md hard rule)
+    media = media.repartition(8)
     return (mm.image_features(media, codec="ppm")
             .select(F.col("url").cast("long").alias("doc_id"),
                     "width", "height", "mean_r", "mean_g", "mean_b",
@@ -1253,6 +1257,7 @@ def q_audio_features(spark, sf_dir):
                                 "payload": pays})
 
     media = docs.mapInPandas(_mk, schema="url string, payload binary")
+    media = media.repartition(8)  # exchange: no chained Python stages
     return (mm.audio_features(media, codec="wav")
             .select(F.col("url").cast("long").alias("doc_id"),
                     "sample_rate", "n_samples", "duration_s", "rms",
@@ -1289,6 +1294,7 @@ def q_video_frames(spark, sf_dir):
                                 "payload": pays})
 
     media = docs.mapInPandas(_mk, schema="url string, payload binary")
+    media = media.repartition(8)  # exchange: no chained Python stages
     return (mm.sample_frames_y4m(media, every_n=2)
             .select(F.col("url").cast("long").alias("doc_id"),
                     "frame_idx", "width", "height", "mean_luma")

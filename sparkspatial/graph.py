@@ -23,10 +23,14 @@ either way.
 
 Scale shape per round: one equi-join of the symmetric edge list with
 the label table on the node key + one groupBy(node) min — two hash
-exchanges over data that shrinks as labels stabilize. Labels/edges are
-persisted per round and the previous round unpersisted (no cache
-leak); lineage is cut every round by the persist so the plan does not
-grow with iterations.
+exchanges over data that shrinks as labels stabilize. Lineage is cut
+every round by an eager localCheckpoint (persist alone leaves the
+full join lineage in the logical plan, which blows up plan analysis
+on long chains — measured). Prior rounds' checkpoint blocks are
+released by Spark's ContextCleaner once the superseded DataFrame is
+dereferenced on the driver (bounded by GC cadence, not guaranteed
+immediate); a production run over a huge label table should prefer a
+reliable checkpoint dir, which also survives executor loss.
 
 No SQL-recursion is used on the Spark side; the DuckDB oracle twin
 (`components_duckdb_sql`) expresses the same fixpoint as a recursive

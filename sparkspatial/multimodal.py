@@ -298,6 +298,8 @@ def decode_wav(payload: bytes):
         cid, sz = struct.unpack_from("<4sI", payload, i)
         i += 8
         if cid == b"fmt " and sz >= 16:
+            if i + 16 > n:  # truncated fmt chunk -> invalid, not a crash
+                return None
             audio_fmt, ch, sr, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, i)
             if audio_fmt != 1 or bits != 16:
@@ -379,15 +381,18 @@ def decode_y4m(payload: bytes):
     if nl < 0:
         return None
     w = h = fps = None
-    for tag in payload[10:nl].split(b" "):
-        if tag.startswith(b"W"):
-            w = int(tag[1:])
-        elif tag.startswith(b"H"):
-            h = int(tag[1:])
-        elif tag.startswith(b"F"):
-            fps = int(tag[1:].split(b":")[0])
-        elif tag.startswith(b"C") and not tag.startswith(b"C420"):
-            return None  # only 4:2:0 subsampling supported
+    try:
+        for tag in payload[10:nl].split(b" "):
+            if tag.startswith(b"W"):
+                w = int(tag[1:])
+            elif tag.startswith(b"H"):
+                h = int(tag[1:])
+            elif tag.startswith(b"F"):
+                fps = int(tag[1:].split(b":")[0])
+            elif tag.startswith(b"C") and not tag.startswith(b"C420"):
+                return None  # only 4:2:0 subsampling supported
+    except ValueError:  # malformed numeric tag -> invalid, not a crash
+        return None
     if not w or not h:
         return None
     y_sz = w * h

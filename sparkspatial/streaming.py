@@ -157,7 +157,8 @@ def streaming_dedup(pages: DataFrame, key_cols=("url",),
 def streaming_near_dup_alerts(pages: DataFrame, corpus_bands: DataFrame,
                               *, n_hashes: int = 8, bands: int = 4,
                               ts_col: str = "warc_ts",
-                              watermark: str = "2 hours") -> DataFrame:
+                              watermark: str = "2 hours",
+                              broadcast: bool = True) -> DataFrame:
     """Streaming near-duplicate detection against a STATIC corpus
     index: each arriving page's MinHash band keys equi-join the
     prebuilt (doc_id, band, bh) banded-signature index
@@ -191,8 +192,11 @@ def streaming_near_dup_alerts(pages: DataFrame, corpus_bands: DataFrame,
     sigs = pages.mapInPandas(_sig, schema=sig_schema)
     stream_bands = textmod.band_keys(sigs, id_col="url", bands=bands,
                                      keep_cols=(ts_col,))
-    hits = stream_bands.join(F.broadcast(corpus_bands),
-                             on=["band", "bh"], how="inner")
+    # broadcast=False: an index too big for broadcast (10^9+ corpus
+    # rows x bands) shuffle-joins instead — stream-static equi-joins
+    # support both distributions
+    idx = F.broadcast(corpus_bands) if broadcast else corpus_bands
+    hits = stream_bands.join(idx, on=["band", "bh"], how="inner")
     return (hits.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["url", "doc_id"])
             .select("url", "doc_id", ts_col))

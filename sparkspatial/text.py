@@ -43,14 +43,31 @@ def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
 
 # ------------------------------------------------------------------ basics
 
+# Explicit whitespace class instead of \s: Java \s includes \x0B
+# (vertical tab), RE2's does not — with \s the two engines would
+# normalize \x0B-bearing text differently and every downstream hash
+# (fingerprint, shingles, MinHash, lang scores) would diverge. The
+# explicit class is byte-identical in both dialects. Spark SQL string
+# literals process backslash escapes, so the pattern is embedded with
+# doubled backslashes there (same rule as _sql_quote).
+_WS_RE = r"[ \t\n\x0B\f\r]"
+
+
+def _ws_pat(dialect: str) -> str:
+    return _WS_RE.replace("\\", "\\\\") if dialect == "spark" else _WS_RE
+
+
 def norm_text_sql(col: str, dialect: str = "spark") -> str:
     """Lower + collapse whitespace.
 
     Spark's regexp_replace is replace-all; DuckDB needs the 'g' flag.
     """
+    ws = _ws_pat(dialect)
+    # DuckDB's 1-arg trim strips UNICODE whitespace (NBSP included);
+    # Spark's strips only ' '. Pin both to space-only.
     if dialect == "spark":
-        return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
-    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+        return f"trim(regexp_replace(lower({col}), '{ws}+', ' '))"
+    return f"trim(regexp_replace(lower({col}), '{ws}+', ' ', 'g'), ' ')"
 
 
 def fingerprint_sql(col: str, dialect: str = "spark") -> str:
@@ -59,11 +76,13 @@ def fingerprint_sql(col: str, dialect: str = "spark") -> str:
 
 
 def token_count_sql(col: str, dialect: str = "spark") -> str:
+    ws = _ws_pat(dialect)
     if dialect == "spark":
         return (f"CASE WHEN length(trim({col})) = 0 THEN 0 "
-                f"ELSE size(split(trim({col}), '\\\\s+')) END")
-    return (f"CASE WHEN length(trim({col})) = 0 THEN 0 "
-            f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END")
+                f"ELSE size(split(trim({col}), '{ws}+')) END")
+    return (f"CASE WHEN length(trim({col}, ' ')) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({col}, ' '), "
+            f"'{ws}+')) END")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -467,8 +486,7 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
         .alias("pos", "line"))
     kept = (lines
             .groupBy(F.md5(F.col("line")).alias("lh"))
-            .agg(F.min(F.struct(id_col, "pos", "line")).alias("k"),
-                 F.count(F.lit(1)).alias("occ"))
+            .agg(F.min(F.struct(id_col, "pos", "line")).alias("k"))
             .select(F.col(f"k.{id_col}").alias(id_col),
                     F.col("k.pos").alias("pos"),
                     F.col("k.line").alias("line")))
@@ -761,8 +779,11 @@ def url_parts_sqls(col: str, dialect: str = "spark") -> dict[str, str]:
 # Java regex (Spark, codegen) and RE2 (DuckDB): contraction suffixes,
 # letter runs (unicode \p{L}), digit runs, punctuation runs. The real
 # GPT-2 pattern's ?! lookahead and \p{N} are avoided (RE2 has neither
-# lookahead nor identical \p{N} behavior across engines).
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)|[\p{L}]+|[0-9]+|[^\s\p{L}0-9]+"
+# lookahead nor identical \p{N} behavior across engines). Whitespace
+# is an EXPLICIT class, not \s: Java \s includes \x0B (vertical tab),
+# RE2's does not — the explicit superset keeps both engines identical.
+BPE_SPLIT_RE = (r"'(?:s|t|re|ve|m|ll|d)|[\p{L}]+|[0-9]+"
+                r"|[^ \t\n\x0B\f\r\p{L}0-9]+")
 
 
 def bpe_tokens_sql(col: str, dialect: str = "spark") -> str:
@@ -808,7 +829,12 @@ def minhash_pandas(texts, n_hashes: int = 16, shingle_k: int = 3):
                       for j in range(shingle_k)], dtype=np.int64)
     out = np.empty((len(texts), n_hashes), dtype=np.int64)
     for i, t in enumerate(texts):
-        norm = _re.sub(r"\s+", " ", (t or "").lower()).strip()
+        # re.ASCII: Python \s is unicode-wide but Java's (the batch
+        # path's regexp_replace) is ASCII-only — a NBSP would tokenize
+        # differently and break the bit-parity this function promises.
+        # strip(" ") likewise mirrors Spark trim() (space only).
+        norm = _re.sub(r"\s+", " ", (t or "").lower(),
+                       flags=_re.ASCII).strip(" ")
         toks = norm.split(" ")
         if len(toks) < shingle_k:
             sh = np.array([h32(norm) % MERSENNE31], dtype=np.int64)

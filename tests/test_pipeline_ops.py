@@ -494,7 +494,11 @@ def test_regex_ops_cross_engine_fuzz(spark):
 
     rng = random.Random(1234)
     alphabet = (list("abcdefgh XYZ0123456789 .,!?#@:/-_'\n\t")
-                + list("àéîöñçß€日本"))
+                + list("àéîöñçß€日本")
+                # \x0b: Java \s has it, RE2 \s does not — the explicit
+                # whitespace classes exist for exactly this char;
+                # \xa0 (NBSP): unicode-wide \s would eat it
+                + ["\x0b", "\x0c", "\xa0"])
     frags = ["user@ex.com", "x@y.io.", "555-123-4567", "+1 555-000-1111",
              "10.0.0.1", "999.1.2.3", "https://www.Ex.COM/a/b?q=1",
              "ftp://f.net/", "it's", "don't", "'", "@", "P6", "@@"]
