@@ -539,3 +539,46 @@ def test_regex_ops_cross_engine_fuzz(spark):
         f"{dparts['host']}, {dparts['tld']} FROM t").fetchall()}
     mismatches = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
     assert not mismatches, list(mismatches.items())[:3]
+
+
+# --------------------------------------------- streaming sink resume
+
+def test_streaming_file_sink_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """File-sink + checkpointLocation restart contract: stop a stream
+    mid-input, restart from the same checkpoint, and the sink holds
+    every input row EXACTLY once (no dupes, no gaps) — the streaming
+    side of the engine's resumability story."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.select("doc_id", "lang").where("doc_id < 200") \
+        .write.mode("overwrite").parquet(src)
+    docs.select("doc_id", "lang").where("doc_id >= 200") \
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+
+    def run_available():
+        stream = (spark.readStream.schema("doc_id long, lang string")
+                  .parquet(src))
+        q = (stream.writeStream.outputMode("append")
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_available()  # first run: only the first 200 docs exist
+    assert spark.read.parquet(out).count() == 200
+
+    # more input lands; restart from the SAME checkpoint
+    import glob
+    for i, f in enumerate(
+            glob.glob(stage + "/part-*.parquet")):
+        shutil.copy(f, f"{src}/late-{i}.parquet")
+    run_available()
+    got = spark.read.parquet(out)
+    # exactly once: the first 200 are NOT re-emitted, the rest appear
+    assert got.count() == 500
+    assert got.select("doc_id").distinct().count() == 500
