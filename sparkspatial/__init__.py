@@ -14,12 +14,19 @@ PySpark DataFrame operators over web-scale page corpora:
 - skew handling (cell histograms + salting)                   -> skew
 - OSM-table transform parity (points/lines/polygons, pivot)   -> transform
 - building/road/traffic indicator layers                      -> layers
-- training-data ops (dedup, minhash/simhash, lang-id, ...)    -> text
-- embedding similarity search (brute-force + LSH-bucketed)    -> sim
+- training-data ops (dedup incl. line-level, minhash/simhash,
+  lang-id, PII scrub, decontamination, packing, BPE counts, ...)
+                                                              -> text
+- embedding similarity search + SemDeDup (LSH/IVF-bucketed)   -> sim
+- connected components for dedup clusters (hash-min)          -> graph
+- real multimodal codecs (PPM / WAV / Y4M) + features         -> multimodal
+- temporal as-of join                                         -> temporal
+- bucketed/partitioned storage layouts (shuffle-free joins)   -> bucketing
+- Structured Streaming twins of the batch operators           -> streaming
 - per-partition lineage + resumable checkpoints               -> checkpoint
 
 Pure Python, `spark-submit --py-files`-shippable: no JARs, no native
 wheels beyond numpy/pandas/pyarrow (all standard on Spark clusters).
 """
 
-__version__ = "1.0.0"  # round 1
+__version__ = "2.0.0"  # round 2

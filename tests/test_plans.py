@@ -149,3 +149,31 @@ def test_decontaminate_only_hashes_cross_the_semi_join(spark, sf_dir):
         or re.search(r"BroadcastHashJoin \[sh#\d+L?\], \[sh#\d+L?\], LeftSemi",
                      plan)
     assert m, plan[:2000]
+
+
+def test_every_driver_query_plan_is_scale_clean(spark, sf_dir):
+    """Sweeping hot-path guard over ALL driver queries: no physical
+    plan may contain a CartesianProduct/BroadcastNestedLoopJoin (the
+    all-pairs trap) or BatchEvalPython (row-at-a-time Python UDF —
+    Arrow stages show as ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas
+    and are allowed). Catches a scale regression in any future query
+    without writing a per-query test."""
+    import __spark_entry__ as entrymod
+
+    # ops whose documented contract is an exact all-pairs baseline
+    # (the oracle twins of the LSH/IVF scale paths)
+    allowed_allpairs = {"embedding_near_dup", "embedding_dedup_survivors"}
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time Python UDF")
+        if name not in allowed_allpairs and (
+                "CartesianProduct" in plan
+                or "BroadcastNestedLoopJoin" in plan):
+            problems.append("all-pairs join")
+        if problems:
+            bad[name] = problems
+    assert not bad, bad
