@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 
 from . import session as _session
 
-__all__ = ["connected_components", "components_duckdb_sql"]
+__all__ = ["connected_components", "connected_components_star",
+           "components_duckdb_sql"]
 
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
@@ -116,3 +117,65 @@ def components_duckdb_sql(edges_cte: str, id_a: str = "id_a",
         comp AS (
             SELECT node, MIN(r) AS component FROM reach GROUP BY node)
     """
+
+
+def _edge_fingerprint(e: DataFrame):
+    """(count, hash-sum) of an edge set — the fixpoint detector for
+    star contraction (two scalars to the driver, never rows)."""
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("h")).first()
+    return (row[0], row[1])
+
+
+def connected_components_star(edges: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 40) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — O(log n) rounds even on path graphs,
+    where hash-min label propagation needs diameter rounds.
+
+    large-star: every neighbor of u LARGER than u re-attaches to
+    m = min(N(u) ∪ {u}); small-star: every not-larger neighbor (and u)
+    attaches to m. Alternating the two contracts every component to a
+    star around its minimum id; the final edge set IS the
+    (member -> root) mapping. Fixpoint detection is a scalar
+    (count, hash-sum) pair; per-round localCheckpoint cuts lineage
+    (same discipline and caveats as connected_components).
+    """
+    e = (edges.select(F.col(id_a).cast("long").alias("a"),
+                      F.col(id_b).cast("long").alias("b"))
+         .where("a != b").distinct().localCheckpoint())
+    nodes = (e.select(F.col("a").alias("node"))
+             .unionByName(e.select(F.col("b").alias("node")))
+             .distinct().localCheckpoint())
+
+    prev = _edge_fingerprint(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric view
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .unionByName(
+                e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        lmins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                 .select("u", F.least("mn", F.col("u")).alias("m")))
+        e = (sym.join(lmins, "u").where(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("a"), F.col("m").alias("b"))
+             .where("a != b").distinct())
+        # small-star over min-oriented edges
+        ore = e.select(F.greatest("a", "b").alias("u"),
+                       F.least("a", "b").alias("v")).distinct()
+        smins = ore.groupBy("u").agg(F.min("v").alias("m"))
+        e = (ore.join(smins, "u")
+             .select(F.col("v").alias("a"), F.col("m").alias("b"))
+             .unionByName(smins.select(F.col("u").alias("a"),
+                                       F.col("m").alias("b")))
+             .where("a != b").distinct().localCheckpoint())
+        cur = _edge_fingerprint(e)
+        if cur == prev:
+            # star fixpoint: e = {(member, root)}; roots map to self
+            return (nodes.join(e, nodes.node == e.a, "left")
+                    .select("node",
+                            F.coalesce("b", "node").alias("component")))
+        prev = cur
+    raise RuntimeError(
+        f"connected_components_star: no fixpoint in {max_iter} rounds")

@@ -582,3 +582,56 @@ def test_streaming_file_sink_resumes_exactly_once(spark, sf_dir, tmp_path):
     # exactly once: the first 200 are NOT re-emitted, the rest appear
     assert got.count() == 500
     assert got.select("doc_id").distinct().count() == 500
+
+
+# --------------------------------------------- star-contraction CC
+
+def _unionfind(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_star_cc_matches_hashmin_and_unionfind(spark):
+    import random
+
+    rng = random.Random(99)
+    nodes = list(range(150))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r.node: r.component
+            for r in graph.connected_components_star(df).collect()}
+    hmin = {r.node: r.component
+            for r in graph.connected_components(df).collect()}
+    in_graph = {a for a, _ in edges} | {b for _, b in edges}
+    want = {n: c for n, c in _unionfind(nodes, edges).items()
+            if n in in_graph}
+    assert star == hmin == want
+
+
+def test_star_cc_long_path_logarithmic_rounds(spark):
+    """A 2000-node path with shuffled ids: hash-min needs ~2000 rounds
+    (over its cap), star contraction converges in O(log n) — the case
+    the at-scale algorithm exists for."""
+    import random
+
+    ids = list(range(2000))
+    random.Random(5).shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(1999)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in graph.connected_components_star(df,
+                                                    max_iter=25).collect()}
+    assert set(got.values()) == {0}  # one component, rooted at min id
+    assert len(got) == 2000
