@@ -1,0 +1,133 @@
+"""OSM XML loader vs the reference's own golden rows.
+
+LoaderTest.groovy:455-744 pins the exact 10-table content for
+sample.osm (the reference's test resource, read in place — never
+copied); these tests replay every golden assertion against
+osmxml.load_osm and then run the loaded tables through the transform
+operators end-to-end.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from sparkspatial import geom, osmxml, transform
+
+REF = "/root/reference/osm/src/test/resources/org/orbisgis/orbisanalysis/osm"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference test resources not present")
+
+
+@pytest.fixture(scope="module")
+def sample_tables(spark):
+    return osmxml.load_osm(spark, f"{REF}/sample.osm")
+
+
+def test_sample_node_table_golden(sample_tables):
+    rows = {r.id_node: r for r in sample_tables["node"].collect()}
+    assert set(rows) == {256001, 256002, 256003, 256004, 256005}
+    r = rows[256001]  # LoaderTest:478-494
+    x, y = geom.wkb_loads(bytes(r.the_geom_wkb))[1]
+    assert (x, y) == (32.8545692, 57.0465758)
+    assert r.ele is None
+    assert r.user_name == "UserTest" and r.uid == 5001
+    assert r.visible is True and r.version == 1 and r.changeset == 6001
+    # pinned reference quirk: node LAST_UPDATE is date-truncated
+    assert r.last_update == datetime.datetime(2012, 1, 10, 0, 0, 0)
+    assert r.name == ""
+    assert rows[256004].name == "Just a house node"
+    assert rows[256005].name == "Just a tree"
+
+
+def test_sample_node_tag_excludes_name(sample_tables):
+    got = {(r.id_node, r.tag_key, r.tag_value)
+           for r in sample_tables["node_tag"].collect()}
+    # LoaderTest:578-594: 2 rows, 'name' pulled into the node column
+    assert got == {(256004, "building", "house"),
+                   (256005, "natural", "tree")}
+
+
+def test_sample_way_tables_golden(sample_tables):
+    w = sample_tables["way"].collect()
+    assert len(w) == 1 and w[0].id_way == 258001
+    # way keeps the FULL timestamp (LoaderTest:617)
+    assert w[0].last_update == datetime.datetime(2012, 1, 10, 23, 2, 55)
+    assert w[0].name == ""
+    wn = {(r.id_node, r.node_order)
+          for r in sample_tables["way_node"].collect()}
+    assert wn == {(256001, 1), (256002, 2), (256003, 3)}
+    wt = {(r.id_way, r.tag_key, r.tag_value)
+          for r in sample_tables["way_tag"].collect()}
+    assert wt == {(258001, "highway", "primary")}
+
+
+def test_sample_member_order_is_global(sample_tables):
+    """LoaderTest:563-569: member ORDER is the 1-based position in the
+    FULL member list — the way member gets 1, node members 2 and 3."""
+    nm = {(r.id_node, r.role, r.node_order)
+          for r in sample_tables["node_member"].collect()}
+    assert nm == {(256004, "center", 2), (256005, "barycenter", 3)}
+    wm = {(r.id_way, r.role, r.way_order)
+          for r in sample_tables["way_member"].collect()}
+    assert wm == {(258001, "outer", 1)}
+    assert sample_tables["relation_member"].count() == 0
+
+
+def test_sample_relation_tables_golden(sample_tables):
+    rel = sample_tables["relation"].collect()
+    assert len(rel) == 1 and rel[0].id_relation == 259001
+    assert rel[0].last_update == datetime.datetime(2012, 1, 10, 23, 2, 55)
+    rt = {(r.tag_key, r.tag_value)
+          for r in sample_tables["relation_tag"].collect()}
+    assert rt == {("ref", "123456"), ("route", "bus")}
+
+
+def test_real_osm_file_counts_match_local_parse(spark):
+    """osmFileForTest.osm (1300+ elements): the distributed loader's
+    per-table counts equal an independent local ElementTree count."""
+    import xml.etree.ElementTree as ET
+
+    tabs = osmxml.load_osm(spark, f"{REF}/osmFileForTest.osm")
+    root = ET.parse(f"{REF}/osmFileForTest.osm").getroot()
+    n_nodes = len(root.findall("node"))
+    n_ways = len(root.findall("way"))
+    n_rels = len(root.findall("relation"))
+    assert n_nodes > 100 and n_ways > 0
+    assert tabs["node"].count() == n_nodes
+    assert tabs["way"].count() == n_ways
+    assert tabs["relation"].count() == n_rels
+    n_wn = sum(len(w.findall("nd")) for w in root.findall("way"))
+    assert tabs["way_node"].count() == n_wn
+
+    # relation coverage from the dedicated resource
+    rel_tabs = osmxml.load_osm(spark, f"{REF}/osm_one_relation.osm")
+    rel_root = ET.parse(f"{REF}/osm_one_relation.osm").getroot()
+    assert rel_tabs["relation"].count() == \
+        len(rel_root.findall("relation")) > 0
+    n_members = sum(len(r.findall("member"))
+                    for r in rel_root.findall("relation"))
+    assert (rel_tabs["node_member"].count()
+            + rel_tabs["way_member"].count()
+            + rel_tabs["relation_member"].count()) == n_members
+
+
+def test_loaded_tables_flow_through_transform(spark, sample_tables):
+    """End-to-end: XML -> tables -> transform operators (the
+    reference's load->transform pipeline)."""
+    pts = transform.extract_nodes_as_points(
+        sample_tables["node"], sample_tables["node_tag"],
+        tags={"building": None})
+    got = pts.collect()
+    assert len(got) == 1
+    x, y = geom.wkb_loads(bytes(got[0].the_geom_wkb))[1]
+    assert (x, y) == (32.8845692, 57.0765758)
+
+    lines = transform.extract_ways(
+        sample_tables["way_tag"], sample_tables["way_node"],
+        sample_tables["node"], tags={"highway": None}, as_polygon=False)
+    lrows = lines.collect()
+    assert len(lrows) == 1 and lrows[0].id == "w258001"
