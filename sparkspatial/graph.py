@@ -143,12 +143,15 @@ def connected_components_star(edges: DataFrame, id_a: str = "id_a",
     (count, hash-sum) pair; per-round localCheckpoint cuts lineage
     (same discipline and caveats as connected_components).
     """
-    e = (edges.select(F.col(id_a).cast("long").alias("a"),
-                      F.col(id_b).cast("long").alias("b"))
-         .where("a != b").distinct().localCheckpoint())
-    nodes = (e.select(F.col("a").alias("node"))
-             .unionByName(e.select(F.col("b").alias("node")))
+    raw = edges.select(F.col(id_a).cast("long").alias("a"),
+                       F.col(id_b).cast("long").alias("b"))
+    # nodes derive BEFORE the self-loop filter: a node whose only
+    # edge is (x, x) is still in the graph (its own singleton
+    # component), matching connected_components' output
+    nodes = (raw.select(F.col("a").alias("node"))
+             .unionByName(raw.select(F.col("b").alias("node")))
              .distinct().localCheckpoint())
+    e = raw.where("a != b").distinct().localCheckpoint()
 
     prev = _edge_fingerprint(e)
     for _ in range(max_iter):

@@ -13,8 +13,9 @@ expectations ARE the spec):
   reference quirk (LoaderTest:492 expects "2012-01-10 00:00:00" from
   timestamp 2012-01-10T23:02:55Z) — while way/relation keep the full
   timestamp (LoaderTest:617 "2012-01-10 23:02:55").
-- NODE_TAG / WAY_TAG: remaining tags, `name`/`ele` excluded
-  (LoaderTest:578-594 expects 2 node_tag rows, not 4).
+- NODE_TAG: remaining tags, `name`/`ele` excluded (LoaderTest:578-594
+  expects 2 node_tag rows, not 4); WAY_TAG excludes only `name` (the
+  way table has no ele column, so a way-level ele tag stays a tag).
 - WAY(...name), WAY_NODE(node_order 1-based in document order).
 - {NODE,WAY,RELATION}_MEMBER: relation members split by type; the
   *_ORDER is the member's 1-based position in the FULL member list,
@@ -38,8 +39,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import geom
-
 TABLES = ("node", "node_member", "node_tag", "way", "way_member",
           "way_tag", "way_node", "relation", "relation_member",
           "relation_tag")
@@ -62,8 +61,20 @@ def _parse_file(content: bytes) -> list:
         t = el.get("timestamp")
         if not t:
             return None
-        dt = datetime.strptime(t, "%Y-%m-%dT%H:%M:%SZ")
-        return dt.replace(hour=0, minute=0, second=0) if date_only else dt
+        dt = None
+        for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S%z",
+                    "%Y-%m-%dT%H:%M:%S.%fZ"):
+            try:
+                dt = datetime.strptime(t, fmt)
+                break
+            except ValueError:  # exporter timestamp variants
+                continue
+        if dt is None:
+            return None
+        if dt.tzinfo is not None:
+            dt = dt.replace(tzinfo=None)
+        return dt.replace(hour=0, minute=0, second=0,
+                          microsecond=0) if date_only else dt
 
     def common(el):
         return (el.get("user", ""), int(el.get("uid", 0)),
@@ -76,11 +87,18 @@ def _parse_file(content: bytes) -> list:
         if el.tag == "node":
             tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
             u, uid, vis, ver, ch = common(el)
-            ele = tags.pop("ele", None)
-            rows.append(("node", int(el.get("id")),
-                         _geom.point_wkb(float(el.get("lon")),
-                                         float(el.get("lat"))),
-                         float(ele) if ele is not None else None,
+            ele = None
+            if "ele" in tags:
+                try:
+                    ele = float(tags["ele"])
+                    tags.pop("ele")
+                except ValueError:
+                    pass  # dirty ele ('~250', '600;590') stays a tag
+            lat, lon = el.get("lat"), el.get("lon")
+            # deleted/history nodes legally omit lat/lon -> NULL geom
+            wkb = (_geom.point_wkb(float(lon), float(lat))
+                   if lat is not None and lon is not None else None)
+            rows.append(("node", int(el.get("id")), wkb, ele,
                          u, uid, vis, ver, ch, ts(el, True),
                          tags.pop("name", ""),
                          None, None, None, None, None))
@@ -133,8 +151,7 @@ def load_osm(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     the tall parsed frame is persisted once and shared by all ten
     projections (register in session._PERSISTED for release).
     """
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
+    files = spark.read.format("binaryFile").load(path).select("content")
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [c.split()[0] for c in _TALL_SCHEMA.split(", ")]

@@ -188,3 +188,31 @@ def test_redon_full_noise_pipeline(spark):
     assert traffic.where(pred).count() == 0
     bl.unpersist()
     rl.unpersist()
+
+
+def test_dirty_osm_elements_do_not_crash(spark, tmp_path):
+    """Planet-grade dirt: non-numeric ele, deleted node without
+    lat/lon, timestamp with offset / fractional seconds — the load
+    degrades per element instead of failing the job."""
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6" generator="test">
+  <node id="1" lat="1.0" lon="2.0" timestamp="2012-01-10T23:02:55+00:00">
+    <tag k="ele" v="~250"/>
+  </node>
+  <node id="2" visible="false" timestamp="2012-01-10T23:02:55.123Z"/>
+  <node id="3" lat="3.0" lon="4.0" timestamp="oops">
+    <tag k="ele" v="78.1"/>
+  </node>
+</osm>"""
+    p = tmp_path / "dirty.osm"
+    p.write_text(xml)
+    tabs = osmxml.load_osm(spark, str(p))
+    rows = {r.id_node: r for r in tabs["node"].collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].ele is None  # unparseable -> stays a tag
+    assert rows[2].the_geom_wkb is None and rows[2].visible is False
+    assert rows[3].ele == 78.1
+    assert rows[3].last_update is None  # bad timestamp -> NULL
+    assert rows[1].last_update == datetime.datetime(2012, 1, 10)
+    tags = {(r.id_node, r.tag_key) for r in tabs["node_tag"].collect()}
+    assert (1, "ele") in tags and (3, "ele") not in tags

@@ -635,3 +635,12 @@ def test_star_cc_long_path_logarithmic_rounds(spark):
                                                     max_iter=25).collect()}
     assert set(got.values()) == {0}  # one component, rooted at min id
     assert len(got) == 2000
+
+
+def test_star_cc_keeps_self_loop_nodes(spark):
+    edges = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    star = {r.node: r.component
+            for r in graph.connected_components_star(edges).collect()}
+    hmin = {r.node: r.component
+            for r in graph.connected_components(edges).collect()}
+    assert star == hmin == {7: 7, 1: 1, 2: 1}
