@@ -644,3 +644,32 @@ def test_star_cc_keeps_self_loop_nodes(spark):
     hmin = {r.node: r.component
             for r in graph.connected_components(edges).collect()}
     assert star == hmin == {7: 7, 1: 1, 2: 1}
+
+
+def test_minhash_pandas_parity_on_hostile_whitespace(spark):
+    """\\x0B / NBSP / tabs: the numpy path and the batch path must
+    still produce identical signatures (the ASCII-\\s contract)."""
+    import numpy as np
+
+    rows = [(1, "a\x0bb c d e"), (2, "x\xa0y z w v"),
+            (3, "  p\tq  r s t  "), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = (text.minhash_signatures(df, n_hashes=8)
+             .orderBy("doc_id").toPandas())
+    local = text.minhash_pandas([t for _, t in rows], n_hashes=8)
+    assert np.array_equal(
+        batch[[f"mh{j}" for j in range(8)]].to_numpy(), local)
+
+
+def test_new_ops_empty_input_contract(spark):
+    """Empty inputs return empty results with the declared schema —
+    never raise (negative-path parity, TransformTest bad* analog)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert text.line_dedup(empty).count() == 0
+    assert text.pack_sequences(empty).count() == 0
+    ev = spark.createDataFrame([(1, "some eval text here")],
+                               "doc_id long, text string")
+    assert text.decontaminate(empty, ev).count() == 0
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert graph.connected_components(no_edges).count() == 0
+    assert graph.connected_components_star(no_edges).count() == 0
