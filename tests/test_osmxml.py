@@ -216,3 +216,51 @@ def test_dirty_osm_elements_do_not_crash(spark, tmp_path):
     assert rows[1].last_update == datetime.datetime(2012, 1, 10)
     tags = {(r.id_node, r.tag_key) for r in tabs["node_tag"].collect()}
     assert (1, "ele") in tags and (3, "ele") not in tags
+
+
+@pytest.mark.skipif(not os.path.isfile(REDON), reason="redon.osm absent")
+def test_spatial_join_over_real_building_footprints(spark):
+    """Cell-cover + even-odd PIP against 1000+ REAL irregular OSM
+    building polygons (not synthetic boxes): spatial_join results ==
+    numpy brute force over every (point, building) pair."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from sparkspatial import join as joinmod
+    from sparkspatial import layers, zones
+
+    tabs = osmxml.load_osm(spark, REDON)
+    polys = transform.to_polygons(tabs, {"building": None},
+                                  layers.BUILDING_PARAMS["columns"])
+    bl = layers.build_building_layer(polys).select("id_source",
+                                                   "the_geom_wkb")
+    brows = bl.collect()
+    assert len(brows) > 1000
+    zone_rows = [zones.zone_row(r.id_source + f"#{i}",
+                                geom.wkb_loads(bytes(r.the_geom_wkb)))
+                 for i, r in enumerate(brows)]
+    zdf = spark.createDataFrame(zone_rows, zones.ZONE_SCHEMA)
+
+    # deterministic probe points over the town bbox
+    minx = min(r.minx for r in zone_rows)
+    maxx = max(r.maxx for r in zone_rows)
+    miny = min(r.miny for r in zone_rows)
+    maxy = max(r.maxy for r in zone_rows)
+    rng = np.random.RandomState(17)
+    n_pts = 4000
+    lons = rng.uniform(minx, maxx, n_pts)
+    lats = rng.uniform(miny, maxy, n_pts)
+    pts = spark.createDataFrame(
+        [Row(url=f"p{i}", lat=float(lats[i]), lon=float(lons[i]))
+         for i in range(n_pts)], "url string, lat double, lon double")
+
+    got = {(r.url, r.zone_id) for r in joinmod.spatial_join(
+        pts, zdf, how="inner", res=12).select("url", "zone_id").collect()}
+
+    want = set()
+    for zr in zone_rows:
+        g = geom.wkb_loads(bytes(zr.the_geom_wkb))
+        inside = geom.points_in_geom(lons, lats, g)  # (px=x=lon, py=y=lat)
+        for i in np.nonzero(inside)[0]:
+            want.add((f"p{int(i)}", zr.zone_id))
+    assert got == want and len(want) > 0
