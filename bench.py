@@ -213,6 +213,51 @@ def bench_queries(spark, sf_dir: str, pages_path: str):
     return timings, n_pages
 
 
+def bench_text_ops(spark, pages_path: str) -> dict:
+    """Secondary block: the round-2 text-pipeline ops timed over the
+    600k-page corpus (single timed rep after one warmup rep — these
+    are coarse throughput documentation, not the primary metric)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from sparkspatial import text
+
+    pages = spark.read.parquet(pages_path)
+    docs = pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        F.concat(F.lit("nav home about\n"), F.col("text"),
+                 F.lit("\ncopyright footer")).alias("text"))
+
+    def line_dedup():
+        return text.line_dedup(docs).count()
+
+    def decontaminate():
+        ev = docs.where("doc_id % 1000 = 0")
+        return text.decontaminate(docs, ev, shingle_k=5) \
+            .where("contaminated").count()
+
+    def pack():
+        return text.pack_sequences(docs, seq_len=2048,
+                                   n_shards=64).count()
+
+    def pii():
+        return docs.selectExpr(
+            text.pii_scrub_sql("text", "spark") + " AS t") \
+            .agg(F.sum(F.length("t"))).count()
+
+    out = {}
+    for name, fn in [("line_dedup_600k", line_dedup),
+                     ("decontaminate_600k", decontaminate),
+                     ("pack_sequences_600k", pack),
+                     ("pii_scrub_600k", pii)]:
+        fn()
+        t0 = _t.monotonic()
+        fn()
+        out[name] = round(_t.monotonic() - t0, 3)
+    return out
+
+
 def main():
     os.makedirs(CACHE, exist_ok=True)
     from sparkspatial.session import get_spark
@@ -231,6 +276,7 @@ def main():
 
     pages_path = build_pages_cache(spark, SF_DIR)
     timings, n_pages = bench_queries(spark, SF_DIR, pages_path)
+    text_timings = bench_text_ops(spark, pages_path)
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings["pipeline_extract_join_tile"]
@@ -243,6 +289,10 @@ def main():
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / pipeline_sec, 1),
         "cpus": CPUS,
+        # secondary: training-data text-op throughput over the same
+        # 600k-page corpus (not part of `value` — the primary metric
+        # stays comparable across rounds)
+        "text_ops": text_timings,
     }
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH", "scaling.json")
