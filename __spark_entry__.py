@@ -1333,6 +1333,27 @@ def q_stratified_sample(spark, sf_dir):
             .select("doc_id", "source", "rnk").orderBy("doc_id"))
 
 
+def q_pack_manifest(spark, sf_dir):
+    """Training-shard manifest: one row per (shard, pack) with doc
+    count, token count and the '|'-joined ordered doc list — what a
+    data loader reads to assemble each training sequence. Built on
+    pack_sequences' window output with an order-pinned aggregation
+    (collect_list alone is partition-order-dependent; the array_sort
+    over (start_off, doc_id) structs makes it deterministic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = text.pack_sequences(docs, seq_len=256, n_shards=8)
+    return (packed.groupBy("shard", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("start_off", "doc_id"))),
+                         lambda x: x["doc_id"].cast("string")),
+                     "|").alias("doc_list"))
+            .orderBy("shard", "pack_id"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1431,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "vocab_topk": q_vocab_topk,
         "stratified_sample": q_stratified_sample,
+        "pack_manifest": q_pack_manifest,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1799,6 +1821,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b,
                    TRUE AS valid
             FROM documents ORDER BY doc_id
+        """,
+        "pack_manifest": f"""
+            WITH packed AS (
+                WITH {text.pack_sequences_duckdb_sql(
+                    "documents", seq_len=256, n_shards=8)}
+            )
+            SELECT shard, pack_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   string_agg(CAST(doc_id AS VARCHAR), '|'
+                              ORDER BY start_off, doc_id) AS doc_list
+            FROM packed GROUP BY shard, pack_id
+            ORDER BY shard, pack_id
         """,
         "vocab_topk": f"""
             WITH toks AS (
