@@ -192,23 +192,32 @@ def bench_queries(spark, sf_dir: str, pages_path: str):
     # re-run, up to 4 extra attempts (same protocol as
     # tools/scaling_bench.py; medians alone still let a storm through
     # when it lands mid-warmup)
+    # Round-robin reps, median of 5: co-tenant noise arrives in
+    # SUSTAINED bursts (observed 30-60 s windows inflating a 0.5 s
+    # query to 5-6 s medians) that the host-wide kernel/steal filter
+    # does not always see (memory-bandwidth contention shows in
+    # neither). Blocked per-query reps put a whole query inside one
+    # burst; interleaving spreads a burst across ONE rep of every
+    # query, which the per-query median then discards. The sys/steal
+    # filter still discards the visibly-dirty reps.
     for name, fn in named:
         fn()  # per-query warmup: each plan shape compiles its own codegen
-        clean, dirty_reps, attempts = [], [], 0
-        while len(clean) < 5 and attempts < 9:
-            attempts += 1
+    samples = {name: [] for name, _ in named}
+    dirty = {name: [] for name, _ in named}
+    for _ in range(5):
+        for name, fn in named:
             c0, d0 = _sys_pct()
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
             c1, d1 = _sys_pct()
             if (d1 - d0) > 0.20 * max(c1 - c0, 1):
-                dirty_reps.append(dt)
+                dirty[name].append(dt)
             else:
-                clean.append(dt)
-        # sustained storms: fall back to the median over EVERYTHING
-        # measured (>= 9 reps) rather than a single worst-case sample
-        reps = sorted(clean if len(clean) >= 3 else clean + dirty_reps)
+                samples[name].append(dt)
+    for name, _ in named:
+        reps = sorted(samples[name] if len(samples[name]) >= 3
+                      else samples[name] + dirty[name])
         timings[name] = round(reps[len(reps) // 2], 3)
     return timings, n_pages
 
