@@ -1354,6 +1354,16 @@ def q_pack_manifest(spark, sf_dir):
             .orderBy("shard", "pack_id"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (Schleimer SIGMOD'03 /
+    MOSS): min of every 4-window over the 5-token rolling shingle
+    hashes, deduplicated — any shared 8-token run between documents
+    shares a fingerprint (text.winnowing_fingerprints)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (text.winnowing_fingerprints(docs, shingle_k=5, window=4)
+            .orderBy("doc_id", "fp"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1453,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "stratified_sample": q_stratified_sample,
         "pack_manifest": q_pack_manifest,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1822,6 +1833,9 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS valid
             FROM documents ORDER BY doc_id
         """,
+        "winnow_fingerprints": (
+            text.winnowing_duckdb_sql(shingle_k=5, window=4)
+            + " ORDER BY doc_id, fp"),
         "pack_manifest": f"""
             WITH packed AS (
                 WITH {text.pack_sequences_duckdb_sql(

@@ -850,3 +850,81 @@ def minhash_pandas(texts, n_hashes: int = 16, shingle_k: int = 3):
         out[i] = ((a[None, :] * (sh[:, None] % MERSENNE31) + b[None, :])
                   % MERSENNE31).min(axis=0)
     return out
+
+
+# ------------------------------------------------------------- winnowing
+
+def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", shingle_k: int = 5,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the rolling-hash fingerprinting scheme behind MOSS): over the
+    sequence of k-token rolling shingle hashes, keep the MINIMUM of
+    every length-`window` window, deduplicated — a position-robust
+    fingerprint set guaranteeing any shared run of window+k-1 tokens
+    between two documents shares at least one fingerprint.
+
+    Returns exploded (id, fp) rows (distinct per doc). Same substrate
+    as MinHash (token md5 once, window-lead rolling combine), so the
+    marginal cost over minhash_signatures is one more windowed min.
+    Scale shape: the doc-partitioned window reuses the existing
+    exchange on id; distinct adds the only extra shuffle.
+    """
+    norm = norm_text_sql(text_col, "spark")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
+        F.size(F.split(F.expr(norm), " ")).alias("ntok"))
+    th = toks.select(
+        id_col, "pos", "ntok",
+        (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
+             for j in range(shingle_k)]
+    parts = [(F.lead("th", j).over(w) if j else F.col("th"))
+             * F.lit(coefs[j]) % MERSENNE31
+             for j in range(shingle_k)]
+    sh_expr = parts[0]
+    for p in parts[1:]:
+        sh_expr = sh_expr + p
+    sh = (th.where(F.col("ntok") >= shingle_k)
+          .select(id_col, "pos", (sh_expr % MERSENNE31).alias("sh"))
+          .where(F.col("sh").isNotNull()))
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(0, window - 1))
+    picked = sh.select(id_col, F.min("sh").over(win).alias("fp"))
+    short_docs = (docs
+                  .where(F.expr(f"size(split({norm}, ' '))") < shingle_k)
+                  .select(F.col(id_col),
+                          (F.expr(h32_spark_sql(norm)) % MERSENNE31)
+                          .alias("fp")))
+    return picked.unionByName(short_docs).distinct()
+
+
+def winnowing_duckdb_sql(table: str = "documents",
+                         text_col: str = "text", id_col: str = "doc_id",
+                         shingle_k: int = 5, window: int = 4) -> str:
+    """DuckDB oracle for :func:`winnowing_fingerprints`."""
+    shh = shingle_hashes_duckdb_sql(text_col, shingle_k)
+    norm = norm_text_sql(text_col, "duckdb")
+    whole = f"({h32_duckdb_sql(norm)}) % {MERSENNE31}"
+    return f"""
+        WITH sh AS (
+            SELECT {id_col},
+                   unnest(generate_series(1, len({shh}))) AS pos,
+                   unnest({shh}) AS s
+            FROM {table}
+            WHERE len(string_split({norm}, ' ')) >= {shingle_k}),
+        picked AS (
+            SELECT {id_col},
+                   MIN(s) OVER (PARTITION BY {id_col} ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND
+                                {window - 1} FOLLOWING) AS fp
+            FROM sh),
+        short AS (
+            SELECT {id_col}, {whole} AS fp FROM {table}
+            WHERE len(string_split({norm}, ' ')) < {shingle_k})
+        SELECT DISTINCT {id_col}, fp FROM picked
+        UNION
+        SELECT DISTINCT {id_col}, fp FROM short
+    """

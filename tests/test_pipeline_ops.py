@@ -673,3 +673,32 @@ def test_new_ops_empty_input_contract(spark):
     no_edges = spark.createDataFrame([], "id_a long, id_b long")
     assert graph.connected_components(no_edges).count() == 0
     assert graph.connected_components_star(no_edges).count() == 0
+
+
+# --------------------------------------------------------- winnowing
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a run of
+    window+k-1 = 8 tokens share at least one fingerprint; disjoint
+    docs share none (with overwhelming probability)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [(1, "intro words here " + shared + " trailing bits"),
+            (2, shared + " completely different ending follows now"),
+            (3, "nothing in common with the others at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = text.winnowing_fingerprints(df, shingle_k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]          # shared 8-token run
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_partition_invariant(docs):
+    a = {(r.doc_id, r.fp)
+         for r in text.winnowing_fingerprints(docs).collect()}
+    b = {(r.doc_id, r.fp)
+         for r in text.winnowing_fingerprints(
+             docs.repartition(11)).collect()}
+    assert a == b and len(a) > 0
