@@ -1364,6 +1364,29 @@ def q_winnow_fingerprints(spark, sf_dir):
             .orderBy("doc_id", "fp"))
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """LSH-free near-dup candidates from winnowing fingerprints: docs
+    sharing >= 2 fingerprints pair up via a fingerprint equi-join
+    (never all-pairs — the winnowing twin of lsh_candidate_pairs; the
+    corpus gains exact duplicates at id+10^6 so pairs provably fire).
+    Output (id_a, id_b, n_shared)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    dup = docs.where("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text")
+    corpus = docs.unionByName(dup)
+    fps = text.winnowing_fingerprints(corpus, shingle_k=5, window=4)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (a.join(b, "fp")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= 2)
+            .orderBy("id_a", "id_b"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1464,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_manifest": q_pack_manifest,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1836,6 +1860,21 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": (
             text.winnowing_duckdb_sql(shingle_k=5, window=4)
             + " ORDER BY doc_id, fp"),
+        "winnow_pairs": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+            fps AS ({text.winnowing_duckdb_sql("corpus",
+                                               shingle_k=5, window=4)})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ORDER BY id_a, id_b
+        """,
         "pack_manifest": f"""
             WITH packed AS (
                 WITH {text.pack_sequences_duckdb_sql(
