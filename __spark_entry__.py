@@ -1387,6 +1387,22 @@ def q_winnow_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_duplicated_spans(spark, sf_dir):
+    """Exact duplicated-substring detection (Lee et al. 2021 style):
+    every doc_id % 7 == 0 doc gains the same 10-token boilerplate
+    tail; spans of >= 3 consecutive corpus-duplicated 5-shingles are
+    reported with their token extent (text.duplicated_spans — global
+    hash count + island-detection window, no suffix arrays)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.selectExpr(
+        "doc_id",
+        "concat(text, CASE WHEN doc_id % 7 = 0 THEN"
+        " ' subscribe to our newsletter for daily updates and offers'"
+        " ELSE '' END) AS text")
+    return (text.duplicated_spans(aug, shingle_k=5, min_run=3)
+            .orderBy("doc_id", "span_start"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1488,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": q_pack_manifest,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "duplicated_spans": q_duplicated_spans,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1875,6 +1892,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
             ORDER BY id_a, id_b
         """,
+        "duplicated_spans": (
+            "WITH aug AS (SELECT doc_id, text ||"
+            " CASE WHEN doc_id % 7 = 0 THEN"
+            " ' subscribe to our newsletter for daily updates and"
+            " offers' ELSE '' END AS text FROM documents), "
+            + text.duplicated_spans_duckdb_sql("aug", shingle_k=5,
+                                               min_run=3)
+            + " ORDER BY doc_id, span_start"),
         "pack_manifest": f"""
             WITH packed AS (
                 WITH {text.pack_sequences_duckdb_sql(

@@ -928,3 +928,97 @@ def winnowing_duckdb_sql(table: str = "documents",
         UNION
         SELECT DISTINCT {id_col}, fp FROM short
     """
+
+
+# ------------------------------------------------------ duplicated spans
+
+def duplicated_spans(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", shingle_k: int = 5,
+                     min_run: int = 3) -> DataFrame:
+    """Exact duplicated-substring span detection (the detection half
+    of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): positions whose k-token shingle hash occurs MORE
+    THAN ONCE corpus-wide, merged into maximal consecutive runs, kept
+    when the run spans >= min_run shingles (i.e. a duplicated
+    substring of >= min_run+k-1 tokens).
+
+    Output: (id, span_start, n_shingles, span_tokens) — span_start is
+    the 0-based token position, span_tokens = n_shingles + k - 1.
+
+    Scale shape: token-level shingle rows -> one combiner-friendly
+    global count on the 4-byte hash -> equi-join back -> per-doc
+    island detection via the pos - row_number() grouping trick (one
+    window on the existing doc exchange) -> per-island aggregate. No
+    suffix arrays, no all-pairs; the global hash count is the only
+    corpus-wide exchange, and repeated boilerplate compresses in the
+    map-side combine exactly like line_dedup's hot lines.
+    """
+    norm = norm_text_sql(text_col, "spark")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
+        F.size(F.split(F.expr(norm), " ")).alias("ntok"))
+    th = toks.select(
+        id_col, "pos", "ntok",
+        (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
+             for j in range(shingle_k)]
+    parts = [(F.lead("th", j).over(w) if j else F.col("th"))
+             * F.lit(coefs[j]) % MERSENNE31
+             for j in range(shingle_k)]
+    sh_expr = parts[0]
+    for p in parts[1:]:
+        sh_expr = sh_expr + p
+    sh = (th.where(F.col("ntok") >= shingle_k)
+          .select(id_col, "pos", (sh_expr % MERSENNE31).alias("sh"))
+          .where(F.col("sh").isNotNull()))
+
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
+    dup = (sh.join(counts.where(F.col("n") > 1), "sh", "left_semi"))
+    # island detection: consecutive duplicated positions share
+    # (pos - row_number) within a doc
+    w2 = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w2))
+    return (isl.groupBy(id_col, "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 F.count(F.lit(1)).alias("n_shingles"))
+            .where(F.col("n_shingles") >= min_run)
+            .select(id_col, "span_start", "n_shingles",
+                    (F.col("n_shingles") + (shingle_k - 1))
+                    .alias("span_tokens")))
+
+
+def duplicated_spans_duckdb_sql(table: str = "documents",
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                shingle_k: int = 5,
+                                min_run: int = 3) -> str:
+    """DuckDB oracle for :func:`duplicated_spans`. Returns a CTE list
+    + final SELECT withOUT a leading WITH, so callers can prefix their
+    own CTEs (same composability convention as line_dedup_duckdb_sql).
+    """
+    shh = shingle_hashes_duckdb_sql(text_col, shingle_k)
+    norm = norm_text_sql(text_col, "duckdb")
+    return f"""
+        sh AS (
+            SELECT {id_col},
+                   unnest(generate_series(0, len({shh}) - 1)) AS pos,
+                   unnest({shh}) AS s
+            FROM {table}
+            WHERE len(string_split({norm}, ' ')) >= {shingle_k}),
+        counts AS (SELECT s, COUNT(*) AS n FROM sh GROUP BY s),
+        dup AS (
+            SELECT sh.{id_col}, sh.pos FROM sh
+            JOIN counts ON counts.s = sh.s AND counts.n > 1),
+        isl AS (
+            SELECT {id_col}, pos,
+                   pos - row_number() OVER (PARTITION BY {id_col}
+                                            ORDER BY pos) AS grp
+            FROM dup)
+        SELECT {id_col}, MIN(pos) AS span_start,
+               COUNT(*) AS n_shingles,
+               COUNT(*) + {shingle_k - 1} AS span_tokens
+        FROM isl GROUP BY {id_col}, grp
+        HAVING COUNT(*) >= {min_run}
+    """

@@ -702,3 +702,32 @@ def test_winnowing_partition_invariant(docs):
          for r in text.winnowing_fingerprints(
              docs.repartition(11)).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------- duplicated spans
+
+def test_duplicated_spans_semantics(spark):
+    """A 10-token boilerplate shared by two docs yields one maximal
+    span each of exactly 6 shingles (10-5+1) / 10 tokens; the unique
+    remainder yields nothing."""
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [(1, "unique prefix words here " + boiler),
+            (2, boiler + " totally different suffix content words"),
+            (3, "no shared content in this document at all present")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.n_shingles, r.span_tokens)
+           for r in text.duplicated_spans(df, shingle_k=5,
+                                          min_run=3).collect()}
+    assert got == {(1, 4, 6, 10), (2, 0, 6, 10)}
+
+
+def test_duplicated_spans_min_run_threshold(spark):
+    """A shared run of only k+1 tokens (2 shingles) stays below
+    min_run=3 and is not reported."""
+    short = "aa bb cc dd ee ff"  # 6 tokens -> 2 shared 5-shingles
+    rows = [(1, short + " xx yy zz"), (2, "pp qq " + short)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert text.duplicated_spans(df, shingle_k=5,
+                                 min_run=3).count() == 0
+    assert text.duplicated_spans(df, shingle_k=5,
+                                 min_run=2).count() == 2
