@@ -1403,6 +1403,21 @@ def q_duplicated_spans(spark, sf_dir):
             .orderBy("doc_id", "span_start"))
 
 
+def q_dedup_substrings(spark, sf_dir):
+    """Detect->remove exact duplicated substrings end to end: the
+    %7-boilerplate corpus scrubbed of every corpus-duplicated span
+    >= 7 tokens (text.remove_duplicated_spans; all occurrences go —
+    the boilerplate-scrubbing variant)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.selectExpr(
+        "doc_id",
+        "concat(text, CASE WHEN doc_id % 7 = 0 THEN"
+        " ' subscribe to our newsletter for daily updates and offers'"
+        " ELSE '' END) AS text")
+    return (text.remove_duplicated_spans(aug, shingle_k=5, min_run=3)
+            .orderBy("doc_id"))
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1505,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "duplicated_spans": q_duplicated_spans,
+        "dedup_substrings": q_dedup_substrings,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
@@ -1900,6 +1916,14 @@ def oracle_sql() -> dict[str, str]:
             + text.duplicated_spans_duckdb_sql("aug", shingle_k=5,
                                                min_run=3)
             + " ORDER BY doc_id, span_start"),
+        "dedup_substrings": (
+            "WITH aug AS (SELECT doc_id, text ||"
+            " CASE WHEN doc_id % 7 = 0 THEN"
+            " ' subscribe to our newsletter for daily updates and"
+            " offers' ELSE '' END AS text FROM documents), "
+            + text.remove_duplicated_spans_duckdb_sql(
+                "aug", shingle_k=5, min_run=3)
+            + " ORDER BY doc_id"),
         "pack_manifest": f"""
             WITH packed AS (
                 WITH {text.pack_sequences_duckdb_sql(

@@ -1022,3 +1022,91 @@ def duplicated_spans_duckdb_sql(table: str = "documents",
         FROM isl GROUP BY {id_col}, grp
         HAVING COUNT(*) >= {min_run}
     """
+
+
+def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_k: int = 5,
+                            min_run: int = 3) -> DataFrame:
+    """Excise every duplicated span found by :func:`duplicated_spans`
+    from every document (the aggressive boilerplate-scrubbing variant
+    of Lee et al. exact-substring dedup: ALL occurrences go — pair
+    with line_dedup / near-dedup when keep-one semantics is wanted).
+
+    Output: (id, text_clean, n_tokens_removed) — text_clean is the
+    NORMALIZED token stream minus excised spans (span positions are
+    defined on the normalized tokenization, so the output is too).
+    Scale shape: spans explode into covered token positions (bounded
+    by span extents), tokens drop via a left_anti on (id, pos),
+    reassembly reuses the doc exchange.
+    """
+    spans = duplicated_spans(docs, text_col, id_col, shingle_k, min_run)
+    covered = spans.select(
+        id_col,
+        F.explode(F.sequence(
+            F.col("span_start"),
+            F.col("span_start") + F.col("span_tokens") - 1))
+        .alias("pos"))
+    norm = norm_text_sql(text_col, "spark")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"))
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda x: x["tok"]),
+                        " ").alias("text_clean"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = docs.select(
+        F.col(id_col),
+        F.expr(token_count_sql(text_col, "spark")).alias("n_tok"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    (F.col("n_tok") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_tokens_removed")))
+
+
+def remove_duplicated_spans_duckdb_sql(table: str = "documents",
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id",
+                                       shingle_k: int = 5,
+                                       min_run: int = 3) -> str:
+    """DuckDB oracle for :func:`remove_duplicated_spans` (CTE list +
+    final SELECT, no leading WITH)."""
+    norm = norm_text_sql(text_col, "duckdb")
+    ntok = token_count_sql(text_col, "duckdb")
+    spans = duplicated_spans_duckdb_sql(table, text_col, id_col,
+                                        shingle_k, min_run)
+    # spans ends in its aggregate SELECT; wrap it as a CTE
+    return f"""
+        spans AS (
+            WITH {spans}
+        ),
+        covered AS (
+            SELECT {id_col},
+                   unnest(generate_series(span_start,
+                          span_start + span_tokens - 1)) AS pos
+            FROM spans),
+        toks AS (
+            SELECT {id_col},
+                   unnest(generate_series(0,
+                       len(string_split({norm}, ' ')) - 1)) AS pos,
+                   unnest(string_split({norm}, ' ')) AS tok
+            FROM {table}),
+        kept AS (
+            SELECT t.{id_col}, t.pos, t.tok FROM toks t
+            ANTI JOIN covered c
+              ON c.{id_col} = t.{id_col} AND c.pos = t.pos),
+        rebuilt AS (
+            SELECT {id_col},
+                   string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY {id_col})
+        SELECT d.{id_col},
+               COALESCE(text_clean, '') AS text_clean,
+               {ntok} - COALESCE(n_kept, 0) AS n_tokens_removed
+        FROM {table} d LEFT JOIN rebuilt r USING ({id_col})
+    """

@@ -731,3 +731,19 @@ def test_duplicated_spans_min_run_threshold(spark):
                                  min_run=3).count() == 0
     assert text.duplicated_spans(df, shingle_k=5,
                                  min_run=2).count() == 2
+
+
+def test_remove_duplicated_spans_scrubs_boilerplate(spark):
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [(1, "Unique Prefix Words Here " + boiler),
+            (2, boiler + " totally different suffix content words"),
+            (3, "nothing shared with the others in this one at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_clean, r.n_tokens_removed)
+           for r in text.remove_duplicated_spans(
+               df, shingle_k=5, min_run=3).collect()}
+    # boilerplate gone from BOTH docs (all occurrences); output is the
+    # normalized (lowercased) token stream
+    assert got[1] == ("unique prefix words here", 10)
+    assert got[2] == ("totally different suffix content words", 10)
+    assert got[3][1] == 0
