@@ -1,0 +1,62 @@
+"""WARC ingest: roundtrip, gzip, malformed tolerance, pipeline flow."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from sparkspatial import warc
+
+
+def _records():
+    return [
+        ("https://a.example/1", "2024-03-01T10:00:00Z", b"<html>alpha</html>"),
+        ("https://b.example/2", "2024-03-01T10:05:00.500Z",
+         b"<html>beta page</html>"),
+        ("https://c.example/3", "2024-03-01T10:10:00Z", b""),
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    for name, compress in (("a.warc", False), ("a.warc.gz", True)):
+        p = tmp_path / name
+        p.write_bytes(warc.encode_warc(_records(), compress=compress))
+        got = {r.url: (r.warc_ts, bytes(r.html), r.n_bytes)
+               for r in warc.read_warc(spark, str(p)).collect()}
+        assert set(got) == {u for u, _, _ in _records()}
+        assert got["https://a.example/1"] == (
+            datetime.datetime(2024, 3, 1, 10, 0, 0),
+            b"<html>alpha</html>", 18)
+        assert got["https://b.example/2"][0] == \
+            datetime.datetime(2024, 3, 1, 10, 5, 0, 500000)
+        assert got["https://c.example/3"][1] == b""
+
+
+def test_warc_skips_non_response_and_malformed(spark, tmp_path):
+    good = warc.encode_warc(_records()[:1])
+    warcinfo = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"Content-Length: 5\r\n\r\nhello\r\n\r\n")
+    junk = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(warcinfo + good + junk)
+    got = warc.read_warc(spark, str(p)).collect()
+    assert len(got) == 1 and got[0].url == "https://a.example/1"
+
+
+def test_warc_feeds_text_pipeline(spark, tmp_path):
+    """WARC -> extract_text -> token counting: the ingest joins the
+    existing corpus operators without adapters."""
+    from sparkspatial import extract, text
+
+    p = tmp_path / "c.warc"
+    p.write_bytes(warc.encode_warc(
+        [("https://d.example/x", "2024-01-01T00:00:00Z",
+          b"<html><body>quick brown fox</body></html>")]))
+    pages = warc.read_warc(spark, str(p))
+    out = extract.extract_text_udf(pages, "html")
+    row = out.selectExpr(
+        "text_extracted",
+        text.token_count_sql("text_extracted", "spark") + " AS n"
+    ).collect()[0]
+    assert row.text_extracted == "quick brown fox" and row.n == 3
