@@ -547,16 +547,17 @@ def line_dedup_duckdb_sql(table: str = "corpus", text_col: str = "text",
 
 # --------------------------------------------------------- decontamination
 
-def shingle_hash_rows(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id",
-                      shingle_k: int = 3) -> DataFrame:
-    """Exploded (id, sh) token-shingle hash rows — the shared substrate
-    of MinHash signatures and eval-set decontamination.
-
-    Same rolling window-lead formulation as minhash_signatures (each
-    token md5-hashes exactly ONCE; an array formulation re-evaluates
-    the hash array per shingle after projection collapse — measured
-    O(tokens^2)). Short documents (< k tokens) hash whole-text.
+def shingle_hash_pos(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     shingle_k: int = 3,
+                     keep_tok: bool = False) -> DataFrame:
+    """(id, pos, sh[, tok]) positional rolling shingle-hash rows for
+    documents with >= k tokens — THE single derivation every
+    shingle-based operator builds on (MinHash, decontamination,
+    winnowing, duplicated-span detect/remove). One definition keeps
+    the cross-engine-critical arithmetic (token md5 once, window-lead
+    rolling combine — the array formulation's projection collapse is
+    O(tokens^2), measured) in one place.
     """
     norm = norm_text_sql(text_col, "spark")
     toks = docs.select(
@@ -564,7 +565,7 @@ def shingle_hash_rows(docs: DataFrame, text_col: str = "text",
         F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
         F.size(F.split(F.expr(norm), " ")).alias("ntok"))
     th = toks.select(
-        id_col, "pos", "ntok",
+        id_col, "pos", "ntok", "tok",
         (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
     w = Window.partitionBy(id_col).orderBy("pos")
     coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
@@ -575,15 +576,36 @@ def shingle_hash_rows(docs: DataFrame, text_col: str = "text",
     sh_expr = parts[0]
     for p in parts[1:]:
         sh_expr = sh_expr + p
-    long_docs = (th.where(F.col("ntok") >= shingle_k)
-                 .select(id_col, (sh_expr % MERSENNE31).alias("sh"))
-                 .where(F.col("sh").isNotNull()))
-    short_docs = (docs
-                  .where(F.expr(f"size(split({norm}, ' '))") < shingle_k)
-                  .select(F.col(id_col),
-                          (F.expr(h32_spark_sql(norm)) % MERSENNE31)
-                          .alias("sh")))
-    return long_docs.unionByName(short_docs)
+    cols = [id_col, "pos", (sh_expr % MERSENNE31).alias("sh")]
+    if keep_tok:
+        cols.append(F.col("tok"))
+    return (th.where(F.col("ntok") >= shingle_k)
+            .select(*cols)
+            .where(F.col("sh").isNotNull()))
+
+
+def _short_doc_hashes(docs: DataFrame, text_col: str, id_col: str,
+                      shingle_k: int) -> DataFrame:
+    """(id, sh) whole-text hash for documents shorter than k tokens."""
+    norm = norm_text_sql(text_col, "spark")
+    return (docs
+            .where(F.expr(f"size(split({norm}, ' '))") < shingle_k)
+            .select(F.col(id_col),
+                    (F.expr(h32_spark_sql(norm)) % MERSENNE31)
+                    .alias("sh")))
+
+
+def shingle_hash_rows(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      shingle_k: int = 3) -> DataFrame:
+    """Exploded (id, sh) token-shingle hash rows — the shared substrate
+    of MinHash signatures and eval-set decontamination. Short
+    documents (< k tokens) hash whole-text. Positions live in
+    :func:`shingle_hash_pos`."""
+    long_docs = shingle_hash_pos(docs, text_col, id_col, shingle_k) \
+        .select(id_col, "sh")
+    return long_docs.unionByName(
+        _short_doc_hashes(docs, text_col, id_col, shingle_k))
 
 
 def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
@@ -870,34 +892,12 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
     Scale shape: the doc-partitioned window reuses the existing
     exchange on id; distinct adds the only extra shuffle.
     """
-    norm = norm_text_sql(text_col, "spark")
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
-        F.size(F.split(F.expr(norm), " ")).alias("ntok"))
-    th = toks.select(
-        id_col, "pos", "ntok",
-        (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
-             for j in range(shingle_k)]
-    parts = [(F.lead("th", j).over(w) if j else F.col("th"))
-             * F.lit(coefs[j]) % MERSENNE31
-             for j in range(shingle_k)]
-    sh_expr = parts[0]
-    for p in parts[1:]:
-        sh_expr = sh_expr + p
-    sh = (th.where(F.col("ntok") >= shingle_k)
-          .select(id_col, "pos", (sh_expr % MERSENNE31).alias("sh"))
-          .where(F.col("sh").isNotNull()))
+    sh = shingle_hash_pos(docs, text_col, id_col, shingle_k)
     win = (Window.partitionBy(id_col).orderBy("pos")
            .rowsBetween(0, window - 1))
     picked = sh.select(id_col, F.min("sh").over(win).alias("fp"))
-    short_docs = (docs
-                  .where(F.expr(f"size(split({norm}, ' '))") < shingle_k)
-                  .select(F.col(id_col),
-                          (F.expr(h32_spark_sql(norm)) % MERSENNE31)
-                          .alias("fp")))
+    short_docs = _short_doc_hashes(docs, text_col, id_col, shingle_k) \
+        .withColumnRenamed("sh", "fp")
     return picked.unionByName(short_docs).distinct()
 
 
@@ -953,27 +953,7 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
     corpus-wide exchange, and repeated boilerplate compresses in the
     map-side combine exactly like line_dedup's hot lines.
     """
-    norm = norm_text_sql(text_col, "spark")
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
-        F.size(F.split(F.expr(norm), " ")).alias("ntok"))
-    th = toks.select(
-        id_col, "pos", "ntok",
-        (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
-             for j in range(shingle_k)]
-    parts = [(F.lead("th", j).over(w) if j else F.col("th"))
-             * F.lit(coefs[j]) % MERSENNE31
-             for j in range(shingle_k)]
-    sh_expr = parts[0]
-    for p in parts[1:]:
-        sh_expr = sh_expr + p
-    sh = (th.where(F.col("ntok") >= shingle_k)
-          .select(id_col, "pos", (sh_expr % MERSENNE31).alias("sh"))
-          .where(F.col("sh").isNotNull()))
-
+    sh = shingle_hash_pos(docs, text_col, id_col, shingle_k)
     counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
     dup = (sh.join(counts.where(F.col("n") > 1), "sh", "left_semi"))
     # island detection: consecutive duplicated positions share
@@ -1037,7 +1017,11 @@ def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
     defined on the normalized tokenization, so the output is too).
     Scale shape: spans explode into covered token positions (bounded
     by span extents), tokens drop via a left_anti on (id, pos),
-    reassembly reuses the doc exchange.
+    reassembly reuses the doc exchange. The corpus is tokenized
+    twice (hash branch for detection, token branch for reassembly) —
+    at large scale `.persist()` the `shingle_hash_pos(keep_tok=True)`
+    frame and derive both sides from it to trade memory for the
+    second scan.
     """
     spans = duplicated_spans(docs, text_col, id_col, shingle_k, min_run)
     covered = spans.select(
@@ -1049,7 +1033,8 @@ def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
     norm = norm_text_sql(text_col, "spark")
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"))
+        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok")) \
+        .where(F.col("tok") != "")  # empty doc -> [''] -> zero tokens
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
@@ -1096,8 +1081,9 @@ def remove_duplicated_spans_duckdb_sql(table: str = "documents",
                        len(string_split({norm}, ' ')) - 1)) AS pos,
                    unnest(string_split({norm}, ' ')) AS tok
             FROM {table}),
+        toks2 AS (SELECT * FROM toks WHERE tok <> ''),
         kept AS (
-            SELECT t.{id_col}, t.pos, t.tok FROM toks t
+            SELECT t.{id_col}, t.pos, t.tok FROM toks2 t
             ANTI JOIN covered c
               ON c.{id_col} = t.{id_col} AND c.pos = t.pos),
         rebuilt AS (

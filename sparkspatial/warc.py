@@ -22,7 +22,8 @@ tens of thousands, so the file-per-task model is the natural fit).
 from __future__ import annotations
 
 import gzip
-from datetime import datetime
+import zlib
+from datetime import datetime, timezone
 from typing import Iterator
 
 import pandas as pd
@@ -56,7 +57,8 @@ def _parse_warc(payload: bytes) -> list:
     if payload[:2] == b"\x1f\x8b":
         try:
             payload = gzip.decompress(payload)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # truncated/corrupt archive: skip the archive, not the job
             return []
     rows = []
     i, n = 0, len(payload)
@@ -88,7 +90,10 @@ def _parse_warc(payload: bytes) -> list:
         raw_ts = headers.get("warc-date", "")
         for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
             try:
-                ts = datetime.strptime(raw_ts, fmt)
+                # tz-aware: 'Z' is UTC regardless of the session's
+                # spark.sql.session.timeZone
+                ts = datetime.strptime(raw_ts, fmt) \
+                    .replace(tzinfo=timezone.utc)
                 break
             except ValueError:
                 continue

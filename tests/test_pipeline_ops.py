@@ -747,3 +747,13 @@ def test_remove_duplicated_spans_scrubs_boilerplate(spark):
     assert got[1] == ("unique prefix words here", 10)
     assert got[2] == ("totally different suffix content words", 10)
     assert got[3][1] == 0
+
+
+def test_remove_duplicated_spans_empty_doc_zero_removed(spark):
+    """Empty / whitespace-only docs report 0 tokens removed (the ''
+    pseudo-token from splitting an empty string is not counted)."""
+    rows = [(1, ""), (2, "   "), (3, "real words in this document")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens_removed
+           for r in text.remove_duplicated_spans(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}

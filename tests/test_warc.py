@@ -45,15 +45,18 @@ def test_warc_skips_non_response_and_malformed(spark, tmp_path):
 
 
 def test_warc_feeds_text_pipeline(spark, tmp_path):
-    """WARC -> extract_text -> token counting: the ingest joins the
-    existing corpus operators without adapters."""
+    """WARC -> extract_text -> token counting: the ingest feeds the
+    corpus operators (with an exchange separating the Python
+    stages)."""
     from sparkspatial import extract, text
 
     p = tmp_path / "c.warc"
     p.write_bytes(warc.encode_warc(
         [("https://d.example/x", "2024-01-01T00:00:00Z",
           b"<html><body>quick brown fox</body></html>")]))
-    pages = warc.read_warc(spark, str(p))
+    # exchange between the two Python stages (ingest parse, text
+    # extraction) — never two chained Python stages in one task
+    pages = warc.read_warc(spark, str(p)).repartition(2)
     out = extract.extract_text_udf(pages, "html")
     row = out.selectExpr(
         "text_extracted",
