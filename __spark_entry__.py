@@ -1418,6 +1418,21 @@ def q_dedup_substrings(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_bpe_merge_rules(spark, sf_dir):
+    """Distributed BPE vocabulary training (Sennrich 2016) over the
+    corpus: 20 merge rules in merge order (sparkspatial.bpe —
+    corpus-sized work once, merge rounds on the word-vocab table).
+    Iterative, not SQL-expressible — rows-only driver check; exact
+    parity with the textbook algorithm is pinned in pytest."""
+    from sparkspatial import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = bpe.bpe_train(docs, 20)
+    return spark.createDataFrame(
+        [(i, a, b, int(n)) for i, (a, b, n) in enumerate(rules)],
+        "merge_idx int, sym_a string, sym_b string, weight long")
+
+
 def q_gopher_filter(spark, sf_dir):
     """End-to-end Gopher-style quality gate: repetition signals +
     lang-ID + heuristic quality composed into per-rule booleans and a
@@ -1521,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "duplicated_spans": q_duplicated_spans,
         "dedup_substrings": q_dedup_substrings,
+        "bpe_merge_rules": q_bpe_merge_rules,
         "repetition": q_repetition,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,

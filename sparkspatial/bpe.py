@@ -1,0 +1,128 @@
+"""Distributed BPE merge training (Sennrich et al. 2016) on Spark.
+
+The classic byte-pair-encoding vocabulary construction: start from
+characters, repeatedly merge the most frequent adjacent symbol pair.
+The corpus-scale work happens EXACTLY ONCE — the word-frequency count
+(one combiner-friendly shuffle over the token stream). Every merge
+round then runs on the WORD VOCABULARY table (word, weight, symbols),
+which is 10^5-10^7 rows regardless of corpus size — the shape that
+makes BPE training feasible at 100 TB: rounds cost vocab-sized
+aggregations, not corpus scans.
+
+Per round: explode adjacent symbol pairs -> weight-summed pair counts
+(map-side combine) -> arg-max pair via a distributed TakeOrdered
+(orderBy+limit(1), deterministic ties by pair text) -> apply the
+merge with a greedy left-to-right codegen'd `aggregate` fold over the
+symbol arrays -> localCheckpoint (flat lineage). Only the winning
+pair (2 strings + a count) reaches the driver each round.
+
+Pinned against a pure-Python reference implementation of the textbook
+algorithm in tests/test_pipeline_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import norm_text_sql
+
+__all__ = ["word_counts", "bpe_train", "bpe_reference"]
+
+END = "</w>"  # end-of-word marker (standard BPE)
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, weight) corpus word frequencies — the single
+    corpus-sized stage of BPE training."""
+    norm = norm_text_sql(text_col, "spark")
+    return (docs
+            .select(F.explode(F.split(F.expr(norm), " ")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("weight")))
+
+
+def _merge_fold(a: str, b: str):
+    """Column: greedy left-to-right merge of adjacent (a, b) symbol
+    pairs inside a symbol array (the textbook BPE merge), as a
+    codegen'd higher-order aggregate — no Python per word."""
+    merged = a + b
+    return F.expr(
+        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' "
+        f"          AND x = '{b}' "
+        f"     THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"                 array('{merged}')) "
+        "      ELSE concat(acc, array(x)) END)")
+
+
+def bpe_train(docs: DataFrame, n_merges: int,
+              text_col: str = "text") -> list:
+    """Learn up to `n_merges` BPE merge rules from the corpus.
+
+    Returns [(sym_a, sym_b, weight)] in merge order — the vocabulary
+    artifact (small by definition; it IS driver-side state, like any
+    trained tokenizer). Stops early when no pair repeats.
+    """
+    vocab = (word_counts(docs, text_col)
+             .select("word", "weight",
+                     F.concat(F.split(F.col("word"), ""),
+                              F.array(F.lit(END))).alias("syms"))
+             .localCheckpoint())
+
+    rules = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "weight",
+            F.explode(F.arrays_zip(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1))).alias("p"))
+        best = (pairs.select(F.col("p.0").alias("a"),
+                             F.col("p.1").alias("b"), "weight")
+                .groupBy("a", "b").agg(F.sum("weight").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        if not best or best[0].n < 2:
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        rules.append((a, b, n))
+        # single quotes in symbols would break the inlined fold expr
+        if "'" in a or "'" in b:
+            break
+        vocab = (vocab.withColumn("syms", _merge_fold(a, b))
+                 .localCheckpoint())
+    return rules
+
+
+def bpe_reference(word_weights: dict, n_merges: int) -> list:
+    """Pure-Python textbook BPE (the pytest oracle): same greedy
+    merge, same (count desc, pair asc) tie order."""
+    vocab = {w: list(w) + [END] for w in word_weights}
+    rules = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, syms in vocab.items():
+            wt = word_weights[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wt
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        rules.append((a, b, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return rules

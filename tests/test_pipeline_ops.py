@@ -757,3 +757,30 @@ def test_remove_duplicated_spans_empty_doc_zero_removed(spark):
     got = {r.doc_id: r.n_tokens_removed
            for r in text.remove_duplicated_spans(df).collect()}
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+# --------------------------------------------------------------- BPE
+
+def test_bpe_train_matches_reference_canonical(spark):
+    """The Sennrich et al. canonical corpus: distributed merge rules
+    == the textbook pure-Python algorithm, including tie order."""
+    from sparkspatial import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string")
+    rules = bpe.bpe_train(df, 8)
+    wc = {r.word: r.weight for r in bpe.word_counts(df).collect()}
+    assert rules == bpe.bpe_reference(wc, 8)
+    assert rules[0] == ("e", "s", 9)  # the famous first merge
+
+
+def test_bpe_train_matches_reference_on_corpus(docs):
+    from sparkspatial import bpe
+
+    sub = docs.where("doc_id < 100").select("doc_id", "text")
+    rules = bpe.bpe_train(sub, 12)
+    wc = {r.word: r.weight for r in bpe.word_counts(sub).collect()}
+    assert rules == bpe.bpe_reference(wc, 12)
+    assert len(rules) == 12
