@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from .text import norm_text_sql
 
-__all__ = ["word_counts", "bpe_train", "bpe_reference"]
+__all__ = ["word_counts", "bpe_train", "bpe_train_with_vocab",
+           "bpe_token_counts", "bpe_reference"]
 
 END = "</w>"  # end-of-word marker (standard BPE)
 
@@ -64,35 +65,7 @@ def bpe_train(docs: DataFrame, n_merges: int,
     artifact (small by definition; it IS driver-side state, like any
     trained tokenizer). Stops early when no pair repeats.
     """
-    vocab = (word_counts(docs, text_col)
-             .select("word", "weight",
-                     F.concat(F.split(F.col("word"), ""),
-                              F.array(F.lit(END))).alias("syms"))
-             .localCheckpoint())
-
-    rules = []
-    for _ in range(n_merges):
-        pairs = vocab.select(
-            "weight",
-            F.explode(F.arrays_zip(
-                F.slice("syms", 1, F.size("syms") - 1),
-                F.slice("syms", 2, F.size("syms") - 1))).alias("p"))
-        best = (pairs.select(F.col("p.0").alias("a"),
-                             F.col("p.1").alias("b"), "weight")
-                .groupBy("a", "b").agg(F.sum("weight").alias("n"))
-                .orderBy(F.col("n").desc(), F.col("a").asc(),
-                         F.col("b").asc())
-                .limit(1).collect())
-        if not best or best[0].n < 2:
-            break
-        a, b, n = best[0].a, best[0].b, best[0].n
-        rules.append((a, b, n))
-        # single quotes in symbols would break the inlined fold expr
-        if "'" in a or "'" in b:
-            break
-        vocab = (vocab.withColumn("syms", _merge_fold(a, b))
-                 .localCheckpoint())
-    return rules
+    return bpe_train_with_vocab(docs, n_merges, text_col)[0]
 
 
 def bpe_reference(word_weights: dict, n_merges: int) -> list:
@@ -126,3 +99,64 @@ def bpe_reference(word_weights: dict, n_merges: int) -> list:
                     i += 1
             vocab[w] = out
     return rules
+
+
+def bpe_train_with_vocab(docs: DataFrame, n_merges: int,
+                         text_col: str = "text"):
+    """Like :func:`bpe_train` but also returns the final encoded
+    vocabulary DataFrame (word, weight, syms) — the artifact the
+    APPLY side joins against. Encoding a 10^12-token corpus with a
+    trained BPE never re-runs merges per document: the vocab (word ->
+    symbol sequence) is encoded once here, and corpus encoding is a
+    word-level equi-join (see bpe_token_counts)."""
+    vocab = (word_counts(docs, text_col)
+             .select("word", "weight",
+                     F.concat(F.split(F.col("word"), ""),
+                              F.array(F.lit(END))).alias("syms"))
+             .localCheckpoint())
+    rules = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "weight",
+            F.explode(F.arrays_zip(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1))).alias("p"))
+        best = (pairs.select(F.col("p.0").alias("a"),
+                             F.col("p.1").alias("b"), "weight")
+                .groupBy("a", "b").agg(F.sum("weight").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        if not best or best[0].n < 2:
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        rules.append((a, b, n))
+        if "'" in a or "'" in b:
+            break
+        vocab = (vocab.withColumn("syms", _merge_fold(a, b))
+                 .localCheckpoint())
+    return rules, vocab
+
+
+def bpe_token_counts(docs: DataFrame, vocab: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document learned-BPE token counts: explode document words,
+    equi-join the encoded vocabulary (word -> |symbols|), sum — the
+    corpus-scale APPLY step costs one broadcast-or-shuffle join, no
+    per-document merge replay. Unseen words fall back to
+    chars+END (|word|+1 symbols), matching what encoding them from
+    scratch with no applicable merges would yield."""
+    norm = norm_text_sql(text_col, "spark")
+    words = (docs.select(
+                 F.col(id_col),
+                 F.explode(F.split(F.expr(norm), " ")).alias("word"))
+             .where(F.col("word") != ""))
+    sizes = vocab.select("word", F.size("syms").alias("n_syms"))
+    return (words.join(sizes, "word", "left")
+            .withColumn("n_syms",
+                        F.coalesce("n_syms",
+                                   F.length("word") + F.lit(1)))
+            .groupBy(id_col)
+            .agg(F.sum("n_syms").alias("n_bpe_learned"),
+                 F.count(F.lit(1)).alias("n_words")))

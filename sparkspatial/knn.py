@@ -148,8 +148,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
         done = (topk.join(done_q, "qid", "left_semi")
                 .select("qid", point_id, "dist_m", "rnk")
                 .localCheckpoint(eager=True))
-        if not done.isEmpty():
-            results.append(done)
+        # append unconditionally: a possibly-empty frame in the final
+        # union is free, the isEmpty() probe was one extra job/round
+        results.append(done)
         new_remaining = (remaining.join(done_q, "qid", "left_anti")
                          .localCheckpoint(eager=True))
         topk.unpersist()

@@ -784,3 +784,42 @@ def test_bpe_train_matches_reference_on_corpus(docs):
     wc = {r.word: r.weight for r in bpe.word_counts(sub).collect()}
     assert rules == bpe.bpe_reference(wc, 12)
     assert len(rules) == 12
+
+
+def test_bpe_encode_counts_match_reference(docs):
+    """APPLY side: per-doc learned-token counts from the vocab join ==
+    encoding every doc with the reference merges locally."""
+    from sparkspatial import bpe
+
+    sub = docs.where("doc_id < 60").select("doc_id", "text")
+    rules, vocab = bpe.bpe_train_with_vocab(sub, 10)
+    got = {r.doc_id: r.n_bpe_learned
+           for r in bpe.bpe_token_counts(sub, vocab).collect()}
+
+    # reference: re-encode each doc's words with the learned rules
+    wc = {r.word: r.weight for r in bpe.word_counts(sub).collect()}
+    ref_rules = bpe.bpe_reference(wc, 10)
+    assert [(a, b) for a, b, _ in rules] == \
+        [(a, b) for a, b, _ in ref_rules]
+
+    def encode(word):
+        syms = list(word) + [bpe.END]
+        for a, b, _ in ref_rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i+1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    import re
+    want = {}
+    for r in sub.collect():
+        words = re.sub(r"\s+", " ", r.text.lower(),
+                       flags=re.ASCII).strip(" ").split(" ")
+        want[r.doc_id] = sum(encode(w) for w in words if w)
+    assert got == want
