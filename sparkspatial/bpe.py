@@ -43,17 +43,22 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count(F.lit(1)).alias("weight")))
 
 
-def _merge_fold(a: str, b: str):
+def _lit(s: str) -> str:
+    """Symbol -> Spark SQL string literal (backslashes and quotes in
+    corpus text would otherwise break or escape the inlined fold)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_fold(a: str, b: str, col: str = "syms"):
     """Column: greedy left-to-right merge of adjacent (a, b) symbol
     pairs inside a symbol array (the textbook BPE merge), as a
     codegen'd higher-order aggregate — no Python per word."""
-    merged = a + b
     return F.expr(
-        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
-        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' "
-        f"          AND x = '{b}' "
+        f"aggregate({col}, CAST(array() AS array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {_lit(a)} "
+        f"          AND x = {_lit(b)} "
         f"     THEN concat(slice(acc, 1, size(acc) - 1), "
-        f"                 array('{merged}')) "
+        f"                 array({_lit(a + b)})) "
         "      ELSE concat(acc, array(x)) END)")
 
 
@@ -131,32 +136,46 @@ def bpe_train_with_vocab(docs: DataFrame, n_merges: int,
             break
         a, b, n = best[0].a, best[0].b, best[0].n
         rules.append((a, b, n))
-        if "'" in a or "'" in b:
-            break
+        # localCheckpoint per round keeps the plan flat; superseded
+        # checkpoint blocks free via ContextCleaner on dereference
+        # (see graph.py — production: reliable checkpoint dir)
         vocab = (vocab.withColumn("syms", _merge_fold(a, b))
                  .localCheckpoint())
     return rules, vocab
 
 
-def bpe_token_counts(docs: DataFrame, vocab: DataFrame,
+def bpe_token_counts(docs: DataFrame, vocab: DataFrame, rules: list,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document learned-BPE token counts: explode document words,
     equi-join the encoded vocabulary (word -> |symbols|), sum — the
     corpus-scale APPLY step costs one broadcast-or-shuffle join, no
-    per-document merge replay. Unseen words fall back to
-    chars+END (|word|+1 symbols), matching what encoding them from
-    scratch with no applicable merges would yield."""
+    per-document merge replay. Words UNSEEN during training (the
+    distinct set left-anti the vocab — small) are encoded by running
+    the learned merge folds over them once, exactly as encoding them
+    from scratch would (the merges apply to unseen words too).
+
+    Note: the inlined-fold apply is right for the tens-to-hundreds of
+    merges an analytics pass learns; a production 30k-merge tokenizer
+    applies rules with a trie per word, not 30k plan operators.
+    """
     norm = norm_text_sql(text_col, "spark")
     words = (docs.select(
                  F.col(id_col),
                  F.explode(F.split(F.expr(norm), " ")).alias("word"))
              .where(F.col("word") != ""))
-    sizes = vocab.select("word", F.size("syms").alias("n_syms"))
+    seen = vocab.select("word", F.size("syms").alias("n_syms"))
+
+    unseen = (words.select("word").distinct()
+              .join(vocab.select("word"), "word", "left_anti")
+              .select("word",
+                      F.concat(F.split(F.col("word"), ""),
+                               F.array(F.lit(END))).alias("syms")))
+    for a, b, _ in rules:
+        unseen = unseen.withColumn("syms", _merge_fold(a, b))
+    sizes = seen.unionByName(
+        unseen.select("word", F.size("syms").alias("n_syms")))
     return (words.join(sizes, "word", "left")
-            .withColumn("n_syms",
-                        F.coalesce("n_syms",
-                                   F.length("word") + F.lit(1)))
             .groupBy(id_col)
             .agg(F.sum("n_syms").alias("n_bpe_learned"),
                  F.count(F.lit(1)).alias("n_words")))

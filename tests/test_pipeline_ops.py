@@ -794,7 +794,7 @@ def test_bpe_encode_counts_match_reference(docs):
     sub = docs.where("doc_id < 60").select("doc_id", "text")
     rules, vocab = bpe.bpe_train_with_vocab(sub, 10)
     got = {r.doc_id: r.n_bpe_learned
-           for r in bpe.bpe_token_counts(sub, vocab).collect()}
+           for r in bpe.bpe_token_counts(sub, vocab, rules).collect()}
 
     # reference: re-encode each doc's words with the learned rules
     wc = {r.word: r.weight for r in bpe.word_counts(sub).collect()}
@@ -823,3 +823,44 @@ def test_bpe_encode_counts_match_reference(docs):
                        flags=re.ASCII).strip(" ").split(" ")
         want[r.doc_id] = sum(encode(w) for w in words if w)
     assert got == want
+
+
+def test_bpe_handles_quotes_and_backslashes(spark):
+    """Symbols with ' or \\ must survive the inlined SQL fold (real
+    English corpora merge apostrophe pairs early)."""
+    from sparkspatial import bpe
+
+    df = spark.createDataFrame(
+        [(1, "don't don't don't don't can't can't a\\b a\\b a\\b")],
+        "doc_id long, text string")
+    rules = bpe.bpe_train(df, 6)
+    wc = {r.word: r.weight for r in bpe.word_counts(df).collect()}
+    assert rules == bpe.bpe_reference(wc, 6)
+    assert any("'" in a or "'" in b for a, b, _ in rules)
+
+
+def test_bpe_token_counts_unseen_words_get_merges(spark):
+    """Words absent from the training corpus still receive the
+    learned merges when encoded."""
+    from sparkspatial import bpe
+
+    train = spark.createDataFrame(
+        [(1, "lowest lowest lowest newest newest newest")],
+        "doc_id long, text string")
+    rules, vocab = bpe.bpe_train_with_vocab(train, 4)
+    other = spark.createDataFrame([(7, "bestest")],
+                                  "doc_id long, text string")
+    got = bpe.bpe_token_counts(other, vocab, rules).collect()[0]
+
+    syms = list("bestest") + [bpe.END]
+    for a, b, _ in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    assert got.n_bpe_learned == len(syms) < len("bestest") + 1
