@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sparkspatial import cells as cellmod
 from sparkspatial import extract, join, knn, layers, sim, text, tiles
+from sparkspatial import geohash as geohashmod
 from sparkspatial import graph as graphmod
 from sparkspatial import params as paramsmod
 from sparkspatial import transform, zones
@@ -298,6 +299,20 @@ def q_grid_counts(spark, sf_dir):
     g = tiles.assign_cells(pts, res=7)
     return (g.groupBy("cell").agg(F.count(F.lit(1)).alias("page_count"))
             .orderBy("cell"))
+
+
+def q_geohash_counts(spark, sf_dir):
+    """Interop rollup: page counts per standard 5-char geohash
+    (Niemeyer base32 — the export codec other GIS systems consume;
+    sparkspatial.geohash generates the bit-interleave as one codegen
+    projection, pinned to the published test vectors)."""
+    from sparkspatial import geohash as gh
+
+    pts = _points(spark, sf_dir)
+    return (pts.selectExpr(
+                gh.geohash_sql("lat", "lon", 5, "spark") + " AS gh")
+            .groupBy("gh").agg(F.count(F.lit(1)).alias("page_count"))
+            .orderBy("gh"))
 
 
 def q_grid_rollup(spark, sf_dir):
@@ -1504,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_antijoin": q_spatial_antijoin,
         "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
+        "geohash_counts": q_geohash_counts,
         "grid_rollup": q_grid_rollup,
         "grid_lang_histogram": q_grid_lang_histogram,
         "grid_indicators_full": q_grid_indicators_full,
@@ -1664,6 +1680,12 @@ def oracle_sql() -> dict[str, str]:
         "grid_counts": f"""
             WITH {pts}
             SELECT {cell7} AS cell, COUNT(*) AS page_count
+            FROM pts GROUP BY 1 ORDER BY 1
+        """,
+        "geohash_counts": f"""
+            WITH {pts}
+            SELECT {geohashmod.geohash_sql("lat", "lon", 5, "duckdb")} AS gh,
+                   COUNT(*) AS page_count
             FROM pts GROUP BY 1 ORDER BY 1
         """,
         "grid_rollup": f"""

@@ -864,3 +864,43 @@ def test_bpe_token_counts_unseen_words_get_merges(spark):
                 i += 1
         syms = out
     assert got.n_bpe_learned == len(syms) < len("bestest") + 1
+
+
+# --------------------------------------------------------------- geohash
+
+def test_geohash_cross_engine_and_reference(spark):
+    """Spark SQL == DuckDB SQL == textbook bisection reference,
+    including the published vectors (ezs42, u4pruydqq)."""
+    from sparkspatial import geohash as gh
+
+    pts = [(1, 42.605, -5.603), (2, 57.64911, 10.40744),
+           (3, 0.0, 0.0), (4, -89.99, -179.99), (5, 89.99, 179.99),
+           (6, 48.8584, 2.2945)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {r.id: r.g for r in df.selectExpr(
+        "id", gh.geohash_sql("lat", "lon", 9, "spark") + " AS g").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", pts)
+    want = dict(con.execute(
+        f"SELECT id, {gh.geohash_sql('lat', 'lon', 9, 'duckdb')} "
+        f"FROM t").fetchall())
+    ref = {i: gh.geohash_reference(la, lo, 9) for i, la, lo in pts}
+    assert got == want == ref
+    assert got[1].startswith("ezs42")
+    assert got[2] == "u4pruydqq"
+
+
+def test_geohash_random_cross_engine(spark):
+    import random
+
+    from sparkspatial import geohash as gh
+
+    rng = random.Random(31)
+    pts = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180))
+           for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {r.id: r.g for r in df.selectExpr(
+        "id", gh.geohash_sql("lat", "lon", 8, "spark") + " AS g").collect()}
+    ref = {i: gh.geohash_reference(la, lo, 8) for i, la, lo in pts}
+    assert got == ref
