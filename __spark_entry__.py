@@ -306,11 +306,10 @@ def q_geohash_counts(spark, sf_dir):
     (Niemeyer base32 — the export codec other GIS systems consume;
     sparkspatial.geohash generates the bit-interleave as one codegen
     projection, pinned to the published test vectors)."""
-    from sparkspatial import geohash as gh
-
     pts = _points(spark, sf_dir)
     return (pts.selectExpr(
-                gh.geohash_sql("lat", "lon", 5, "spark") + " AS gh")
+                geohashmod.geohash_sql("lat", "lon", 5, "spark")
+                + " AS gh")
             .groupBy("gh").agg(F.count(F.lit(1)).alias("page_count"))
             .orderBy("gh"))
 

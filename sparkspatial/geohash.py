@@ -13,6 +13,14 @@ projection.
 
 Pinned against the published test vectors (Wikipedia's ezs42 etc.)
 and a pure-Python textbook reference in tests.
+
+Boundary semantics: the index is floor-quantized (like
+cells.cell_sql); a coordinate within ~1 ulp of a cell boundary can
+land one cell off from an exact-bisection implementation (the
+floating-point product rounds before the floor). Both engines here
+agree bit-for-bit with each other; only adversarially
+boundary-adjacent inputs can differ from other libraries, the
+inherent trade-off of any closed-form grid codec.
 """
 
 from __future__ import annotations
@@ -29,13 +37,16 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 7,
     nbits = 5 * precision
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
-    lon_idx = (f"CAST(floor((({lon_expr}) + 180.0) / 360.0 "
+    # e-notation literals: plain decimals are DECIMAL-typed in DuckDB
+    # (the documented literal trap, cells.py); same quantization shape
+    # as cells.cell_sql, clamped BOTH ends so out-of-range inputs land
+    # in the edge cells instead of indexing the alphabet negatively
+    lon_idx = (f"CAST(floor((({lon_expr}) + 1.8e2) / 3.6e2 "
                f"* {1 << lon_bits}) AS BIGINT)")
-    lat_idx = (f"CAST(floor((({lat_expr}) + 90.0) / 180.0 "
+    lat_idx = (f"CAST(floor((({lat_expr}) + 9e1) / 1.8e2 "
                f"* {1 << lat_bits}) AS BIGINT)")
-    # clamp the +180/+90 exact-edge case into the last cell
-    lon_idx = f"LEAST({lon_idx}, {(1 << lon_bits) - 1})"
-    lat_idx = f"LEAST({lat_idx}, {(1 << lat_bits) - 1})"
+    lon_idx = f"GREATEST(LEAST({lon_idx}, {(1 << lon_bits) - 1}), 0)"
+    lat_idx = f"GREATEST(LEAST({lat_idx}, {(1 << lat_bits) - 1}), 0)"
 
     def shr(e, k):
         if k == 0:

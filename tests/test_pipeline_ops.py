@@ -904,3 +904,21 @@ def test_geohash_random_cross_engine(spark):
         "id", gh.geohash_sql("lat", "lon", 8, "spark") + " AS g").collect()}
     ref = {i: gh.geohash_reference(la, lo, 8) for i, la, lo in pts}
     assert got == ref
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", pts)
+    duck = dict(con.execute(
+        f"SELECT id, {gh.geohash_sql('lat', 'lon', 8, 'duckdb')} "
+        f"FROM t").fetchall())
+    assert duck == ref
+    # out-of-range inputs clamp to edge cells, identically
+    bad = [(1, -95.0, -200.0), (2, 95.0, 200.0)]
+    bdf = spark.createDataFrame(bad, "id long, lat double, lon double")
+    sgot = {r.id: r.g for r in bdf.selectExpr(
+        "id", gh.geohash_sql("lat", "lon", 5, "spark") + " AS g").collect()}
+    con.execute("DELETE FROM t")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", bad)
+    dgot = dict(con.execute(
+        f"SELECT id, {gh.geohash_sql('lat', 'lon', 5, 'duckdb')} "
+        f"FROM t").fetchall())
+    assert sgot == dgot == {1: "00000", 2: "zzzzz"}
