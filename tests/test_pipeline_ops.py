@@ -922,3 +922,26 @@ def test_geohash_random_cross_engine(spark):
         f"SELECT id, {gh.geohash_sql('lat', 'lon', 5, 'duckdb')} "
         f"FROM t").fetchall())
     assert sgot == dgot == {1: "00000", 2: "zzzzz"}
+
+
+def test_geohash_prefix_property(spark):
+    """The defining geohash invariant: a coarser-precision hash is the
+    PREFIX of the finer one (hierarchical containment) — in the SQL
+    codec and the reference alike."""
+    import random
+
+    from sparkspatial import geohash as gh
+
+    rng = random.Random(77)
+    pts = [(i, rng.uniform(-90, 90), rng.uniform(-180, 180))
+           for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    rows = df.selectExpr(
+        "id",
+        gh.geohash_sql("lat", "lon", 4, "spark") + " AS g4",
+        gh.geohash_sql("lat", "lon", 9, "spark") + " AS g9").collect()
+    for r in rows:
+        assert r.g9.startswith(r.g4)
+    for i, la, lo in pts[:50]:
+        assert gh.geohash_reference(la, lo, 9).startswith(
+            gh.geohash_reference(la, lo, 4))
