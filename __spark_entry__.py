@@ -1389,7 +1389,13 @@ def q_winnow_pairs(spark, sf_dir):
     dup = docs.where("doc_id % 10 = 0").selectExpr(
         "doc_id + 1000000 AS doc_id", "text")
     corpus = docs.unionByName(dup)
-    fps = text.winnowing_fingerprints(corpus, shingle_k=5, window=4)
+    # persist before the self-join: without it the whole shingle/window
+    # fingerprint pipeline runs once per join side (same reason
+    # text.lsh_candidate_pairs persists its signature frame)
+    fps = text.winnowing_fingerprints(corpus, shingle_k=5, window=4) \
+        .persist()
+    from sparkspatial import session as _session
+    _session.register_persisted(fps)
     a = fps.alias("a")
     b = fps.alias("b")
     return (a.join(b, "fp")

@@ -306,8 +306,22 @@ def main():
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
+        # Summary ONLY on the one-line JSON: embedding the raw rep
+        # arrays (two runs x four levels x 11 reps) blew past the
+        # driver's tail capture in round 2 (BENCH_r02 "parsed": null).
+        # Full detail stays in BENCH/scaling.json.
         with open(scaling_path) as f:
-            result["scaling"] = json.load(f)
+            sc = json.load(f)
+        result["scaling"] = {
+            "north_pair": sc.get("north_pair"),
+            "eff_lo_to_hi": sc.get("eff_lo_to_hi"),
+            "both_runs_ge_0_8_lo_to_hi": sc.get("both_runs_ge_0_8_lo_to_hi"),
+            "corpus_pages": sc.get("corpus_pages"),
+            "pages_per_sec_by_cpus": [
+                {lvl: round(run[lvl]["pages_per_sec"], 1) for lvl in run}
+                for run in sc.get("runs", [])],
+            "detail": "BENCH/scaling.json",
+        }
     print(json.dumps(result))
 
 

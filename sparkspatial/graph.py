@@ -50,13 +50,17 @@ __all__ = ["connected_components", "connected_components_star",
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         fallback_star: bool = True) -> DataFrame:
     """(node, component) for every node appearing in `edges`;
     component = min node id in the node's connected component.
 
-    Only scalar convergence stats ever reach the driver. Raises
-    RuntimeError if `max_iter` rounds do not converge (diameter
-    larger than max_iter — raise it or switch to star-contraction).
+    Only scalar convergence stats ever reach the driver. If `max_iter`
+    rounds do not converge (diameter larger than max_iter — e.g. a
+    chain-shaped duplicate cluster), falls back to the O(log n)-round
+    star-contraction variant (`connected_components_star`), which is
+    diameter-independent; set `fallback_star=False` to get the old
+    RuntimeError instead.
     """
     sym = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .unionByName(
@@ -92,6 +96,8 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                                  F.col("lbl").alias("component"))
         prev_sum = new_sum
     sym.unpersist()
+    if fallback_star:
+        return connected_components_star(edges, id_a, id_b)
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} rounds")
 

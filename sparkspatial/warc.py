@@ -52,6 +52,22 @@ def encode_warc(records: list, compress: bool = False) -> bytes:
     return gzip.compress(blob) if compress else blob
 
 
+def _next_record(payload: bytes, i: int) -> int:
+    """Next record start at/after `i`, anchored on a true boundary:
+    offset 0 or preceded by the \\r\\n\\r\\n record separator, and
+    followed by a version digit ('WARC/1.'). A bare b'WARC/' substring
+    can occur inside an HTML body that QUOTES a WARC header; resyncing
+    on it after a corrupt Content-Length would yield garbage rows."""
+    while True:
+        j = payload.find(b"WARC/", i)
+        if j < 0:
+            return -1
+        if ((j == 0 or payload[max(0, j - 4):j] == b"\r\n\r\n")
+                and payload[j + 5:j + 6].isdigit()):
+            return j
+        i = j + 1
+
+
 def _parse_warc(payload: bytes) -> list:
     """WARC bytes -> [(url, ts, html, n_bytes)]; per-record tolerance."""
     if payload[:2] == b"\x1f\x8b":
@@ -63,7 +79,7 @@ def _parse_warc(payload: bytes) -> list:
     rows = []
     i, n = 0, len(payload)
     while i < n:
-        j = payload.find(b"WARC/", i)
+        j = _next_record(payload, i)
         if j < 0:
             break
         he = payload.find(b"\r\n\r\n", j)

@@ -637,6 +637,22 @@ def test_star_cc_long_path_logarithmic_rounds(spark):
     assert len(got) == 2000
 
 
+def test_hashmin_falls_back_to_star_on_long_chain(spark):
+    """Diameter > max_iter: hash-min no longer hard-fails — it falls
+    back to star contraction (ADVICE r2) and still returns the exact
+    components. fallback_star=False keeps the old RuntimeError."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in graph.connected_components(df, max_iter=5).collect()}
+    assert set(got.values()) == {0} and len(got) == 61
+    with pytest.raises(RuntimeError, match="no convergence"):
+        graph.connected_components(df, max_iter=5,
+                                   fallback_star=False).count()
+
+
 def test_star_cc_keeps_self_loop_nodes(spark):
     edges = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
     star = {r.node: r.component

@@ -44,6 +44,24 @@ def test_warc_skips_non_response_and_malformed(spark, tmp_path):
     assert len(got) == 1 and got[0].url == "https://a.example/1"
 
 
+def test_warc_resync_ignores_quoted_header_in_body(spark, tmp_path):
+    """After a corrupt Content-Length, resync must anchor on a true
+    record boundary (\\r\\n\\r\\n + 'WARC/<digit>.'): an HTML body that
+    QUOTES a WARC header must not yield a phantom row (ADVICE r2)."""
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://bad.example/\r\n"
+           b"Content-Length: oops\r\n\r\n"
+           b"<html><pre>a quoted record: WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: https://phantom.example/\r\n"
+           b"Content-Length: 4\r\n\r\njunk</pre></html>\r\n\r\n")
+    good = warc.encode_warc(_records()[:1])
+    p = tmp_path / "resync.warc"
+    p.write_bytes(bad + good)
+    got = warc.read_warc(spark, str(p)).collect()
+    assert [r.url for r in got] == ["https://a.example/1"]
+
+
 def test_warc_feeds_text_pipeline(spark, tmp_path):
     """WARC -> extract_text -> token counting: the ingest feeds the
     corpus operators (with an exchange separating the Python
