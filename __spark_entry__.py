@@ -1005,18 +1005,21 @@ def q_embedding_near_dup(spark, sf_dir):
     0.444 threshold sits in a wide gap of the pair-cosine distribution
     at sf0.001 and sf0.01 (nearest values ~8e-4 away, orders of
     magnitude above cross-engine fp noise); cos itself is excluded
-    from the compared columns."""
+    from the compared columns. Rides the DISTRIBUTED block-pair path
+    (sim.cosine_pairs_blocked — zero driver state); the
+    driver-broadcast sim.cosine_pairs is test-oracle-only."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (sim.cosine_pairs(emb, 0.444)
+    return (sim.cosine_pairs_blocked(emb, 0.444)
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 
 def q_embedding_dedup_survivors(spark, sf_dir):
     """Embedding near-dup removal end-to-end: threshold pairs -> drop
     the higher id of each pair -> surviving vectors (same survivor
-    convention as near_dedup_survivors)."""
+    convention as near_dedup_survivors). Distributed block-pair path
+    (sim.cosine_pairs_blocked), not the driver-broadcast oracle."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    losers = (sim.cosine_pairs(emb, 0.444)
+    losers = (sim.cosine_pairs_blocked(emb, 0.444)
               .select(F.col("id_b").alias("vec_id")).distinct())
     return (emb.join(losers, "vec_id", "left_anti")
             .select("vec_id").orderBy("vec_id"))

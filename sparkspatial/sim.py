@@ -97,16 +97,14 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs cosine threshold join: (id_a, id_b, cos) for
-    every unordered pair with cosine >= threshold (embedding near-dup,
-    task brief "embedding-cosine near-dup").
+    every unordered pair with cosine >= threshold.
 
-    The corpus collects to the driver and broadcasts into a
-    mapInPandas over itself: per Arrow batch one matmul scores the
-    batch against the whole corpus, and ONLY pairs above the threshold
-    (with id_a < id_b, so each pair once) reach the shuffle. This is
-    the exact oracle/baseline twin of the LSH-candidates + exact-verify
-    scale path (text.lsh_candidate_pairs / add_lsh_buckets), same
-    broadcast contract as :func:`cosine_topk`.
+    TEST ORACLE ONLY — the corpus collects to the driver and
+    broadcasts into a mapInPandas over itself (O(corpus) driver
+    memory), which is fine for pinning small fixtures but is NOT the
+    shipped path: the driver queries ride
+    :func:`cosine_pairs_blocked`, which computes the identical pair
+    set with zero driver state (r2 verdict item 1).
     """
     c_pdf = corpus.select(id_col, vec_col).toPandas()
     ids_all = c_pdf[id_col].to_numpy()
@@ -136,6 +134,74 @@ def cosine_pairs(corpus: DataFrame, threshold: float, *,
                                 "cos": cos[ii, jj]})
 
     return corpus.mapInPandas(_pairs, schema=schema)
+
+
+def cosine_pairs_blocked(corpus: DataFrame, threshold: float, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         n_blocks: int = 8) -> DataFrame:
+    """Exact all-pairs cosine threshold join, DISTRIBUTED: the shipped
+    scale path for embedding near-dup (r2 verdict item 1 — no
+    corpus-sized driver collect anywhere).
+
+    Block-pair (triangle) partitioning in the spirit of 1-Bucket-Theta
+    (Okcan & Riedewald, "Processing Theta-Joins using MapReduce",
+    SIGMOD'11): rows hash into `n_blocks` blocks by id; each row is
+    replicated to the `n_blocks` unordered block-pair groups containing
+    its block (a JVM explode — no Python); one applyInPandas stage
+    scores each (block_a, block_b) group with a single numpy matmul.
+    A pair (x, y) is scored in exactly one group — (blk(x), blk(y))
+    normalized to (min, max) — so the result is EXACTLY the
+    cosine_pairs set, no dedup pass needed.
+
+    Scale shape: per-task memory is 2n/n_blocks rows (pick n_blocks so
+    a block fits an executor), shuffle volume n*n_blocks rows, driver
+    state ZERO. Compute stays O(n^2) dot products — inherent to an
+    EXACT threshold join over dense vectors; the sub-quadratic
+    alternatives are the approximate paths (add_lsh_buckets /
+    ivf_topk) which trade recall for candidate-only scoring.
+    `cosine_pairs` (driver-broadcast) remains as the small-corpus
+    test oracle only.
+    """
+    base = corpus.select(id_col, vec_col).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(id_col)),
+                       F.lit(n_blocks)).cast("int"))
+    rep = (base
+           .withColumn("_o", F.explode(
+               F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+           .withColumn("_pa", F.least("_blk", "_o"))
+           .withColumn("_pb", F.greatest("_blk", "_o"))
+           .drop("_o"))
+
+    def _pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]])
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        if pa == pb:
+            cos = (mat @ mat.T) / norm[:, None] / norm[None, :]
+            keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
+                                 "cos": cos[ii, jj]})
+        blk = pdf["_blk"].to_numpy()
+        a, b = blk == pa, blk == pb
+        if not a.any() or not b.any():
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64),
+                                 "cos": np.array([], dtype=np.float64)})
+        cos = (mat[a] @ mat[b].T) / norm[a][:, None] / norm[b][None, :]
+        keep = cos >= threshold
+        ii, jj = np.nonzero(keep)
+        ia, ib = ids[a][ii], ids[b][jj]
+        return pd.DataFrame({"id_a": np.minimum(ia, ib),
+                             "id_b": np.maximum(ia, ib),
+                             "cos": cos[ii, jj]})
+
+    return (rep.groupBy("_pa", "_pb")
+            .applyInPandas(_pairs, schema="id_a long, id_b long, cos double"))
 
 
 def cosine_pairs_duckdb_sql(threshold: str,
