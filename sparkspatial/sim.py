@@ -471,9 +471,124 @@ def cosine_topk_duckdb_sql(k: int, query_filter: str,
     """
 
 
+def _ivf_assign_bits(df: DataFrame, centroids: np.ndarray, *,
+                     vec_col: str = "embedding",
+                     n_bits: int = 16) -> DataFrame:
+    """Nearest-centroid assign + `n_bits` secondary LSH sign bits in
+    ONE Arrow stage (columns `cluster` int, `_lshbits` int). The bits
+    feed semdedup's mega-cluster re-split without a second chained
+    Python stage."""
+    schema_in = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["cluster int", "_lshbits int"])
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            if planes is None:
+                rng = np.random.RandomState(
+                    h32(f"semdedup-split-{mat.shape[1]}-{n_bits}")
+                    % (2**31))
+                planes = rng.standard_normal(
+                    (n_bits, mat.shape[1])).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
+            cl = np.argmax(unit @ cent.T, axis=1).astype(np.int32)
+            sign = (mat @ planes.T) > 0
+            bits = np.zeros(len(pdf), dtype=np.int32)
+            for b in range(n_bits):
+                bits |= sign[:, b].astype(np.int32) << b
+            yield pdf[schema_in].assign(cluster=cl, _lshbits=bits)
+
+    return df.mapInPandas(_assign, schema=out_schema)
+
+
+def semdedup_clusters(corpus: DataFrame, *, n_clusters: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      max_cluster: int = 4096) -> DataFrame:
+    """The capped cluster assignment behind :func:`semdedup`:
+    (id, vec, fcluster) where no final cluster (materially) exceeds
+    `max_cluster` rows.
+
+    Mega-cluster cap (r2 verdict item 3 — a hot cluster must not
+    re-introduce the all-pairs n^2 the paper exists to avoid): any
+    cluster over `max_cluster` rows is re-split by appending secondary
+    LSH sign bits one at a time (geometry-aware: near-identical
+    vectors stay together) until every cluster fits or the bits stop
+    separating (e.g. EXACTLY identical vectors share every sign bit);
+    stragglers then hash-split on id into ceil(n/max_cluster) parts
+    (uniform xxhash64, so parts land near the cap). Only per-cluster
+    size rows (one per OVERSIZED cluster) ever reach the driver.
+    Splitting prunes pairs across sub-clusters — the same
+    approximation clustering itself makes, and in the stuck case the
+    members are near-identical, so within-part min-id pruning still
+    removes them.
+    """
+    from . import session as _session
+
+    cent = ivf_centroids(corpus, n_clusters, id_col=id_col,
+                         vec_col=vec_col)
+    assigned = (_ivf_assign_bits(corpus.select(id_col, vec_col), cent,
+                                 vec_col=vec_col)
+                .withColumn("fcluster", F.col("cluster").cast("string"))
+                .drop("cluster").persist())
+    _session.register_persisted(assigned)
+
+    cur = assigned
+    prev_sig = None
+    for depth in range(16):
+        big = (cur.groupBy("fcluster")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .where(F.col("n") > max_cluster))
+        rows = big.collect()  # one row per OVERSIZED cluster only
+        if not rows:
+            break
+        sig = (len(rows), sum(r.n for r in rows), max(r.n for r in rows))
+        if sig == prev_sig:
+            break  # bits no longer separating (identical vectors)
+        prev_sig = sig
+        big_ids = [r.fcluster for r in rows]
+        bit = F.expr(f"(_lshbits >> {depth}) & 1").cast("string")
+        cur = cur.withColumn(
+            "fcluster",
+            F.when(F.col("fcluster").isin(big_ids),
+                   F.concat("fcluster", F.lit("/"), bit))
+            .otherwise(F.col("fcluster")))
+    # hard fallback: hash-of-id split for clusters the bits can't part
+    sizes = (cur.groupBy("fcluster")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .where(F.col("_n") > max_cluster))
+    cur = (cur.join(F.broadcast(sizes), "fcluster", "left")
+           .withColumn(
+               "fcluster",
+               F.when(
+                   F.col("_n").isNotNull(),
+                   F.concat(
+                       "fcluster", F.lit("#"),
+                       F.pmod(
+                           F.xxhash64(F.col(id_col)),
+                           F.expr(f"int(ceil(_n / cast({max_cluster}"
+                                  f" as double)))"))
+                       .cast("string")))
+               .otherwise(F.col("fcluster")))
+           .drop("_n"))
+    return cur
+
+
 def semdedup(corpus: DataFrame, threshold: float, *,
              n_clusters: int = 16, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             max_cluster: int = 4096) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup at
     scale by clustering embeddings first and comparing pairs only
     WITHIN a cluster — survivors = corpus minus the higher-id member
@@ -483,20 +598,19 @@ def semdedup(corpus: DataFrame, threshold: float, *,
     sum-over-clusters O((n/k)^2) — per-cluster all-pairs is the whole
     point of the paper (clusters of ~10^4 vectors are one numpy
     matmul). Plan: deterministic coarse quantizer (ivf_centroids,
-    bounded driver sample) -> Arrow-batched assignment (one Python
-    stage) -> hash exchange on cluster -> per-cluster pair scoring in
-    applyInPandas -> distinct losers -> left_anti survivors. Cluster
-    skew is the known hazard (a mega-cluster re-introduces n^2);
-    production mitigation is capping cluster size by re-splitting on a
-    secondary LSH bit, not needed at test scale.
+    bounded driver sample) -> Arrow-batched assignment + secondary LSH
+    bits (one Python stage) -> mega-cluster cap
+    (:func:`semdedup_clusters` — no hot cluster re-introduces n^2) ->
+    hash exchange on final cluster -> per-cluster pair scoring in
+    applyInPandas -> distinct losers -> left_anti survivors.
 
     Deterministic end-to-end: quantizer sample is orderBy(id)-bounded,
-    k-means seeding is h32-derived, scoring is exact numpy.
+    k-means seeding and split hyperplanes are h32-derived, the hash
+    split uses xxhash64(id), scoring is exact numpy.
     """
-    cent = ivf_centroids(corpus, n_clusters, id_col=id_col,
-                         vec_col=vec_col)
-    assigned = ivf_assign(corpus.select(id_col, vec_col), cent,
-                          vec_col=vec_col)
+    cur = semdedup_clusters(corpus, n_clusters=n_clusters,
+                            id_col=id_col, vec_col=vec_col,
+                            max_cluster=max_cluster)
 
     def _losers(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -511,7 +625,7 @@ def semdedup(corpus: DataFrame, threshold: float, *,
         _, jj = np.nonzero(keep)
         return pd.DataFrame({"loser": np.unique(ids[jj])})
 
-    losers = (assigned.groupBy("cluster")
+    losers = (cur.groupBy("fcluster")
               .applyInPandas(_losers, schema="loser long")
               .select(F.col("loser").alias(id_col)).distinct())
     return corpus.join(losers, id_col, "left_anti")

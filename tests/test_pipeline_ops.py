@@ -307,6 +307,54 @@ def test_semdedup_partition_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_semdedup_mega_cluster_cap(spark):
+    """r2 verdict item 3: a forced mega-cluster of 3000 EXACTLY
+    identical embeddings (every secondary LSH sign bit equal, so the
+    geometric re-split can't part them) must be hash-split under the
+    cap — no final cluster holds an n^2-sized batch — and the
+    survivors must still match the per-FINAL-cluster brute force."""
+    import numpy as np
+
+    from sparkspatial import sim
+
+    n = 3000
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    rows += [(n + j, [float(x) for x in np.eye(4)[1 + j]])
+             for j in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cap = 256
+    clusters = sim.semdedup_clusters(emb, n_clusters=2, max_cluster=cap)
+    sizes = [r["cnt"] for r in clusters.groupBy("fcluster")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()]
+    # hash split targets ceil(3000/256)=12 parts of ~250; allow
+    # uniform-hash imbalance but never anything near the 3000 blob
+    assert max(sizes) <= int(cap * 1.5), sorted(sizes)[-5:]
+
+    got = {r.vec_id for r in
+           sim.semdedup(emb, 0.9, n_clusters=2,
+                        max_cluster=cap).select("vec_id").collect()}
+
+    # per-final-cluster brute force on the SAME capped clustering
+    pdf = clusters.toPandas()
+    losers = set()
+    for _, grp in pdf.groupby("fcluster"):
+        ids = grp["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in grp["embedding"]])
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        cos = (mat @ mat.T) / norm[:, None] / norm[None, :]
+        _, jj = np.nonzero((cos >= 0.9) & (ids[:, None] < ids[None, :]))
+        losers |= {int(x) for x in ids[jj]}
+    want = {i for i, _ in rows} - losers
+    assert got == want
+    # the identical blob keeps exactly one survivor per hash part,
+    # the 3 orthogonal vectors all survive
+    assert {n, n + 1, n + 2} <= got and 0 in got
+    assert len(got) <= 3 + int(np.ceil(n / cap)) + 3
+
+
 # ------------------------------------------------- streaming quality gate
 
 def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
