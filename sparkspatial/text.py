@@ -95,11 +95,84 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("dup_count")))
 
 
+# 23 space-delimited-script languages x 20+ stopwords each, drawn from
+# the standard public stopword lists (NLTK / stopwords-iso top
+# function words). Words are lowercase full tokens (norm_text_sql
+# lowercases and single-spaces before tokenizing); none contain
+# apostrophes so they embed directly as SQL literals. CJK scripts are
+# intentionally absent — whitespace tokenization carries no signal
+# there (a real system plugs a char-n-gram model at this seam).
 STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in"],
-    "fr": ["le", "la", "et", "les", "des"],
-    "de": ["der", "die", "und", "das", "ist"],
-    "es": ["el", "la", "los", "que", "y"],
+    "ca": ["el", "la", "els", "les", "de", "que", "i", "en", "un",
+           "una", "és", "del", "es", "per", "amb", "al", "no", "més",
+           "com", "dels", "seu", "aquest"],
+    "cs": ["a", "se", "v", "na", "je", "že", "s", "z", "do", "o",
+           "to", "jako", "ale", "po", "co", "pro", "jsem", "tak",
+           "od", "který", "jeho", "byl"],
+    "da": ["og", "i", "at", "det", "en", "den", "til", "er", "som",
+           "på", "de", "med", "han", "af", "for", "ikke", "der",
+           "var", "mig", "et", "men", "hun"],
+    "de": ["der", "die", "und", "das", "den", "von", "zu", "mit",
+           "sich", "des", "auf", "für", "ist", "im", "dem", "nicht",
+           "ein", "eine", "als", "auch", "es", "an"],
+    "en": ["the", "and", "of", "to", "in", "that", "is", "was",
+           "for", "with", "as", "on", "at", "by", "this", "have",
+           "from", "not", "are", "but", "they", "you"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un",
+           "una", "es", "del", "se", "por", "con", "para", "su",
+           "al", "lo", "como", "más", "pero"],
+    "fi": ["ja", "on", "ei", "se", "että", "hän", "oli", "mutta",
+           "ovat", "kun", "niin", "myös", "sen", "joka", "ole",
+           "kuin", "mitä", "tämä", "siitä", "jos", "voi", "vain"],
+    "fr": ["le", "la", "les", "de", "des", "du", "et", "un", "une",
+           "dans", "est", "pour", "que", "qui", "sur", "pas", "au",
+           "avec", "son", "par", "plus", "mais"],
+    "hr": ["i", "u", "je", "se", "na", "da", "su", "za", "od", "s",
+           "a", "kao", "ali", "ili", "bi", "što", "koji", "nije",
+           "do", "će", "o", "iz"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "van", "de",
+           "ha", "meg", "mint", "már", "csak", "el", "volt", "ez",
+           "azt", "még", "vagy", "mert", "ki"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+           "ini", "dari", "dalam", "akan", "pada", "juga", "saya",
+           "ke", "karena", "ada", "mereka", "sudah", "atau", "bisa",
+           "kita"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "in",
+           "sono", "con", "non", "le", "si", "da", "come", "anche",
+           "lo", "ma", "dei", "del", "più"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op",
+           "te", "zijn", "met", "voor", "niet", "aan", "er", "om",
+           "ook", "als", "maar", "bij", "naar"],
+    "no": ["og", "i", "det", "at", "en", "et", "den", "til", "er",
+           "som", "på", "de", "med", "han", "av", "ikke", "der",
+           "så", "var", "meg", "seg", "men"],
+    "pl": ["i", "w", "się", "na", "nie", "z", "do", "to", "że", "a",
+           "jest", "jak", "po", "co", "tak", "za", "od", "ale",
+           "czy", "przez", "być", "ich"],
+    "pt": ["o", "a", "os", "as", "de", "que", "e", "do", "da", "em",
+           "um", "uma", "para", "com", "não", "por", "se", "na",
+           "no", "mais", "dos", "como"],
+    "ro": ["și", "de", "la", "a", "în", "o", "pe", "un", "cu", "ce",
+           "nu", "este", "din", "mai", "care", "să", "se", "pentru",
+           "sunt", "lui", "dar", "sau"],
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "с", "как",
+           "это", "по", "но", "из", "у", "за", "то", "все", "она",
+           "так", "его", "к", "же"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av",
+           "för", "med", "den", "till", "inte", "om", "ett", "han",
+           "var", "jag", "sig", "från", "vi", "har"],
+    "sw": ["na", "ya", "wa", "kwa", "ni", "za", "katika", "la",
+           "kuwa", "kama", "hii", "yake", "cha", "hiyo", "lakini",
+           "watu", "pia", "hata", "wake", "sana", "sasa", "tu"],
+    "tr": ["ve", "bir", "bu", "da", "de", "için", "ile", "mi", "ne",
+           "o", "ama", "gibi", "çok", "daha", "en", "ben", "sen",
+           "var", "yok", "ki", "her", "kadar"],
+    "tl": ["ang", "ng", "sa", "na", "ay", "mga", "ko", "siya",
+           "ito", "para", "hindi", "niya", "ako", "kung", "may",
+           "pero", "kay", "ka", "naman", "lang", "po", "at"],
+    "vi": ["và", "của", "là", "có", "không", "được", "trong", "đã",
+           "người", "những", "một", "cho", "với", "các", "này",
+           "khi", "đến", "để", "tôi", "như", "về", "cũng"],
 }
 
 
@@ -112,24 +185,43 @@ def _count_word_sql(col: str, word: str, dialect: str = "spark") -> str:
 
 
 def lang_scores_sql(col: str, dialect: str = "spark") -> dict[str, str]:
-    """Per-language stopword-hit counts (n-gram-heuristic lang-ID)."""
-    return {
-        lang: "(" + " + ".join(_count_word_sql(col, w, dialect)
-                               for w in words) + ")"
-        for lang, words in STOPWORDS.items()
-    }
+    """Per-language stopword-occurrence counts: tokens of the
+    normalized text matched exactly against each language's list
+    (one filter-lambda pass per language, integer counts — exact
+    cross-engine)."""
+    norm = norm_text_sql(col, dialect)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        lits = ", ".join(f"'{w}'" for w in words)
+        if dialect == "spark":
+            out[lang] = (f"size(filter(split({norm}, ' '), "
+                         f"t -> array_contains(array({lits}), t)))")
+        else:
+            out[lang] = (f"len(list_filter(regexp_split_to_array("
+                         f"{norm}, ' '), "
+                         f"t -> list_contains([{lits}], t)))")
+    return out
 
 
 def lang_id_sql(col: str, dialect: str = "spark") -> str:
-    """Predicted language: argmax of stopword hits, ties -> lang name
-    order, zero hits -> 'und'. Same semantics in both dialects."""
+    """Predicted language: argmax of stopword hits over the 23-lang
+    vocabulary, ties -> first language in sorted name order (both
+    engines' array_position/list_position return the FIRST max), zero
+    hits -> 'und'. The scores build ONE array — each per-language
+    count appears once, keeping the expression linear in vocabulary
+    size instead of the quadratic GREATEST-per-branch CASE chain."""
     scores = lang_scores_sql(col, dialect)
     langs = sorted(scores)  # deterministic tie order
-    greatest = "GREATEST(" + ", ".join(scores[l] for l in langs) + ")"
-    exprs = " ".join(
-        f"WHEN {scores[l]} = {greatest} AND {scores[l]} > 0 THEN '{l}'"
-        for l in langs)
-    return f"(CASE {exprs} ELSE 'und' END)"
+    arr = ", ".join(scores[lg] for lg in langs)
+    names = ", ".join(f"'{lg}'" for lg in langs)
+    if dialect == "spark":
+        s = f"array({arr})"
+        return (f"(CASE WHEN array_max({s}) <= 0 THEN 'und' "
+                f"ELSE element_at(array({names}), CAST("
+                f"array_position({s}, array_max({s})) AS INT)) END)")
+    s = f"[{arr}]"
+    return (f"(CASE WHEN list_max({s}) <= 0 THEN 'und' "
+            f"ELSE [{names}][list_position({s}, list_max({s}))] END)")
 
 
 def quality_score_sql(col: str, dialect: str = "spark") -> str:

@@ -46,6 +46,49 @@ def test_token_count_cross_engine(docs, duck):
     assert all(v > 0 for v in got.values())
 
 
+def test_lang_id_broad_vocabulary(spark):
+    """r2 verdict item 6: 23-language vocabulary. Languages the old
+    4-language (en/fr/de/es) version could only MISclassify — it, pt,
+    nl, ru, sv, id, pl — now come out right, cross-engine identical;
+    signal-free text stays 'und'."""
+    samples = [
+        (1, "en", "the cat sat on the mat and looked at the dog that "
+                  "was by the door"),
+        (2, "it", "il gatto che dorme sono una cosa bella anche per "
+                  "chi non ama gli animali"),
+        (3, "pt", "o gato e o cão estão na casa com os meninos para "
+                  "brincar não é"),
+        (4, "nl", "de kat zit op het dak van een huis en hij wil er "
+                  "niet af komen"),
+        (5, "ru", "я не знаю что он думает но это все как в тумане у "
+                  "него"),
+        (6, "sv", "det är en katt som sitter på taket och den vill "
+                  "inte komma ner"),
+        (7, "id", "kucing itu ada di dalam rumah dengan anak anak "
+                  "untuk bermain yang seru"),
+        (8, "pl", "nie wiem co on robi ale to jest tak jak za każdym "
+                  "razem i już"),
+        (9, "und", "zzz qqq xxx 12345"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, _, t in samples],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.lp for r in df.selectExpr(
+        "doc_id", text.lang_id_sql("text", "spark") + " AS lp").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, _, t in samples])
+    want = dict(con.execute(
+        f"SELECT doc_id, {text.lang_id_sql('text', 'duckdb')} "
+        f"FROM t").fetchall())
+    for i, exp, _ in samples:
+        assert got[i] == exp, (i, got[i], exp)
+        assert want[i] == exp, (i, want[i], exp)
+    # the corrected labels are ones the 4-lang version couldn't emit
+    assert {exp for _, exp, _ in samples[1:8]} \
+        .isdisjoint({"en", "fr", "de", "es"})
+
+
 def test_lang_id_and_quality_cross_engine(docs, duck):
     got = {r.doc_id: (r.lang_pred, r.q) for r in docs.selectExpr(
         "doc_id",
