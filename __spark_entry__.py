@@ -266,6 +266,134 @@ def q_spatial_join_polygon(spark, sf_dir):
             .select("url", "zone_id"))
 
 
+# Building half-extent in degrees: chosen so building edges land on a
+# 1e-5 lattice digit in {9, 1} (x) / {3, 7} (y) while zone vertices end
+# at 1e-5 digit 0 — no coordinate coincidence, so every edge-cross /
+# vertex-in test is strict-sign-decidable identically in both engines.
+_BLD_W = 2.1e-4
+_BLD_H = 1.7e-4
+
+
+def _buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic building polygons: one axis-aligned quad per derived
+    page point (the probe side of the polygon x polygon overlay)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkspatial import geom as _g
+
+    pts = _points(spark, sf_dir).select("url", "lat", "lon")
+
+    def _mk(it):
+        for pdf in it:
+            wkbs = []
+            for lat, lon in zip(pdf["lat"].to_numpy(),
+                                pdf["lon"].to_numpy()):
+                ring = np.array(
+                    [[lon - _BLD_W, lat - _BLD_H],
+                     [lon + _BLD_W, lat - _BLD_H],
+                     [lon + _BLD_W, lat + _BLD_H],
+                     [lon - _BLD_W, lat + _BLD_H],
+                     [lon - _BLD_W, lat - _BLD_H]], dtype=np.float64)
+                wkbs.append(_g.wkb_dumps(("Polygon", [ring])))
+            yield pd.DataFrame({"url": pdf["url"],
+                                "the_geom_wkb": wkbs})
+
+    return pts.mapInPandas(_mk, "url string, the_geom_wkb binary")
+
+
+def q_building_overlay_polygon(spark, sf_dir):
+    """Polygon x polygon overlay (r2 verdict item 2, Data.groovy:177
+    generalized to non-rectangular zones): building quads derived from
+    the page points joined to ORACLE_POLY_ZONES by exact even-odd
+    ST_INTERSECTS (join.spatial_join_polygons: same-res double cover,
+    cell equi-join, reference-cell dedup, vertex/edge refine). DuckDB
+    twin: segment/raycast theta-join over the identical edge sets."""
+    b = _buildings(spark, sf_dir)
+    zdf = _poly_zones_df(spark)
+    return (join.spatial_join_polygons(b, zdf, probe_id="url",
+                                       broadcast=True)
+            .select("url", "zone_id").orderBy("url", "zone_id"))
+
+
+def _duck_poly_vertices_cte() -> str:
+    """Vertex VALUES table of every ring of ORACLE_POLY_ZONES (the
+    zone side of the vertex-in-building leg)."""
+    vals, seen = [], set()
+    for zid, polys in ORACLE_POLY_ZONES:
+        for rings in polys:
+            for ring in rings:
+                for x, y in ring:
+                    if (zid, x, y) not in seen:
+                        seen.add((zid, x, y))
+                        vals.append(
+                            f"('{zid}', {float(x)!r}e0, {float(y)!r}e0)")
+    return ("zvert(zone_id, vx, vy) AS "
+            f"(SELECT * FROM (VALUES {', '.join(vals)}))")
+
+
+def _building_overlay_oracle_sql() -> str:
+    """ST_INTERSECTS(building, zone) in raw SQL: three legs — building
+    vertex in zone (raycast parity), zone vertex in building (raycast
+    parity over the 4 building edges — same half-open expression the
+    engine's numpy evaluates), strict edge crossing (orientation sign
+    test, operand order matching geom.segments_cross_any)."""
+    return f"""
+        WITH {_duck_points_cte()},
+        b AS (SELECT url,
+                lon - 2.1e-4 AS bxmin, lon + 2.1e-4 AS bxmax,
+                lat - 1.7e-4 AS bymin, lat + 1.7e-4 AS bymax
+              FROM pts),
+        bedges AS (
+          SELECT url, bxmin AS x0, bymin AS y0, bxmax AS x1, bymin AS y1
+          FROM b
+          UNION ALL SELECT url, bxmax, bymin, bxmax, bymax FROM b
+          UNION ALL SELECT url, bxmax, bymax, bxmin, bymax FROM b
+          UNION ALL SELECT url, bxmin, bymax, bxmin, bymin FROM b),
+        bvert AS (
+          SELECT url, bxmin AS vx, bymin AS vy FROM b
+          UNION ALL SELECT url, bxmax, bymin FROM b
+          UNION ALL SELECT url, bxmax, bymax FROM b
+          UNION ALL SELECT url, bxmin, bymax FROM b),
+        {_duck_poly_edges_cte()},
+        {_duck_poly_vertices_cte()},
+        leg1 AS (
+          SELECT DISTINCT url, zone_id FROM (
+            SELECT v.url, e.zone_id, v.vx, v.vy
+            FROM bvert v JOIN edges e
+              ON ((e.y0 > v.vy) != (e.y1 > v.vy))
+             AND v.vx < e.x0 + (v.vy - e.y0) / (e.y1 - e.y0)
+                        * (e.x1 - e.x0)
+            GROUP BY v.url, e.zone_id, v.vx, v.vy
+            HAVING COUNT(*) % 2 = 1)),
+        leg2 AS (
+          SELECT DISTINCT url, zone_id FROM (
+            SELECT be.url, z.zone_id, z.vx, z.vy
+            FROM zvert z JOIN bedges be
+              ON ((be.y0 > z.vy) != (be.y1 > z.vy))
+             AND z.vx < be.x0 + (z.vy - be.y0) / (be.y1 - be.y0)
+                        * (be.x1 - be.x0)
+            GROUP BY be.url, z.zone_id, z.vx, z.vy
+            HAVING COUNT(*) % 2 = 1)),
+        leg3 AS (
+          SELECT DISTINCT be.url, e.zone_id
+          FROM bedges be JOIN edges e
+            ON (((be.x1 - be.x0) * (e.y0 - be.y0)
+                 - (be.y1 - be.y0) * (e.x0 - be.x0) > 0)
+                != ((be.x1 - be.x0) * (e.y1 - be.y0)
+                    - (be.y1 - be.y0) * (e.x1 - be.x0) > 0))
+           AND (((e.x1 - e.x0) * (be.y0 - e.y0)
+                 - (e.y1 - e.y0) * (be.x0 - e.x0) > 0)
+                != ((e.x1 - e.x0) * (be.y1 - e.y0)
+                    - (e.y1 - e.y0) * (be.x1 - e.x0) > 0)))
+        SELECT url, zone_id FROM (
+          SELECT * FROM leg1
+          UNION SELECT * FROM leg2
+          UNION SELECT * FROM leg3)
+        ORDER BY url, zone_id
+    """
+
+
 def q_spatial_join_polygon_counts(spark, sf_dir):
     """J5 polygon zones, per-zone counts (grid-indicator shape)."""
     pts = _points(spark, sf_dir)
@@ -1524,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_shuffle_salted": q_spatial_join_shuffle_salted,
         "spatial_join_polygon": q_spatial_join_polygon,
         "spatial_join_polygon_counts": q_spatial_join_polygon_counts,
+        "building_overlay_polygon": q_building_overlay_polygon,
         "spatial_antijoin": q_spatial_antijoin,
         "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
@@ -1666,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {pts}, {_duck_poly_edges_cte()}
             {_DUCK_RAYCAST_PAIRS}
         """,
+        "building_overlay_polygon": _building_overlay_oracle_sql(),
         "spatial_join_polygon_counts": f"""
             WITH {pts}, {_duck_poly_edges_cte()},
             pairs AS ({_DUCK_RAYCAST_PAIRS}),

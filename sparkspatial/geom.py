@@ -363,6 +363,73 @@ def geom_intersects_box(geom, minx, miny, maxx, maxy) -> bool:
     return any(geom_intersects_box(sub, minx, miny, maxx, maxy) for sub in body)
 
 
+def geom_edges_arr(g) -> np.ndarray:
+    """(n, 4) float64 (x0, y0, x1, y1) edge array over ALL rings
+    (shells and holes, every sub-polygon) of a (Multi)Polygon."""
+    segs = []
+    for r in _poly_rings(g):
+        if len(r) >= 2:
+            segs.append(np.hstack([r[:-1], r[1:]]))
+    return (np.concatenate(segs) if segs
+            else np.empty((0, 4), dtype=np.float64))
+
+
+def segments_cross_any(ea: np.ndarray, eb: np.ndarray) -> bool:
+    """Any strict proper crossing between two edge sets (vectorized
+    all-pairs orientation sign test).
+
+    The four orientation expressions are written in EXACTLY the shape
+    the DuckDB oracle twin uses — (x1-x0)*(qy-y0) - (y1-y0)*(qx-x0),
+    same operand order — so both engines evaluate identical IEEE
+    arithmetic. Touch-only contacts (an endpoint exactly on the other
+    segment, collinear overlap) do NOT register here; for
+    generic-position inputs (the engine's lattice contract) such
+    contacts do not occur, and :func:`polygons_intersect` 's
+    vertex-containment legs decide every non-degenerate overlap.
+    """
+    if len(ea) == 0 or len(eb) == 0:
+        return False
+    x1 = ea[:, 0][:, None]
+    y1 = ea[:, 1][:, None]
+    x2 = ea[:, 2][:, None]
+    y2 = ea[:, 3][:, None]
+    x3 = eb[:, 0][None, :]
+    y3 = eb[:, 1][None, :]
+    x4 = eb[:, 2][None, :]
+    y4 = eb[:, 3][None, :]
+    d1 = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+    d2 = (x2 - x1) * (y4 - y1) - (y2 - y1) * (x4 - x1)
+    d3 = (x4 - x3) * (y1 - y3) - (y4 - y3) * (x1 - x3)
+    d4 = (x4 - x3) * (y2 - y3) - (y4 - y3) * (x2 - x3)
+    return bool((((d1 > 0) != (d2 > 0))
+                 & ((d3 > 0) != (d4 > 0))).any())
+
+
+def polygons_intersect(ga, gb) -> bool:
+    """Even-odd ST_INTERSECTS for two (Multi)Polygons (the polygonal
+    generalization of Data.groovy:177's a && b AND ST_INTERSECTS):
+    true iff any vertex of one lies inside the filled region of the
+    other (even-odd, holes excluded), or any edge strictly crosses an
+    edge of the other.
+
+    Complete under even-odd semantics: if no edges cross, each
+    polygon's boundary lies entirely within one face of the other's
+    arrangement, so vertex membership decides containment either way
+    (including hole/island nesting — a polygon sitting inside the
+    other's HOLE correctly reports false). Vertex-on-edge and
+    collinear-touch configurations resolve by the same deterministic
+    strict comparisons in both engines (lattice inputs avoid them).
+    """
+    ra, rb = _poly_rings(ga), _poly_rings(gb)
+    for r in ra:
+        if len(r) > 1 and points_in_geom(r[:-1, 0], r[:-1, 1], gb).any():
+            return True
+    for r in rb:
+        if len(r) > 1 and points_in_geom(r[:-1, 0], r[:-1, 1], ga).any():
+            return True
+    return segments_cross_any(geom_edges_arr(ga), geom_edges_arr(gb))
+
+
 # ---------------------------------------------------------------- clipping
 
 def clip_polyline_box(arr: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:

@@ -430,6 +430,107 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
     raise ValueError(f"unsupported how={how!r}")
 
 
+def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
+                          probe_id: str = "probe_id",
+                          probe_wkb: str = "the_geom_wkb",
+                          poly_id: str = "zone_id",
+                          wkb_col: str = "the_geom_wkb",
+                          res: int = DEFAULT_RES,
+                          max_cells_per_poly: int = MAX_CELLS_PER_POLY,
+                          broadcast: bool | None = None,
+                          how: str = "inner") -> DataFrame:
+    """Polygon x polygon ST_INTERSECTS join (r2 verdict item 2).
+
+    The reference joins building POLYGONS against the zone geometry
+    (`ST_INTERSECTS(make_valid(a), b)`, Data.groovy:177); the engine's
+    `spatial_join` handles only a point probe side. Plan here:
+
+    1. One stats pass picks the zone resolution r (same rule as the
+       point join); the zone cover explodes at r.
+    2. The PROBE side covers its bboxes at EXACTLY r (never coarsens —
+       same-resolution cells are the equi-join key). Probes are the
+       small geometries (buildings/parcels), so their cover is a few
+       cells each.
+    3. Cell equi-join (broadcast when the zone cover is small), then a
+       JVM bbox-overlap prefilter.
+    4. Pair dedup WITHOUT a shuffle by the reference-cell rule: a
+       candidate pair reports only in the cell containing its
+       bbox-overlap min corner (GREATEST of the two min corners, which
+       lies in both covers) — pure codegen arithmetic, the standard
+       duplicate-avoidance trick of grid spatial joins.
+    5. Exact refine in one Arrow stage: geom.polygons_intersect
+       (vertex-in-other either way + strict edge crossing), geometries
+       decoded once per (id, batch).
+
+    Returns (probe_id, poly_id) pairs for how='inner'; 'left_semi' /
+    'left_anti' reduce against the probe table.
+
+    At scale: one exchange (the cell join) when the zone cover
+    broadcasts; the refine is map-side on the join output. Probe-side
+    cover replication is bounded by the probe bbox size at r.
+    """
+    r, n_cover = cover_stats(zones, poly_id, wkb_col, res,
+                             max_cells_per_poly)
+    zcover = cover_polygons(zones, poly_id=poly_id, wkb_col=wkb_col,
+                            res=r, max_cells_per_poly=max_cells_per_poly)
+    if broadcast is None:
+        broadcast = n_cover <= BROADCAST_MAX_COVER_ROWS
+    # probe side at the same resolution, never coarsened (2**60 cap):
+    # the equi-join key must agree with the zone side
+    pcover = cover_polygons(probes, poly_id=probe_id, wkb_col=probe_wkb,
+                            res=r, max_cells_per_poly=1 << 60)
+    pcover = pcover.select(
+        F.col(probe_id), F.col("the_geom_wkb").alias("_pwkb"), "cell",
+        F.col("minx").alias("pminx"), F.col("miny").alias("pminy"),
+        F.col("maxx").alias("pmaxx"), F.col("maxy").alias("pmaxy"))
+
+    right = F.broadcast(zcover) if broadcast else zcover
+    coarse = pcover.join(right, on="cell", how="inner")
+    coarse = coarse.where(
+        (F.col("pminx") <= F.col("maxx")) & (F.col("pmaxx") >= F.col("minx"))
+        & (F.col("pminy") <= F.col("maxy"))
+        & (F.col("pmaxy") >= F.col("miny")))
+    ref_cell = cells.cell_sql("GREATEST(pminy, miny)",
+                              "GREATEST(pminx, minx)", r)
+    coarse = coarse.where(F.col("cell") == F.expr(ref_cell))
+
+    out_schema = f"{probe_id} string, {poly_id} string"
+
+    def _ref(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+
+        def decoded(key, wkb):
+            g = cache.get(key)
+            if g is None:
+                g = geom.wkb_loads(bytes(wkb))
+                cache[key] = g
+            return g
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[[probe_id, poly_id]]
+                continue
+            pdf = pdf.reset_index(drop=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            pids = pdf[probe_id].values
+            zids = pdf[poly_id].values
+            pws = pdf["_pwkb"].values
+            zws = pdf["the_geom_wkb"].values
+            for k in range(len(pdf)):
+                gp = decoded(("p", pids[k]), pws[k])
+                gz = decoded(("z", zids[k]), zws[k])
+                keep[k] = geom.polygons_intersect(gp, gz)
+            yield pdf[[probe_id, poly_id]][keep]
+
+    matched = coarse.mapInPandas(_ref, schema=out_schema)
+    if how == "inner":
+        return matched
+    if how in ("left_semi", "left_anti"):
+        ids = matched.select(probe_id).distinct()
+        return probes.join(ids, on=probe_id, how=how)
+    raise ValueError(f"unsupported how={how!r}")
+
+
 def spatial_join_bbox_sql(points_sql: str, zones_values_sql: str,
                           lat_expr: str, lon_expr: str) -> str:
     """Helper for oracle parity: ANSI-SQL equivalent of a rect-zone

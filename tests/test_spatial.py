@@ -145,6 +145,101 @@ def test_spatial_join_hole_semantics(spark):
     assert {"zov_a", "zov_b"} <= got2
 
 
+def _rect_poly(x0, y0, x1, y1):
+    return ("Polygon", [np.array([[x0, y0], [x1, y0], [x1, y1],
+                                  [x0, y1], [x0, y0]], dtype=np.float64)])
+
+
+def test_polygons_intersect_cases():
+    """Unit semantics of the polygon x polygon predicate: disjoint,
+    containment both ways, edge-cross overlap, polygon-in-hole (no
+    intersect under even-odd), island-in-hole nesting."""
+    a = _rect_poly(0, 0, 10, 10)
+    assert not geom.polygons_intersect(a, _rect_poly(20, 20, 30, 30))
+    assert geom.polygons_intersect(a, _rect_poly(2, 2, 3, 3))   # B in A
+    assert geom.polygons_intersect(_rect_poly(2, 2, 3, 3), a)   # A in B
+    assert geom.polygons_intersect(a, _rect_poly(5, 5, 15, 15))  # cross
+    holed = ("Polygon", [
+        np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                 dtype=np.float64),
+        np.array([[2, 2], [8, 2], [8, 8], [2, 8], [2, 2]],
+                 dtype=np.float64)])
+    assert not geom.polygons_intersect(holed, _rect_poly(4, 4, 6, 6))
+    assert geom.polygons_intersect(holed, _rect_poly(1, 1, 1.5, 1.5))
+    assert geom.polygons_intersect(holed, _rect_poly(4, 4, 9, 9))
+    multi = ("MultiPolygon", [_rect_poly(0, 0, 1, 1),
+                              _rect_poly(5, 5, 6, 6)])
+    assert geom.polygons_intersect(multi, _rect_poly(5.2, 5.2, 5.8, 5.8))
+    assert not geom.polygons_intersect(multi, _rect_poly(2, 2, 4, 4))
+    # island-in-hole: the island is part of the multipolygon, so a quad
+    # inside the hole that covers the island DOES intersect
+    island = ("MultiPolygon", [("Polygon", holed[1]),
+                               _rect_poly(4, 4, 6, 6)])
+    assert geom.polygons_intersect(island, _rect_poly(3.5, 3.5, 6.5, 6.5))
+    assert not geom.polygons_intersect(island, _rect_poly(2.4, 2.4,
+                                                          3.6, 3.6))
+
+
+def test_spatial_join_polygons_matches_bruteforce(spark):
+    """spatial_join_polygons (same-res double cover + reference-cell
+    dedup + exact refine) == all-pairs geom.polygons_intersect brute
+    force, on a probe/zone set with containment, crossing, holes and
+    multipolygons; broadcast and shuffle plans produce the same set."""
+    rng = np.random.RandomState(7)
+    probes = []
+    for i in range(120):
+        cx = float(rng.uniform(-20, 20))
+        cy = float(rng.uniform(-20, 20))
+        w = float(rng.uniform(0.05, 3.0))
+        h = float(rng.uniform(0.05, 3.0))
+        probes.append((f"p{i:03d}", _rect_poly(cx - w, cy - h,
+                                               cx + w, cy + h)))
+    zs = [
+        ("z_rect", _rect_poly(-5, -5, 5, 5)),
+        ("z_hole", ("Polygon", [
+            np.array([[-18, -18], [-6, -18], [-6, -6], [-18, -6],
+                      [-18, -18]], dtype=np.float64),
+            np.array([[-15, -15], [-9, -15], [-9, -9], [-15, -9],
+                      [-15, -15]], dtype=np.float64)])),
+        ("z_multi", ("MultiPolygon", [_rect_poly(8, 8, 18, 18),
+                                      _rect_poly(8, -18, 18, -8)])),
+        ("z_pent", ("Polygon", [np.array(
+            [[-2, 6], [4, 8], [6, 14], [0, 18], [-6, 12], [-2, 6]],
+            dtype=np.float64)])),
+    ]
+    pdf_rows = [(pid, geom.wkb_dumps(g)) for pid, g in probes]
+    zdf_rows = [(zid, geom.wkb_dumps(g)) for zid, g in zs]
+    probes_df = spark.createDataFrame(
+        [(p, bytearray(w)) for p, w in pdf_rows],
+        "probe_id string, the_geom_wkb binary")
+    zones_df = spark.createDataFrame(
+        [(z, bytearray(w)) for z, w in zdf_rows],
+        "zone_id string, the_geom_wkb binary")
+
+    want = {(pid, zid) for pid, gp in probes for zid, gz in zs
+            if geom.polygons_intersect(gp, gz)}
+    assert len(want) > 30  # the fixture actually exercises the join
+
+    got_b = {(r.probe_id, r.zone_id)
+             for r in join.spatial_join_polygons(
+                 probes_df, zones_df, broadcast=True).collect()}
+    got_s = {(r.probe_id, r.zone_id)
+             for r in join.spatial_join_polygons(
+                 probes_df.repartition(7), zones_df,
+                 broadcast=False).collect()}
+    assert got_b == want
+    assert got_s == want
+    # reduction modes against the probe table
+    semi = join.spatial_join_polygons(probes_df, zones_df,
+                                      how="left_semi")
+    anti = join.spatial_join_polygons(probes_df, zones_df,
+                                      how="left_anti")
+    matched_ids = {p for p, _ in want}
+    assert {r.probe_id for r in semi.collect()} == matched_ids
+    assert {r.probe_id for r in anti.collect()} == \
+        {p for p, _ in pdf_rows} - matched_ids
+
+
 def test_jvm_refine_equals_python_refine(spark, points_df):
     """The codegen'd even-odd fold must match the numpy kernel on
     polygons with holes and overlaps (default zones set has both)."""
