@@ -528,6 +528,182 @@ def clip_polygon_box(rings: Sequence[np.ndarray],
     return out_rings
 
 
+def line_intersects_polygon(arr: np.ndarray, g) -> bool:
+    """Polyline vs (Multi)Polygon ST_INTERSECTS under even-odd: any
+    vertex inside the filled region, or any segment strictly crossing
+    a polygon edge (generic-position contract as elsewhere)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if len(a) == 0:
+        return False
+    if points_in_geom(a[:, 0], a[:, 1], g).any():
+        return True
+    if len(a) < 2:
+        return False
+    line_edges = np.hstack([a[:-1], a[1:]])
+    return segments_cross_any(line_edges, geom_edges_arr(g))
+
+
+def clip_polyline_polygon(arr: np.ndarray, g) -> list[np.ndarray]:
+    """Clip a polyline to the filled region of a (Multi)Polygon —
+    even-odd, holes subtracted: ST_INTERSECTION(line, polygon)
+    generalizing :func:`clip_polyline_box` beyond envelopes (r2
+    verdict item 4, Data.groovy:278 generalized).
+
+    Per segment: parametric crossings with every polygon edge split
+    the segment; sub-segments keep iff their midpoint raycasts inside
+    (the per-segment brute-force definition — the pytest twin applies
+    it directly). Contiguous kept pieces re-stitch across segment
+    boundaries like the box clip.
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    if len(a) < 2:
+        return []
+    E = geom_edges_arr(g)
+    pieces: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+
+    def flush():
+        nonlocal cur
+        if len(cur) >= 2:
+            pieces.append(np.array(cur))
+        cur = []
+
+    for i in range(len(a) - 1):
+        p, q = a[i], a[i + 1]
+        ts = [0.0, 1.0]
+        if len(E):
+            rx, ry = q[0] - p[0], q[1] - p[1]
+            sx = E[:, 2] - E[:, 0]
+            sy = E[:, 3] - E[:, 1]
+            denom = rx * sy - ry * sx
+            qpx = E[:, 0] - p[0]
+            qpy = E[:, 1] - p[1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(denom != 0, (qpx * sy - qpy * sx) / denom,
+                             np.nan)
+                u = np.where(denom != 0, (qpx * ry - qpy * rx) / denom,
+                             np.nan)
+            m = (denom != 0) & (t > 0) & (t < 1) & (u >= 0) & (u <= 1)
+            ts.extend(float(x) for x in t[m])
+        ts = sorted(set(ts))
+        mids = np.array([(ts[k] + ts[k + 1]) / 2.0
+                         for k in range(len(ts) - 1)])
+        mx = p[0] + mids * (q[0] - p[0])
+        my = p[1] + mids * (q[1] - p[1])
+        inside = points_in_geom(mx, my, g)
+        for k in range(len(ts) - 1):
+            if not inside[k]:
+                flush()
+                continue
+            s = p + ts[k] * (q - p)
+            e = p + ts[k + 1] * (q - p)
+            if cur and np.allclose(cur[-1], s):
+                cur.append(e)
+            else:
+                flush()
+                cur = [s, e]
+    flush()
+    return pieces
+
+
+def _face_left_point(w: np.ndarray) -> tuple[float, float]:
+    """A point just inside the face a walk bounds: offset from the
+    midpoint of the walk's LONGEST edge toward the face side (walks
+    trace with the face on the left). The offset (1e-9 relative to
+    coordinate magnitude) is far below any face width the engine's
+    lattice inputs produce, and far above raycast float noise."""
+    seg = np.diff(w, axis=0)
+    ln = np.hypot(seg[:, 0], seg[:, 1])
+    i = int(np.argmax(ln))
+    u, v = w[i], w[i + 1]
+    d = (v - u) / ln[i]
+    m = (u + v) / 2.0
+    eps = 1e-9 * (1.0 + float(np.abs(w).max()))
+    return (float(m[0] - d[1] * eps), float(m[1] + d[0] * eps))
+
+
+def clip_polygon_polygon(ga, gb):
+    """Even-odd polygon intersection — ST_INTERSECTION for polygonal
+    inputs (r2 verdict item 4) on the make_valid noding substrate.
+
+    Boundary of A∩B = (sub-edges of ∂A strictly inside B) ∪ (sub-edges
+    of ∂B strictly inside A): each side's edges split at their exact
+    Fraction crossings with the other side (_seg_events_pair), keep by
+    midpoint parity against the OTHER polygon. The kept arrangement
+    decomposes into boundary walks (_face_walks, face-on-the-LEFT
+    orientation); a walk survives iff a point just left of its longest
+    edge lies inside BOTH inputs (the face it bounds IS intersection
+    area) — CCW survivors are shells, CW survivors are hole
+    boundaries, assigned to the smallest shell containing their face
+    point. Unlike make_valid's ring-midline interior point, the
+    face-left probe stays correct under nesting (a shell ring whose
+    midline lands in a hole would otherwise misclassify).
+
+    Returns a (Multi)Polygon, or ("MultiPolygon", []) for disjoint
+    interiors. Inputs should be valid (run make_valid first);
+    collinear shared-boundary overlaps are outside the
+    generic-position contract.
+    """
+    ra, rb = _poly_rings(ga), _poly_rings(gb)
+    ea, eb = _all_edges(ra), _all_edges(rb)
+
+    kept = set()
+    for own, other_edges, other_geom in ((ea, eb, gb), (eb, ea, ga)):
+        for p, q in own:
+            evs = []
+            for o in other_edges:
+                ev, _ = _seg_events_pair(p, q, *o)
+                evs.extend(ev)
+            pts = [p] + [pt for _, pt in sorted(set(evs))] + [q]
+            fpts = [(float(x), float(y)) for x, y in pts]
+            for k in range(len(fpts) - 1):
+                s, e = fpts[k], fpts[k + 1]
+                if s == e:
+                    continue
+                mx = (s[0] + e[0]) / 2.0
+                my = (s[1] + e[1]) / 2.0
+                if bool(points_in_geom(np.array([mx]), np.array([my]),
+                                       other_geom)[0]):
+                    kept.add((s, e) if s <= e else (e, s))
+
+    if not kept:
+        return ("MultiPolygon", [])
+    walks = _face_walks(sorted(kept))
+
+    shells, holes = [], []
+    for w in walks:
+        area = ring_area(w)
+        if abs(area) < 1e-300:
+            continue
+        pt = _face_left_point(w)
+        px = np.array([pt[0]])
+        py = np.array([pt[1]])
+        inside = (bool(points_in_geom(px, py, ga)[0])
+                  and bool(points_in_geom(px, py, gb)[0]))
+        if not inside:
+            continue
+        if area > 0:
+            shells.append((abs(area), w))
+        else:
+            holes.append((pt, w))
+
+    shells.sort(key=lambda s: s[0])
+    polys = [[w] for _, w in shells]
+    for pt, w in holes:
+        px = np.array([pt[0]])
+        py = np.array([pt[1]])
+        for k, (_, shell) in enumerate(shells):
+            if bool(points_in_rings(px, py, [shell])[0]):
+                polys[k].append(w)
+                break
+    polys.sort(key=lambda rr: (float(rr[0][:, 0].min()),
+                               float(rr[0][:, 1].min()),
+                               float(ring_area(rr[0]))))
+    if len(polys) == 1:
+        return ("Polygon", polys[0])
+    return ("MultiPolygon", [("Polygon", rr) for rr in polys])
+
+
 # ---------------------------------------------------------------- validity
 
 def _poly_rings(g) -> list[np.ndarray]:

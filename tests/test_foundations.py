@@ -223,6 +223,143 @@ def test_clip_polygon():
     assert abs(abs(geom.ring_area(out[0])) - 100.0) < 1e-9
 
 
+def _holed_poly():
+    return ("Polygon", [
+        np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float),
+        np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)])
+
+
+def test_clip_polyline_polygon_handcases():
+    holed = _holed_poly()
+    # chord split by the hole -> two pieces
+    pieces = geom.clip_polyline_polygon(
+        np.array([[-5, 5], [15, 5.]]), holed)
+    assert [(p[0, 0], p[-1, 0]) for p in pieces] == [(0.0, 4.0),
+                                                     (6.0, 10.0)]
+    # fully inside / fully outside / inside the hole
+    assert len(geom.clip_polyline_polygon(
+        np.array([[1, 1], [2, 2.]]), holed)) == 1
+    assert geom.clip_polyline_polygon(
+        np.array([[20, 20], [30, 30.]]), holed) == []
+    assert geom.clip_polyline_polygon(
+        np.array([[4.5, 4.5], [5.5, 5.5]]), holed) == []
+    # multi-segment path weaving in and out re-stitches inside runs
+    path = np.array([[-2, 2], [3, 2], [3, 8], [12, 8.]])
+    pieces = geom.clip_polyline_polygon(path, holed)
+    total = sum(geom.polyline_length(p) for p in pieces)
+    # hand-computed: 3 (x 0->3 at y=2) + 6 (x=3, y 2->8) + 7 (y=8,
+    # x 3->10); the hole (4..6 square) touches none of the three runs
+    assert abs(total - (3 + 6 + 7)) < 1e-9
+
+
+def test_clip_polyline_polygon_per_segment_bruteforce():
+    """r2 verdict item 4 parity: the clip equals the per-segment
+    brute-force definition — a point of the line at distance > 1e-6
+    from the polygon boundary lies inside the polygon iff it lies ON
+    one of the clipped pieces."""
+    rng = np.random.RandomState(11)
+    zone = ("MultiPolygon", [
+        _holed_poly(),
+        ("Polygon", [np.array([[12, 2], [18, 4], [16, 9], [11, 7],
+                               [12, 2]], float)])])
+    E = geom.geom_edges_arr(zone)
+
+    def dist_to_segs(px, py, segs):
+        x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+        dx, dy = x1 - x0, y1 - y0
+        ln2 = dx * dx + dy * dy
+        t = np.clip(np.where(ln2 > 0,
+                             ((px - x0) * dx + (py - y0) * dy)
+                             / np.where(ln2 > 0, ln2, 1), 0), 0, 1)
+        qx, qy = x0 + t * dx, y0 + t * dy
+        return np.sqrt((px - qx) ** 2 + (py - qy) ** 2).min()
+
+    checked = 0
+    for _ in range(25):
+        line = rng.uniform(-2, 20, size=(rng.randint(2, 6), 2))
+        pieces = geom.clip_polyline_polygon(line, zone)
+        piece_segs = [np.hstack([p[:-1], p[1:]]) for p in pieces]
+        for i in range(len(line) - 1):
+            p, q = line[i], line[i + 1]
+            for t in rng.uniform(0, 1, 40):
+                pt = p + t * (q - p)
+                if dist_to_segs(pt[0], pt[1], E) <= 1e-6:
+                    continue  # boundary-ambiguous sample
+                inside = bool(geom.points_in_geom(
+                    np.array([pt[0]]), np.array([pt[1]]), zone)[0])
+                on_piece = any(dist_to_segs(pt[0], pt[1], s) < 1e-9
+                               for s in piece_segs)
+                assert inside == on_piece, (pt, inside, on_piece)
+                checked += 1
+    assert checked > 2000
+
+
+def test_clip_polygon_polygon_handcases():
+    def rect(x0, y0, x1, y1):
+        return ("Polygon", [np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)])
+
+    r = geom.clip_polygon_polygon(rect(0, 0, 10, 10), rect(5, 5, 15, 15))
+    assert r[0] == "Polygon" and abs(geom.ring_area(r[1][0])) == 25.0
+    assert geom.clip_polygon_polygon(rect(0, 0, 1, 1),
+                                     rect(5, 5, 6, 6)) == \
+        ("MultiPolygon", [])
+    c = geom.clip_polygon_polygon(rect(2, 2, 3, 3), rect(0, 0, 10, 10))
+    assert c[0] == "Polygon" and abs(geom.ring_area(c[1][0])) == 1.0
+    # hole survives: holed ∩ containing rect -> shell + hole
+    h = geom.clip_polygon_polygon(_holed_poly(), rect(3, 3, 7, 7))
+    assert h[0] == "Polygon" and len(h[1]) == 2
+    areas = sorted(abs(geom.ring_area(w)) for w in h[1])
+    assert areas == [4.0, 16.0]
+    # multipolygon in, multipolygon out
+    m = geom.clip_polygon_polygon(
+        ("MultiPolygon", [rect(0, 0, 2, 2), rect(8, 8, 12, 12)]),
+        rect(1, 1, 9, 9))
+    assert m[0] == "MultiPolygon" and len(m[1]) == 2
+
+
+def test_clip_polygon_polygon_membership_bruteforce():
+    """Sampled-membership parity: a point > 1e-6 from both boundaries
+    is inside clip(A, B) iff it is inside A and inside B."""
+    rng = np.random.RandomState(23)
+    a = ("Polygon", [
+        np.array([[0, 0], [14, 2], [12, 12], [2, 10], [0, 0]], float),
+        np.array([[5, 4], [8, 5], [7, 8], [4, 7], [5, 4]], float)])
+    b = ("MultiPolygon", [
+        ("Polygon", [np.array([[3, -2], [16, 3], [9, 14], [3, -2]],
+                              float)]),
+        ("Polygon", [np.array([[-3, 4], [2, 3], [3, 9], [-2, 9],
+                               [-3, 4]], float)])])
+    inter = geom.clip_polygon_polygon(a, b)
+    ea = geom.geom_edges_arr(a)
+    eb = geom.geom_edges_arr(b)
+
+    def mindist(px, py, segs):
+        x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+        dx, dy = x1 - x0, y1 - y0
+        ln2 = dx * dx + dy * dy
+        t = np.clip(((px - x0) * dx + (py - y0) * dy)
+                    / np.where(ln2 > 0, ln2, 1), 0, 1)
+        qx, qy = x0 + t * dx, y0 + t * dy
+        return np.sqrt((px - qx) ** 2 + (py - qy) ** 2).min()
+
+    checked = inside_n = 0
+    for _ in range(3000):
+        px, py = rng.uniform(-4, 17), rng.uniform(-3, 15)
+        if mindist(px, py, ea) <= 1e-6 or mindist(px, py, eb) <= 1e-6:
+            continue
+        want = (bool(geom.points_in_geom(np.array([px]), np.array([py]),
+                                         a)[0])
+                and bool(geom.points_in_geom(np.array([px]),
+                                             np.array([py]), b)[0]))
+        got = bool(geom.points_in_geom(np.array([px]), np.array([py]),
+                                       inter)[0])
+        assert got == want, (px, py, want)
+        checked += 1
+        inside_n += want
+    assert checked > 2500 and inside_n > 100
+
+
 def test_linemerge_ring():
     a = np.array([[0, 0], [1, 0]], float)
     b = np.array([[1, 0], [1, 1]], float)
