@@ -307,12 +307,21 @@ def q_building_overlay_polygon(spark, sf_dir):
     generalized to non-rectangular zones): building quads derived from
     the page points joined to ORACLE_POLY_ZONES by exact even-odd
     ST_INTERSECTS (join.spatial_join_polygons: same-res double cover,
-    cell equi-join, reference-cell dedup, vertex/edge refine). DuckDB
-    twin: segment/raycast theta-join over the identical edge sets."""
-    b = _buildings(spark, sf_dir)
+    cell equi-join, reference-cell dedup, vertex/edge refine). The
+    probe side rides the JVM fast path — bbox columns computed in
+    codegen, Catalyst sequence-explode cover, quad synthesized in the
+    single refine Arrow stage (probe_rect) — so the 10^12-row side
+    has exactly one Python stage. DuckDB twin: segment/raycast
+    theta-join over the identical edge sets; the general WKB-probe
+    path is pinned equal in tests/test_spatial.py."""
+    pts = _points(spark, sf_dir).select("url", "lat", "lon")
+    b = pts.selectExpr(
+        "url",
+        "lon - 2.1e-4 AS minx", "lon + 2.1e-4 AS maxx",
+        "lat - 1.7e-4 AS miny", "lat + 1.7e-4 AS maxy")
     zdf = _poly_zones_df(spark)
     return (join.spatial_join_polygons(b, zdf, probe_id="url",
-                                       broadcast=True)
+                                       probe_rect=True, broadcast=True)
             .select("url", "zone_id").orderBy("url", "zone_id"))
 
 

@@ -438,7 +438,9 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
                           res: int = DEFAULT_RES,
                           max_cells_per_poly: int = MAX_CELLS_PER_POLY,
                           broadcast: bool | None = None,
-                          how: str = "inner") -> DataFrame:
+                          how: str = "inner",
+                          probe_bbox_cols: tuple | None = None,
+                          probe_rect: bool = False) -> DataFrame:
     """Polygon x polygon ST_INTERSECTS join (r2 verdict item 2).
 
     The reference joins building POLYGONS against the zone geometry
@@ -465,6 +467,17 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
     Returns (probe_id, poly_id) pairs for how='inner'; 'left_semi' /
     'left_anti' reduce against the probe table.
 
+    Probe-side JVM fast path (the 10^12-row side must stay codegen):
+    when `probe_bbox_cols` names existing (minx, miny, maxx, maxy)
+    columns — the natural at-scale table layout, same as ZONE_SCHEMA —
+    the probe cover is a pure Catalyst double sequence-explode over
+    the bbox's grid range: NO Python stage before the join.
+    `probe_rect=True` additionally treats the bbox itself as the probe
+    geometry (no `probe_wkb` column needed; the refine synthesizes the
+    quad from the bbox), leaving exactly ONE Python stage in the whole
+    probe pipeline. Without bbox columns the cover decodes WKB in an
+    Arrow stage (general path).
+
     At scale: one exchange (the cell join) when the zone cover
     broadcasts; the refine is map-side on the join output. Probe-side
     cover replication is bounded by the probe bbox size at r.
@@ -475,14 +488,45 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
                             res=r, max_cells_per_poly=max_cells_per_poly)
     if broadcast is None:
         broadcast = n_cover <= BROADCAST_MAX_COVER_ROWS
-    # probe side at the same resolution, never coarsened (2**60 cap):
-    # the equi-join key must agree with the zone side
-    pcover = cover_polygons(probes, poly_id=probe_id, wkb_col=probe_wkb,
-                            res=r, max_cells_per_poly=1 << 60)
-    pcover = pcover.select(
-        F.col(probe_id), F.col("the_geom_wkb").alias("_pwkb"), "cell",
-        F.col("minx").alias("pminx"), F.col("miny").alias("pminy"),
-        F.col("maxx").alias("pmaxx"), F.col("maxy").alias("pmaxy"))
+    if probe_bbox_cols is not None or probe_rect:
+        # JVM cover: explode the bbox's grid range at the zone
+        # resolution (identical formula + clamping as covering_cells)
+        bx0, by0, bx1, by1 = probe_bbox_cols or ("minx", "miny",
+                                                 "maxx", "maxy")
+        n = 1 << r
+
+        def gidx(expr, off, span):
+            return (f"LEAST(GREATEST(CAST(FLOOR(({expr} + {off}) "
+                    f"/ {span} * {n}e0) AS BIGINT), 0), {n - 1})")
+
+        keep = [F.col(probe_id)] + \
+            ([] if probe_rect else [F.col(probe_wkb).alias("_pwkb")])
+        pcover = (probes.select(
+            *keep,
+            F.col(bx0).alias("pminx"), F.col(by0).alias("pminy"),
+            F.col(bx1).alias("pmaxx"), F.col(by1).alias("pmaxy"))
+            .withColumn("_gx", F.explode(F.expr(
+                f"sequence({gidx('pminx', '1.8e2', '3.6e2')}, "
+                f"{gidx('pmaxx', '1.8e2', '3.6e2')})")))
+            .withColumn("_gy", F.explode(F.expr(
+                f"sequence({gidx('pminy', '9e1', '1.8e2')}, "
+                f"{gidx('pmaxy', '9e1', '1.8e2')})")))
+            .withColumn("cell", F.expr(
+                f"CAST({r} AS BIGINT) * {1 << 58} "
+                f"+ _gy * {1 << 29} + _gx"))
+            .drop("_gx", "_gy"))
+    else:
+        # general path: probe cover at the same resolution, never
+        # coarsened (2**60 cap) — the equi-join key must agree with
+        # the zone side
+        pcover = cover_polygons(probes, poly_id=probe_id,
+                                wkb_col=probe_wkb,
+                                res=r, max_cells_per_poly=1 << 60)
+        pcover = pcover.select(
+            F.col(probe_id), F.col("the_geom_wkb").alias("_pwkb"),
+            "cell",
+            F.col("minx").alias("pminx"), F.col("miny").alias("pminy"),
+            F.col("maxx").alias("pmaxx"), F.col("maxy").alias("pmaxy"))
 
     right = F.broadcast(zcover) if broadcast else zcover
     coarse = pcover.join(right, on="cell", how="inner")
@@ -514,10 +558,22 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
             keep = np.zeros(len(pdf), dtype=bool)
             pids = pdf[probe_id].values
             zids = pdf[poly_id].values
-            pws = pdf["_pwkb"].values
             zws = pdf["the_geom_wkb"].values
+            if probe_rect:
+                x0 = pdf["pminx"].to_numpy(np.float64)
+                y0 = pdf["pminy"].to_numpy(np.float64)
+                x1 = pdf["pmaxx"].to_numpy(np.float64)
+                y1 = pdf["pmaxy"].to_numpy(np.float64)
+            else:
+                pws = pdf["_pwkb"].values
             for k in range(len(pdf)):
-                gp = decoded(("p", pids[k]), pws[k])
+                if probe_rect:
+                    gp = ("Polygon", [np.array(
+                        [[x0[k], y0[k]], [x1[k], y0[k]],
+                         [x1[k], y1[k]], [x0[k], y1[k]],
+                         [x0[k], y0[k]]], dtype=np.float64)])
+                else:
+                    gp = decoded(("p", pids[k]), pws[k])
                 gz = decoded(("z", zids[k]), zws[k])
                 keep[k] = geom.polygons_intersect(gp, gz)
             yield pdf[[probe_id, poly_id]][keep]

@@ -240,6 +240,33 @@ def test_spatial_join_polygons_matches_bruteforce(spark):
         {p for p, _ in pdf_rows} - matched_ids
 
 
+def test_building_overlay_rect_path_equals_wkb_path(spark, sf_dir):
+    """The driver query's JVM probe fast path (bbox codegen cover +
+    probe_rect quad synthesis, ONE Python stage on the probe side)
+    produces exactly the general WKB-probe path's pair set, and its
+    plan carries no probe-side MapInPandas before the join."""
+    import __spark_entry__ as entry
+
+    rect_q = entry.q_building_overlay_polygon(spark, sf_dir)
+    got_rect = {(r.url, r.zone_id) for r in rect_q.collect()}
+
+    b_wkb = entry._buildings(spark, sf_dir)
+    zdf = entry._poly_zones_df(spark)
+    got_wkb = {(r.url, r.zone_id)
+               for r in join.spatial_join_polygons(
+                   b_wkb, zdf, probe_id="url",
+                   broadcast=True).collect()}
+    assert got_rect == got_wkb and len(got_rect) > 0
+
+    # plan shape: 2 Python stages total (zone cover on the broadcast
+    # side + the refine); the WKB path has 3 (probe cover chained).
+    # AQE's toString prints Final AND Initial plans — count the final
+    # section only.
+    plan_rect = rect_q._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert plan_rect.count("MapInPandas") == 2, plan_rect
+
+
 def test_jvm_refine_equals_python_refine(spark, points_df):
     """The codegen'd even-odd fold must match the numpy kernel on
     polygons with holes and overlaps (default zones set has both)."""
