@@ -1169,6 +1169,15 @@ def q_repetition(spark, sf_dir):
     return text.repetition_stats(docs).orderBy("doc_id")
 
 
+def q_trigram_familiarity(spark, sf_dir):
+    """CCNet-inspired LM-quality proxy, float-free: per-doc character
+    trigram familiarity under the corpus's own MLE trigram counts
+    (text.trigram_familiarity — pure integer arithmetic, so the
+    oracle hash is exact with no float-sum-order caveats)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.trigram_familiarity(docs).orderBy("doc_id")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 1-in-5 document sample keyed on h32(doc_id) —
     reproducible across engines/partitionings (vs rand() sampling)."""
@@ -1700,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "bpe_merge_rules": q_bpe_merge_rules,
         "repetition": q_repetition,
+        "trigram_familiarity": q_trigram_familiarity,
         "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
         "top_parts": q_top_parts,
@@ -1942,6 +1952,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition": (
             text.repetition_stats_duckdb_sql()
+            + " ORDER BY doc_id"),
+        "trigram_familiarity": (
+            text.trigram_familiarity_duckdb_sql()
             + " ORDER BY doc_id"),
         "hash_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents

@@ -99,6 +99,14 @@ def write_geoparquet(df: DataFrame, path: str, *,
     return total
 
 
+def read_geoparquet(spark, path: str):
+    """Read a GeoParquet dataset back: (DataFrame, geo metadata).
+    Spark ignores the footer key, so the frame is a plain parquet
+    scan; the metadata tells the caller which column is geometry and
+    how it is encoded."""
+    return spark.read.parquet(path), read_geo_metadata(path)
+
+
 def read_geo_metadata(path: str) -> dict:
     """The ``geo`` footer document of a GeoParquet dataset (first part
     file found under `path`)."""

@@ -237,6 +237,74 @@ def quality_score_sql(col: str, dialect: str = "spark") -> str:
             f"+ CASE WHEN ({stop_en}) > 0 THEN 3e-1 ELSE 0e0 END)")
 
 
+def trigram_sql(col: str, dialect: str = "spark") -> str:
+    """Array of character trigrams of the normalized text (empty for
+    texts shorter than 3 chars). Same 1-based substring semantics in
+    both dialects."""
+    norm = norm_text_sql(col, dialect)
+    if dialect == "spark":
+        return (f"CASE WHEN length({norm}) >= 3 THEN "
+                f"transform(sequence(1, length({norm}) - 2), "
+                f"i -> substring({norm}, i, 3)) "
+                f"ELSE array() END")
+    return (f"CASE WHEN length({norm}) >= 3 THEN "
+            f"list_transform(generate_series(1, length({norm}) - 2), "
+            f"i -> substr({norm}, i, 3)) "
+            f"ELSE [] END")
+
+
+def trigram_familiarity(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        broadcast_model: bool = True) -> DataFrame:
+    """CCNet-style language-model quality proxy WITHOUT floats: score
+    each document by how familiar its character trigrams are under the
+    corpus's own MLE trigram counts (CCNet buckets by wiki-LM
+    perplexity; rare-trigram documents — mojibake, spam, binary
+    splatter — score low under either formulation).
+
+    Output (id, n_tri, fam_sum): n_tri = trigram occurrences in the
+    doc, fam_sum = sum over them of the corpus-wide count of that
+    trigram. Everything is INTEGER arithmetic — exact cross-engine
+    (no float-sum ordering, no libm log divergence); consumers derive
+    avg = fam_sum / n_tri (one exact division) or integer-bucket it.
+
+    Scale shape: one explode (codegen) consumed twice off a persisted
+    frame; the model is a bounded groupBy (distinct trigrams ~
+    charset^3, corpus-size-independent) broadcast back; one final
+    per-doc agg exchange. `broadcast_model=False` shuffles the join
+    for pathological alphabets.
+    """
+    from . import session as _session
+
+    tri = docs.selectExpr(
+        id_col, f"explode({trigram_sql(text_col, 'spark')}) AS tri") \
+        .persist()
+    _session.register_persisted(tri)
+    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("tri_n"))
+    m = F.broadcast(model) if broadcast_model else model
+    return (tri.join(m, "tri")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tri"),
+                 F.sum("tri_n").alias("fam_sum")))
+
+
+def trigram_familiarity_duckdb_sql(table: str = "documents",
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of trigram_familiarity (SUM cast back to BIGINT —
+    DuckDB widens integer SUM to HUGEINT)."""
+    return f"""
+        WITH tri AS (
+            SELECT {id_col}, unnest({trigram_sql(text_col, 'duckdb')}) AS tri
+            FROM {table}),
+        model AS (SELECT tri, COUNT(*) AS tri_n FROM tri GROUP BY tri)
+        SELECT t.{id_col}, COUNT(*) AS n_tri,
+               CAST(SUM(m.tri_n) AS BIGINT) AS fam_sum
+        FROM tri t JOIN model m USING (tri)
+        GROUP BY t.{id_col}
+    """
+
+
 # ------------------------------------------------------------------ shingles
 
 def shingles_sql(col: str, k: int, dialect: str = "spark") -> str:

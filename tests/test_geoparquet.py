@@ -44,9 +44,11 @@ def test_geoparquet_roundtrip(spark, tmp_path):
         assert g[0] in ("Polygon", "MultiPolygon")
         assert geom.wkb_dumps(g) == w
 
-    # Spark reads the dataset back unchanged (footer key is ignored)
-    back = spark.read.parquet(path)
+    # Spark reads the dataset back unchanged (footer key is ignored);
+    # the typed reader also hands back the metadata
+    back, meta2 = geoparquet.read_geoparquet(spark, path)
     assert back.count() == n and "the_geom_wkb" in back.columns
+    assert meta2 == meta
 
 
 def test_geoparquet_duckdb_spatial_decode(spark, tmp_path):

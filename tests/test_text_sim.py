@@ -169,6 +169,38 @@ def emb(spark, sf_dir):
     df.unpersist()
 
 
+def test_trigram_familiarity_bruteforce(spark):
+    """Float-free CCNet-proxy: Spark == pure-Python corpus-MLE
+    brute force, including normalization, sub-3-char docs (dropped)
+    and the rare-trigram-scores-low property."""
+    import re
+    from collections import Counter
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "The  QUICK\tbrown fox"),          # normalizes like 1's prefix
+            (3, "zqxj vzwk qqqq"),                 # rare trigrams
+            (4, "ab"),                             # < 3 chars: no output row
+            (5, "the the the the the the")]        # familiar + repetitive
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tri, r.fam_sum)
+           for r in text.trigram_familiarity(df).collect()}
+
+    def norm(t):
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip(" ")
+
+    tris = {i: [norm(t)[k:k + 3] for k in range(len(norm(t)) - 2)]
+            for i, t in rows}
+    model = Counter(x for v in tris.values() for x in v)
+    want = {i: (len(v), sum(model[x] for x in v))
+            for i, v in tris.items() if v}
+    assert got == want
+    assert 4 not in got
+    # rare-trigram doc scores lowest per-trigram familiarity
+    avg = {i: s / n for i, (n, s) in got.items()}
+    assert avg[3] == min(avg.values())
+    assert avg[5] == max(avg.values())
+
+
 def test_cosine_topk_matches_duckdb(emb, duck):
     queries = emb.where("vec_id % 100 = 0").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
