@@ -267,6 +267,38 @@ def bench_text_ops(spark, pages_path: str) -> dict:
     return out
 
 
+def bench_r3_ops(spark, sf_dir: str) -> dict:
+    """Round-3 operators timed over the sf tables (single timed rep
+    after one warmup — coarse documentation, not the primary metric):
+    polygon x polygon overlay (JVM probe fast path), distributed
+    embedding near-dup, trigram familiarity."""
+    import time as _t
+
+    import __spark_entry__ as entry
+    from sparkspatial import sim, text
+
+    def overlay():
+        return entry.q_building_overlay_polygon(spark, sf_dir).count()
+
+    def emb_pairs():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return sim.cosine_pairs_blocked(emb, 0.444).count()
+
+    def trigram():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return text.trigram_familiarity(docs).count()
+
+    out = {}
+    for name, fn in [("building_overlay_polygon", overlay),
+                     ("embedding_near_dup_blocked", emb_pairs),
+                     ("trigram_familiarity", trigram)]:
+        fn()
+        t0 = _t.monotonic()
+        fn()
+        out[name] = round(_t.monotonic() - t0, 3)
+    return out
+
+
 def main():
     os.makedirs(CACHE, exist_ok=True)
     from sparkspatial.session import get_spark
@@ -286,6 +318,7 @@ def main():
     pages_path = build_pages_cache(spark, SF_DIR)
     timings, n_pages = bench_queries(spark, SF_DIR, pages_path)
     text_timings = bench_text_ops(spark, pages_path)
+    r3_timings = bench_r3_ops(spark, SF_DIR)
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings["pipeline_extract_join_tile"]
@@ -302,6 +335,8 @@ def main():
         # 600k-page corpus (not part of `value` — the primary metric
         # stays comparable across rounds)
         "text_ops": text_timings,
+        # round-3 operators (same contract: documentation, not value)
+        "r3_ops": r3_timings,
     }
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH", "scaling.json")

@@ -173,7 +173,7 @@ def cosine_pairs_blocked(corpus: DataFrame, threshold: float, *,
            .withColumn("_pb", F.greatest("_blk", "_o"))
            .drop("_o"))
 
-    def _pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pa, pb = key
         ids = pdf[id_col].to_numpy()
         mat = np.stack([np.asarray(v, dtype=np.float64)
