@@ -357,6 +357,12 @@ def main():
                 for run in sc.get("runs", [])],
             "detail": "BENCH/scaling.json",
         }
+        if "supplementary_8_32" in sc:
+            result["scaling"]["eff_8_to_32"] = \
+                sc["supplementary_8_32"]["eff_8_to_32"]
+        if "membw" in sc:
+            result["scaling"]["memcpy_eff_8_to_32"] = \
+                sc["membw"]["memcpy_eff_8_to_32"]
     print(json.dumps(result))
 
 
