@@ -272,6 +272,12 @@ def q_spatial_join_polygon(spark, sf_dir):
 # vertex-in test is strict-sign-decidable identically in both engines.
 _BLD_W = 2.1e-4
 _BLD_H = 1.7e-4
+# e-notation SQL literals of the SAME constants (double-typed in both
+# engines; '2.1e-04' parses to the identical IEEE double as 2.1e-4) —
+# the query and its oracle interpolate these, so tuning the extents
+# can never desynchronize the three usage sites
+_BLD_W_SQL = f"{_BLD_W:.1e}"
+_BLD_H_SQL = f"{_BLD_H:.1e}"
 
 
 def _buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,8 +323,8 @@ def q_building_overlay_polygon(spark, sf_dir):
     pts = _points(spark, sf_dir).select("url", "lat", "lon")
     b = pts.selectExpr(
         "url",
-        "lon - 2.1e-4 AS minx", "lon + 2.1e-4 AS maxx",
-        "lat - 1.7e-4 AS miny", "lat + 1.7e-4 AS maxy")
+        f"lon - {_BLD_W_SQL} AS minx", f"lon + {_BLD_W_SQL} AS maxx",
+        f"lat - {_BLD_H_SQL} AS miny", f"lat + {_BLD_H_SQL} AS maxy")
     zdf = _poly_zones_df(spark)
     return (join.spatial_join_polygons(b, zdf, probe_id="url",
                                        probe_rect=True, broadcast=True)
@@ -350,8 +356,8 @@ def _building_overlay_oracle_sql() -> str:
     return f"""
         WITH {_duck_points_cte()},
         b AS (SELECT url,
-                lon - 2.1e-4 AS bxmin, lon + 2.1e-4 AS bxmax,
-                lat - 1.7e-4 AS bymin, lat + 1.7e-4 AS bymax
+                lon - {_BLD_W_SQL} AS bxmin, lon + {_BLD_W_SQL} AS bxmax,
+                lat - {_BLD_H_SQL} AS bymin, lat + {_BLD_H_SQL} AS bymax
               FROM pts),
         bedges AS (
           SELECT url, bxmin AS x0, bymin AS y0, bxmax AS x1, bymin AS y1

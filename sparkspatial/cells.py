@@ -219,17 +219,31 @@ def pick_resolution(width_deg: float, target_cell_deg: float = 0.05) -> int:
     return res
 
 
+def grid_idx_sql(coord_expr: str, res: int, axis: str) -> str:
+    """Clamped grid index of one axis at `res` — the x/y building
+    block of :func:`cell_sql`, same formula and clamps as
+    :func:`encode` / :func:`covering_cells` (e-notation literals force
+    DOUBLE arithmetic in both Spark SQL and DuckDB). Exposed so cover
+    explodes (join.spatial_join_polygons' JVM probe path) derive their
+    grid ranges from THIS module, never re-inventing the encoding."""
+    n = 1 << res
+    off, span = ("1.8e2", "3.6e2") if axis == "x" else ("9e1", "1.8e2")
+    return (f"LEAST(GREATEST(CAST(FLOOR(({coord_expr} + {off}) / {span} "
+            f"* {n}e0) AS BIGINT), 0), {n - 1})")
+
+
+def compose_cell_sql(gx_expr: str, gy_expr: str, res: int) -> str:
+    """Pack (gx, gy, res) grid coordinates into the int64 cell id —
+    the SQL twin of :func:`encode_xy` for in-range indices."""
+    return (f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} "
+            f"+ ({gy_expr}) * {1 << _Y_SHIFT} + ({gx_expr}))")
+
+
 def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
     """ANSI-SQL expression computing :func:`encode` — valid in both
     Spark SQL and DuckDB (used for driver-oracle parity checks)."""
-    # e-notation literals force DOUBLE arithmetic in both Spark SQL and
-    # DuckDB (plain decimals would be DECIMAL-typed in DuckDB)
-    n = 1 << res
-    x = (f"LEAST(GREATEST(CAST(FLOOR(({lon_expr} + 1.8e2) / 3.6e2 * {n}e0) "
-         f"AS BIGINT), 0), {n - 1})")
-    y = (f"LEAST(GREATEST(CAST(FLOOR(({lat_expr} + 9e1) / 1.8e2 * {n}e0) "
-         f"AS BIGINT), 0), {n - 1})")
-    return f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} + {y} * {1 << _Y_SHIFT} + {x})"
+    return compose_cell_sql(grid_idx_sql(lon_expr, res, "x"),
+                            grid_idx_sql(lat_expr, res, "y"), res)
 
 
 def parent_sql(cell_expr: str, child_res: int, parent_res: int,

@@ -405,12 +405,58 @@ def segments_cross_any(ea: np.ndarray, eb: np.ndarray) -> bool:
                  & ((d3 > 0) != (d4 > 0))).any())
 
 
-def polygons_intersect(ga, gb) -> bool:
+class PreparedPolygon:
+    """Precomputed state of a FIXED (Multi)Polygon for repeated tests
+    against many geometries (the zone side of layer builders and the
+    polygon-join refine): closed rings grouped per sub-polygon (so
+    membership is bit-identical to points_in_geom) plus the flat edge
+    array. Re-deriving these per probe row dominated the layer Arrow
+    stages."""
+
+    def __init__(self, g):
+        self.geom = g
+        tag, body = g
+        if tag == "Polygon":
+            subs = [body]
+        elif tag == "MultiPolygon":
+            subs = [sub[1] for sub in body]
+        else:
+            raise ValueError(f"polygonal geometry expected, got {tag}")
+        self._subs = [[ensure_closed(np.asarray(r, dtype=np.float64))
+                       for r in rings] for rings in subs]
+        segs = []
+        for rings in self._subs:
+            for r in rings:
+                if len(r) >= 2:
+                    segs.append(np.hstack([r[:-1], r[1:]]))
+        self.edges = (np.concatenate(segs) if segs
+                      else np.empty((0, 4), dtype=np.float64))
+
+    def contains_points(self, px: np.ndarray,
+                        py: np.ndarray) -> np.ndarray:
+        """Same OR-over-subs even-odd parity as points_in_geom."""
+        out = np.zeros(len(np.asarray(px)), dtype=bool)
+        for rings in self._subs:
+            out |= points_in_rings(px, py, rings)
+        return out
+
+    def ring_heads(self):
+        """The closed rings (callers slice [:-1] for the vertex set of
+        the reverse-containment leg)."""
+        for rings in self._subs:
+            for r in rings:
+                if len(r) > 1:
+                    yield r
+
+
+def polygons_intersect(ga, gb=None, *, prepared: "PreparedPolygon | None"
+                       = None) -> bool:
     """Even-odd ST_INTERSECTS for two (Multi)Polygons (the polygonal
     generalization of Data.groovy:177's a && b AND ST_INTERSECTS):
     true iff any vertex of one lies inside the filled region of the
     other (even-odd, holes excluded), or any edge strictly crosses an
-    edge of the other.
+    edge of the other. Pass `prepared=PreparedPolygon(gb)` when
+    testing MANY ga against one fixed gb.
 
     Complete under even-odd semantics: if no edges cross, each
     polygon's boundary lies entirely within one face of the other's
@@ -420,14 +466,15 @@ def polygons_intersect(ga, gb) -> bool:
     collinear-touch configurations resolve by the same deterministic
     strict comparisons in both engines (lattice inputs avoid them).
     """
-    ra, rb = _poly_rings(ga), _poly_rings(gb)
+    pb = prepared if prepared is not None else PreparedPolygon(gb)
+    ra = _poly_rings(ga)
     for r in ra:
-        if len(r) > 1 and points_in_geom(r[:-1, 0], r[:-1, 1], gb).any():
+        if len(r) > 1 and pb.contains_points(r[:-1, 0], r[:-1, 1]).any():
             return True
-    for r in rb:
-        if len(r) > 1 and points_in_geom(r[:-1, 0], r[:-1, 1], ga).any():
+    for r in pb.ring_heads():
+        if points_in_geom(r[:-1, 0], r[:-1, 1], ga).any():
             return True
-    return segments_cross_any(geom_edges_arr(ga), geom_edges_arr(gb))
+    return segments_cross_any(geom_edges_arr(ga), pb.edges)
 
 
 # ---------------------------------------------------------------- clipping
@@ -528,22 +575,26 @@ def clip_polygon_box(rings: Sequence[np.ndarray],
     return out_rings
 
 
-def line_intersects_polygon(arr: np.ndarray, g) -> bool:
+def line_intersects_polygon(arr: np.ndarray, g=None, *,
+                            prepared=None) -> bool:
     """Polyline vs (Multi)Polygon ST_INTERSECTS under even-odd: any
     vertex inside the filled region, or any segment strictly crossing
-    a polygon edge (generic-position contract as elsewhere)."""
+    a polygon edge (generic-position contract as elsewhere). Pass
+    `prepared` when testing many lines against one fixed polygon."""
+    pp = prepared if prepared is not None else PreparedPolygon(g)
     a = np.asarray(arr, dtype=np.float64)
     if len(a) == 0:
         return False
-    if points_in_geom(a[:, 0], a[:, 1], g).any():
+    if pp.contains_points(a[:, 0], a[:, 1]).any():
         return True
     if len(a) < 2:
         return False
     line_edges = np.hstack([a[:-1], a[1:]])
-    return segments_cross_any(line_edges, geom_edges_arr(g))
+    return segments_cross_any(line_edges, pp.edges)
 
 
-def clip_polyline_polygon(arr: np.ndarray, g) -> list[np.ndarray]:
+def clip_polyline_polygon(arr: np.ndarray, g=None, *,
+                          prepared=None) -> list[np.ndarray]:
     """Clip a polyline to the filled region of a (Multi)Polygon —
     even-odd, holes subtracted: ST_INTERSECTION(line, polygon)
     generalizing :func:`clip_polyline_box` beyond envelopes (r2
@@ -555,10 +606,11 @@ def clip_polyline_polygon(arr: np.ndarray, g) -> list[np.ndarray]:
     it directly). Contiguous kept pieces re-stitch across segment
     boundaries like the box clip.
     """
+    pp = prepared if prepared is not None else PreparedPolygon(g)
     a = np.asarray(arr, dtype=np.float64)
     if len(a) < 2:
         return []
-    E = geom_edges_arr(g)
+    E = pp.edges
     pieces: list[np.ndarray] = []
     cur: list[np.ndarray] = []
 
@@ -590,7 +642,7 @@ def clip_polyline_polygon(arr: np.ndarray, g) -> list[np.ndarray]:
                          for k in range(len(ts) - 1)])
         mx = p[0] + mids * (q[0] - p[0])
         my = p[1] + mids * (q[1] - p[1])
-        inside = points_in_geom(mx, my, g)
+        inside = pp.contains_points(mx, my)
         for k in range(len(ts) - 1):
             if not inside[k]:
                 flush()

@@ -64,6 +64,20 @@ def write_geoparquet(df: DataFrame, path: str, *,
                         geometry_types or ["Polygon", "MultiPolygon"])
     meta_bytes = json.dumps(meta, sort_keys=True).encode()
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics: clear stale parts up front — a rewrite with
+    # fewer partitions must not leave earlier part files mixing into
+    # glob reads under a fresh _SUCCESS
+    for f in os.listdir(path):
+        if f.endswith(".parquet") or f == "_SUCCESS":
+            os.remove(os.path.join(path, f))
+
+    # ONE schema derived from the DataFrame schema (not inferred per
+    # pandas batch — an all-None object column in the first batch
+    # would infer arrow `null` and crash ParquetWriter on the next)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema).with_metadata(
+        {GEO_KEY: meta_bytes})
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -78,13 +92,11 @@ def write_geoparquet(df: DataFrame, path: str, *,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            table = pa.Table.from_pandas(pdf, schema=arrow_schema,
+                                         preserve_index=False)
             if writer is None:
-                schema = table.schema.with_metadata(
-                    {**(table.schema.metadata or {}), GEO_KEY: meta_bytes})
-                writer = pq.ParquetWriter(fname, schema)
-            writer.write_table(table.replace_schema_metadata(
-                {**(table.schema.metadata or {}), GEO_KEY: meta_bytes}))
+                writer = pq.ParquetWriter(fname, arrow_schema)
+            writer.write_table(table)
             n += len(pdf)
         if writer is not None:
             writer.close()

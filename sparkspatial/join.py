@@ -493,12 +493,6 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
         # resolution (identical formula + clamping as covering_cells)
         bx0, by0, bx1, by1 = probe_bbox_cols or ("minx", "miny",
                                                  "maxx", "maxy")
-        n = 1 << r
-
-        def gidx(expr, off, span):
-            return (f"LEAST(GREATEST(CAST(FLOOR(({expr} + {off}) "
-                    f"/ {span} * {n}e0) AS BIGINT), 0), {n - 1})")
-
         keep = [F.col(probe_id)] + \
             ([] if probe_rect else [F.col(probe_wkb).alias("_pwkb")])
         pcover = (probes.select(
@@ -506,14 +500,13 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
             F.col(bx0).alias("pminx"), F.col(by0).alias("pminy"),
             F.col(bx1).alias("pmaxx"), F.col(by1).alias("pmaxy"))
             .withColumn("_gx", F.explode(F.expr(
-                f"sequence({gidx('pminx', '1.8e2', '3.6e2')}, "
-                f"{gidx('pmaxx', '1.8e2', '3.6e2')})")))
+                f"sequence({cells.grid_idx_sql('pminx', r, 'x')}, "
+                f"{cells.grid_idx_sql('pmaxx', r, 'x')})")))
             .withColumn("_gy", F.explode(F.expr(
-                f"sequence({gidx('pminy', '9e1', '1.8e2')}, "
-                f"{gidx('pmaxy', '9e1', '1.8e2')})")))
+                f"sequence({cells.grid_idx_sql('pminy', r, 'y')}, "
+                f"{cells.grid_idx_sql('pmaxy', r, 'y')})")))
             .withColumn("cell", F.expr(
-                f"CAST({r} AS BIGINT) * {1 << 58} "
-                f"+ _gy * {1 << 29} + _gx"))
+                cells.compose_cell_sql("_gx", "_gy", r)))
             .drop("_gx", "_gy"))
     else:
         # general path: probe cover at the same resolution, never
@@ -541,14 +534,19 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
     out_schema = f"{probe_id} string, {poly_id} string"
 
     def _ref(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict = {}
+        # cache ONLY the zone side (small by contract, reused across
+        # many candidate rows); the probe side is the 10^12-row side —
+        # a probe appears in a handful of pairs, so caching it would
+        # grow task memory with every distinct probe for near-zero
+        # decode savings
+        zcache: dict = {}
 
-        def decoded(key, wkb):
-            g = cache.get(key)
-            if g is None:
-                g = geom.wkb_loads(bytes(wkb))
-                cache[key] = g
-            return g
+        def zone_prep(zid, wkb):
+            pz = zcache.get(zid)
+            if pz is None:
+                pz = geom.PreparedPolygon(geom.wkb_loads(bytes(wkb)))
+                zcache[zid] = pz
+            return pz
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -556,7 +554,6 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
                 continue
             pdf = pdf.reset_index(drop=True)
             keep = np.zeros(len(pdf), dtype=bool)
-            pids = pdf[probe_id].values
             zids = pdf[poly_id].values
             zws = pdf["the_geom_wkb"].values
             if probe_rect:
@@ -573,9 +570,9 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
                          [x1[k], y1[k]], [x0[k], y1[k]],
                          [x0[k], y0[k]]], dtype=np.float64)])
                 else:
-                    gp = decoded(("p", pids[k]), pws[k])
-                gz = decoded(("z", zids[k]), zws[k])
-                keep[k] = geom.polygons_intersect(gp, gz)
+                    gp = geom.wkb_loads(bytes(pws[k]))
+                pz = zone_prep(zids[k], zws[k])
+                keep[k] = geom.polygons_intersect(gp, prepared=pz)
             yield pdf[[probe_id, poly_id]][keep]
 
     matched = coarse.mapInPandas(_ref, schema=out_schema)

@@ -263,6 +263,9 @@ def build_building_layer(polygons: DataFrame, params: dict | None = None,
     h_min, h_max, thr = p["h_lev_min"], p["h_lev_max"], p["hThresholdLev2"]
 
     def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zone state (closed rings + edge array) derived ONCE per
+        # task, not per footprint row
+        pz = geom.PreparedPolygon(zone) if zone is not None else None
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             if envelope is not None:
@@ -275,7 +278,7 @@ def build_building_layer(polygons: DataFrame, params: dict | None = None,
             elif zone is not None:
                 keep = np.array([
                     geom.polygons_intersect(geom.wkb_loads(bytes(w)),
-                                            zone)
+                                            prepared=pz)
                     for w in pdf["the_geom_wkb"].values], dtype=bool)
                 pdf = pdf[keep].reset_index(drop=True)
             n = len(pdf)
@@ -379,6 +382,8 @@ def build_road_layer(lines: DataFrame, params: dict | None = None,
     speed_default = p["maxspeed"]
 
     def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zone state derived once per task, not per line row
+        pz = geom.PreparedPolygon(zone) if zone is not None else None
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             n = len(pdf)
@@ -416,12 +421,13 @@ def build_road_layer(lines: DataFrame, params: dict | None = None,
                                   geom.clip_polyline_box(arr, minx, miny,
                                                          maxx, maxy)]
                 elif zone is not None:
-                    if not any(geom.line_intersects_polygon(arr, zone)
-                               for arr in pieces):
+                    if not any(geom.line_intersects_polygon(
+                            arr, prepared=pz) for arr in pieces):
                         continue
                     if clip:
                         pieces = [c for arr in pieces for c in
-                                  geom.clip_polyline_polygon(arr, zone)]
+                                  geom.clip_polyline_polygon(
+                                      arr, prepared=pz)]
                 for arr in pieces:
                     rows.append((geom.wkb_dumps(("LineString", arr)),
                                  pdf["id"].iloc[i], tp[i],
@@ -459,6 +465,8 @@ def build_rail_layer(lines: DataFrame, params: dict | None = None,
     crossing_vals = set(p.get("crossing", {}).get("bridge", []))
 
     def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zone state derived once per task, not per line row
+        pz = geom.PreparedPolygon(zone) if zone is not None else None
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             n = len(pdf)
@@ -496,12 +504,13 @@ def build_rail_layer(lines: DataFrame, params: dict | None = None,
                                   geom.clip_polyline_box(arr, minx, miny,
                                                          maxx, maxy)]
                 elif zone is not None:
-                    if not any(geom.line_intersects_polygon(arr, zone)
-                               for arr in pieces):
+                    if not any(geom.line_intersects_polygon(
+                            arr, prepared=pz) for arr in pieces):
                         continue
                     if clip:
                         pieces = [c for arr in pieces for c in
-                                  geom.clip_polyline_polygon(arr, zone)]
+                                  geom.clip_polyline_polygon(
+                                      arr, prepared=pz)]
                 for arr in pieces:
                     rows.append((geom.wkb_dumps(("LineString", arr)),
                                  pdf["id"].iloc[i], tp[i], crossing[i],

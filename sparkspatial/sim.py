@@ -353,6 +353,15 @@ def ivf_centroids(corpus: DataFrame, n_clusters: int = 16, *,
     return cent
 
 
+def _nearest_centroid(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """The spherical assignment kernel shared by ivf_assign and
+    semdedup's _ivf_assign_bits — ONE implementation so the two paths
+    can never silently diverge (norm clamp + unit @ cent.T argmax)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return np.argmax((mat / norms) @ cent.T, axis=1).astype(np.int32)
+
+
 def ivf_assign(df: DataFrame, centroids: np.ndarray, *,
                vec_col: str = "embedding",
                out_col: str = "cluster") -> DataFrame:
@@ -371,10 +380,8 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray, *,
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            cl = np.argmax((mat / norms) @ cent.T, axis=1).astype(np.int32)
-            yield pdf[schema_in].assign(**{out_col: cl})
+            yield pdf[schema_in].assign(
+                **{out_col: _nearest_centroid(mat, cent)})
 
     return df.mapInPandas(_assign, schema=out_schema)
 
@@ -499,10 +506,7 @@ def _ivf_assign_bits(df: DataFrame, centroids: np.ndarray, *,
                     % (2**31))
                 planes = rng.standard_normal(
                     (n_bits, mat.shape[1])).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = mat / norms
-            cl = np.argmax(unit @ cent.T, axis=1).astype(np.int32)
+            cl = _nearest_centroid(mat, cent)
             sign = (mat @ planes.T) > 0
             bits = np.zeros(len(pdf), dtype=np.int32)
             for b in range(n_bits):

@@ -214,13 +214,19 @@ def lang_id_sql(col: str, dialect: str = "spark") -> str:
     langs = sorted(scores)  # deterministic tie order
     arr = ", ".join(scores[lg] for lg in langs)
     names = ", ".join(f"'{lg}'" for lg in langs)
+    # NULL text guard FIRST: without it the all-NULL score array falls
+    # through differently per engine (Spark reached element_at with a
+    # garbage position -> 'vi', DuckDB returned NULL); both must say
+    # 'und', matching the pre-rewrite behavior.
     if dialect == "spark":
         s = f"array({arr})"
-        return (f"(CASE WHEN array_max({s}) <= 0 THEN 'und' "
+        return (f"(CASE WHEN {col} IS NULL THEN 'und' "
+                f"WHEN array_max({s}) <= 0 THEN 'und' "
                 f"ELSE element_at(array({names}), CAST("
                 f"array_position({s}, array_max({s})) AS INT)) END)")
     s = f"[{arr}]"
-    return (f"(CASE WHEN list_max({s}) <= 0 THEN 'und' "
+    return (f"(CASE WHEN {col} IS NULL THEN 'und' "
+            f"WHEN list_max({s}) <= 0 THEN 'und' "
             f"ELSE [{names}][list_position({s}, list_max({s}))] END)")
 
 

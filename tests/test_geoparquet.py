@@ -76,6 +76,36 @@ def test_geoparquet_rejects_missing_column(spark):
         geoparquet.write_geoparquet(df, "/tmp/nope")
 
 
+def test_geoparquet_rewrite_clears_stale_parts(spark, tmp_path):
+    """Overwrite semantics: re-writing with fewer partitions must not
+    leave earlier part files mixing into glob reads."""
+    zdf = zones.synthetic_zones(spark, n=12)
+    path = str(tmp_path / "rewrite_geo")
+    geoparquet.write_geoparquet(zdf.repartition(8), path)
+    sub = zdf.limit(3)
+    n = geoparquet.write_geoparquet(sub.repartition(1), path)
+    assert n == 3
+    assert spark.read.parquet(path).count() == 3
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT COUNT(*) FROM '{path}/*.parquet'").fetchone()[0] == 3
+
+
+def test_geoparquet_all_null_column(spark, tmp_path):
+    """Schema comes from the DataFrame, not per-batch inference: an
+    all-None string column must write as string, not arrow null."""
+    rows = [("z0", bytearray(geom.wkb_dumps(("Polygon", [np.array(
+        [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=np.float64)]))),
+        None)]
+    df = spark.createDataFrame(
+        rows, "zone_id string, the_geom_wkb binary, note string")
+    path = str(tmp_path / "nullcol_geo")
+    assert geoparquet.write_geoparquet(df, path) == 1
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["note"] == "string"
+    assert back.collect()[0].note is None
+
+
 def test_geoparquet_empty_partitions(spark, tmp_path):
     """Empty partitions write no file but the dataset stays readable."""
     rows = [("z0", bytearray(geom.wkb_dumps(("Polygon", [np.array(

@@ -69,6 +69,7 @@ def test_lang_id_broad_vocabulary(spark):
         (8, "pl", "nie wiem co on robi ale to jest tak jak za każdym "
                   "razem i już"),
         (9, "und", "zzz qqq xxx 12345"),
+        (10, "und", None),   # NULL text: both engines must say 'und'
     ]
     df = spark.createDataFrame([(i, t) for i, _, t in samples],
                                "doc_id long, text string")
