@@ -360,6 +360,69 @@ def test_clip_polygon_polygon_membership_bruteforce():
     assert checked > 2500 and inside_n > 100
 
 
+def test_clip_polygon_polygon_random_pairs_fuzz():
+    """20 random convex-quad pairs (lattice coords, generic position):
+    sampled membership of clip(A,B) == inside(A) AND inside(B), plus
+    the area of the clip never exceeds min(area A, area B)."""
+    rng = np.random.RandomState(77)
+
+    def rand_quad():
+        # convex quad: jittered box corners, lattice-ish coordinates
+        cx, cy = rng.uniform(-5, 5, 2)
+        w, h = rng.uniform(1.5, 6, 2)
+        jit = rng.uniform(-0.4, 0.4, 8).round(2)
+        ring = np.array([
+            [cx - w + jit[0], cy - h + jit[1]],
+            [cx + w + jit[2], cy - h + jit[3]],
+            [cx + w + jit[4], cy + h + jit[5]],
+            [cx - w + jit[6], cy + h + jit[7]],
+        ])
+        ring = np.vstack([ring, ring[:1]])
+        return ("Polygon", [ring])
+
+    def area(g):
+        if g[0] == "Polygon":
+            return sum(geom.ring_area(r) for r in g[1])
+        return sum(sum(geom.ring_area(r) for r in sub[1])
+                   for sub in g[1])
+
+    def mindist(px, py, segs):
+        if len(segs) == 0:
+            return np.inf
+        x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+        dx, dy = x1 - x0, y1 - y0
+        ln2 = dx * dx + dy * dy
+        t = np.clip(((px - x0) * dx + (py - y0) * dy)
+                    / np.where(ln2 > 0, ln2, 1), 0, 1)
+        return np.sqrt((px - (x0 + t * dx)) ** 2
+                       + (py - (y0 + t * dy)) ** 2).min()
+
+    overlapping = 0
+    for _ in range(20):
+        a, b = rand_quad(), rand_quad()
+        inter = geom.clip_polygon_polygon(a, b)
+        ia = abs(area(a))
+        ib = abs(area(b))
+        ii = abs(area(inter)) if inter[1] else 0.0
+        assert ii <= min(ia, ib) + 1e-9
+        if ii > 0:
+            overlapping += 1
+        ea, eb = geom.geom_edges_arr(a), geom.geom_edges_arr(b)
+        for _ in range(150):
+            px, py = rng.uniform(-12, 12, 2)
+            if mindist(px, py, ea) <= 1e-6 or mindist(px, py, eb) <= 1e-6:
+                continue
+            want = (bool(geom.points_in_geom(np.array([px]),
+                                             np.array([py]), a)[0])
+                    and bool(geom.points_in_geom(np.array([px]),
+                                                 np.array([py]), b)[0]))
+            got = (bool(geom.points_in_geom(np.array([px]),
+                                            np.array([py]), inter)[0])
+                   if inter[1] else False)
+            assert got == want, (px, py, want)
+    assert overlapping >= 5  # the fixture exercises real overlaps
+
+
 def test_linemerge_ring():
     a = np.array([[0, 0], [1, 0]], float)
     b = np.array([[1, 0], [1, 1]], float)
