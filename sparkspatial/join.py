@@ -430,7 +430,24 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
     raise ValueError(f"unsupported how={how!r}")
 
 
-def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
+def build_poly_zone_index(polys: DataFrame, poly_id: str = "zone_id",
+                          wkb_col: str = "the_geom_wkb",
+                          res: int = DEFAULT_RES,
+                          max_cells_per_poly: int = MAX_CELLS_PER_POLY
+                          ) -> ZoneIndex:
+    """Prebuilt zone-side state for spatial_join_polygons (cover
+    WITHOUT edge arrays — the polygonal refine decodes WKB): the
+    build-once analog of build_zone_index, and the required form for
+    STREAMING probes (a streaming query cannot run the stats pass)."""
+    r, n_cover = cover_stats(polys, poly_id, wkb_col, res,
+                             max_cells_per_poly)
+    cover = cover_polygons(polys, poly_id=poly_id, wkb_col=wkb_col,
+                           res=r, max_cells_per_poly=max_cells_per_poly)
+    return ZoneIndex(cover, r, n_cover, "poly", poly_id)
+
+
+def spatial_join_polygons(probes: DataFrame, zones: DataFrame | None = None,
+                          *,
                           probe_id: str = "probe_id",
                           probe_wkb: str = "the_geom_wkb",
                           poly_id: str = "zone_id",
@@ -440,7 +457,8 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
                           broadcast: bool | None = None,
                           how: str = "inner",
                           probe_bbox_cols: tuple | None = None,
-                          probe_rect: bool = False) -> DataFrame:
+                          probe_rect: bool = False,
+                          index: ZoneIndex | None = None) -> DataFrame:
     """Polygon x polygon ST_INTERSECTS join (r2 verdict item 2).
 
     The reference joins building POLYGONS against the zone geometry
@@ -481,11 +499,26 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame, *,
     At scale: one exchange (the cell join) when the zone cover
     broadcasts; the refine is map-side on the join output. Probe-side
     cover replication is bounded by the probe bbox size at r.
+
+    Pass `index=build_poly_zone_index(zones)` to reuse the zone-side
+    state across calls — and REQUIRED when `probes` is a STREAMING
+    DataFrame (with probe_rect/probe_bbox_cols every probe-side step
+    is stateless, so the whole join is stream-static legal; the stats
+    pass is not).
     """
-    r, n_cover = cover_stats(zones, poly_id, wkb_col, res,
-                             max_cells_per_poly)
-    zcover = cover_polygons(zones, poly_id=poly_id, wkb_col=wkb_col,
-                            res=r, max_cells_per_poly=max_cells_per_poly)
+    if index is not None:
+        if index.refine != "poly":
+            raise ValueError(
+                f"index built for refine={index.refine!r}, need 'poly' "
+                f"(build_poly_zone_index)")
+        zcover, r, n_cover = index.cover, index.res, index.n_cover
+        poly_id = index.poly_id
+    else:
+        r, n_cover = cover_stats(zones, poly_id, wkb_col, res,
+                                 max_cells_per_poly)
+        zcover = cover_polygons(zones, poly_id=poly_id, wkb_col=wkb_col,
+                                res=r,
+                                max_cells_per_poly=max_cells_per_poly)
     if broadcast is None:
         broadcast = n_cover <= BROADCAST_MAX_COVER_ROWS
     if probe_bbox_cols is not None or probe_rect:

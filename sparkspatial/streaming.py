@@ -76,10 +76,12 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800,
                     "n_events"))
 
 
-def run_to_memory(stream_df: DataFrame, name: str = "stream_out"):
+def run_to_memory(stream_df: DataFrame, name: str = "stream_out",
+                  output_mode: str = "complete"):
     """Drive a bounded stream to completion into an in-memory sink
-    (test/smoke harness)."""
-    q = (stream_df.writeStream.outputMode("complete")
+    (test/smoke harness). `output_mode='append'` for non-aggregating
+    row streams (Spark rejects 'complete' without an aggregation)."""
+    q = (stream_df.writeStream.outputMode(output_mode)
          .format("memory").queryName(name).start())
     q.processAllAvailable()
     q.stop()
@@ -117,6 +119,39 @@ def streaming_spatial_join(pages: DataFrame, zone_index,
                      & (F.col(lat_col) <= F.col("maxy"))))
     refined = coarse.where(joinmod.pip_jvm_predicate(lat_col, lon_col))
     return refined.select("url", "warc_ts", lat_col, lon_col, poly_id)
+
+
+def streaming_building_overlay(pages: DataFrame, poly_index, *,
+                               half_w: float = 2.1e-4,
+                               half_h: float = 1.7e-4) -> DataFrame:
+    """Stream->static polygon x polygon overlay: each page geotags,
+    becomes a building quad (codegen bbox), and joins the PREBUILT
+    polygonal zone cover (join.build_poly_zone_index) through the
+    batch operator itself — with probe_rect every probe-side step
+    (bbox project, sequence-explode cover, broadcast cell equi-join
+    with reference-cell dedup, stateless Arrow refine) is legal inside
+    a streaming query. One code path for batch and stream (Kappa),
+    zone state pinned per zone-set version like ZoneIndex."""
+    from . import join as joinmod
+
+    def dlit(x: float) -> str:
+        # exponent form makes the literal DOUBLE (a bare decimal would
+        # parse as DECIMAL); repr() round-trips the exact float and
+        # may already carry an exponent
+        r = repr(float(x))
+        return r if "e" in r or "E" in r else r + "e0"
+
+    b = (pages
+         .withColumn("lat", F.expr(lat_sql("domain", "url", "spark")))
+         .withColumn("lon", F.expr(lon_sql("domain", "url", "spark")))
+         .selectExpr("url",
+                     f"lon - {dlit(half_w)} AS minx",
+                     f"lon + {dlit(half_w)} AS maxx",
+                     f"lat - {dlit(half_h)} AS miny",
+                     f"lat + {dlit(half_h)} AS maxy"))
+    return joinmod.spatial_join_polygons(
+        b, probe_id="url", probe_rect=True, broadcast=True,
+        index=poly_index)
 
 
 def streaming_zone_counts(pages: DataFrame, zone_index,

@@ -274,18 +274,19 @@ def trigram_familiarity(docs: DataFrame, text_col: str = "text",
     (no float-sum ordering, no libm log divergence); consumers derive
     avg = fam_sum / n_tri (one exact division) or integer-bucket it.
 
-    Scale shape: one explode (codegen) consumed twice off a persisted
-    frame; the model is a bounded groupBy (distinct trigrams ~
-    charset^3, corpus-size-independent) broadcast back; one final
-    per-doc agg exchange. `broadcast_model=False` shuffles the join
-    for pathological alphabets.
+    Scale shape: the trigram explode is consumed twice but NOT
+    persisted — it blows the corpus up ~chars-per-doc-fold, so caching
+    it at 10^12 docs would cost orders of magnitude more memory than
+    re-running a map-only codegen explode off the source scan (the
+    opposite call from winnowing's persisted fingerprint frame, which
+    is a few rows per doc). The model side collapses map-side to the
+    bounded distinct-trigram set (~charset^3, corpus-independent) and
+    broadcasts back; the per-doc agg combines partially before its one
+    exchange. `broadcast_model=False` shuffles the join for
+    pathological alphabets.
     """
-    from . import session as _session
-
     tri = docs.selectExpr(
-        id_col, f"explode({trigram_sql(text_col, 'spark')}) AS tri") \
-        .persist()
-    _session.register_persisted(tri)
+        id_col, f"explode({trigram_sql(text_col, 'spark')}) AS tri")
     model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("tri_n"))
     m = F.broadcast(model) if broadcast_model else model
     return (tri.join(m, "tri")

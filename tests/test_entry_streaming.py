@@ -147,3 +147,33 @@ def test_streaming_spatial_join_equals_batch(spark, tmp_path):
     finally:
         zidx.release()
         zdf.unpersist()
+
+
+def test_streaming_building_overlay_equals_batch(spark, tmp_path):
+    """Stream-static POLYGON x polygon overlay via a prebuilt
+    poly-zone index: streamed (url, zone_id) pair set == the batch
+    spatial_join_polygons on the same pages — the round-3 operator is
+    Kappa-compatible end-to-end (every probe-side step stateless)."""
+    from sparkspatial import join
+
+    pages = fixtures.synthetic_pages(spark, n=400, n_domains=20)
+    path = str(tmp_path / "pages_bo_stream")
+    pages.write.mode("overwrite").parquet(path)
+
+    zdf = entrymod._poly_zones_df(spark).persist()
+    pidx = join.build_poly_zone_index(zdf).persist()
+    try:
+        stream = streaming.read_pages_stream(spark, path)
+        matched = streaming.streaming_building_overlay(stream, pidx)
+        name = streaming.run_to_memory(matched, "t_bo_out",
+                                       output_mode="append")
+        got = {(r.url, r.zone_id) for r in
+               spark.sql(f"SELECT url, zone_id FROM {name}").collect()}
+
+        batch_pages = spark.read.parquet(path)
+        batch = streaming.streaming_building_overlay(batch_pages, pidx)
+        want = {(r.url, r.zone_id) for r in batch.collect()}
+        assert got == want and len(want) > 0
+    finally:
+        pidx.release()
+        zdf.unpersist()
