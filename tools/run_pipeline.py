@@ -39,6 +39,13 @@ def main(argv=None):
     p.add_argument("--broadcast", choices=["auto", "yes", "no"],
                    default="auto")
     p.add_argument("--code-version", default="v1")
+    p.add_argument("--building-overlay", action="store_true",
+                   help="additionally run the polygon x polygon "
+                        "building overlay (quads of --bld-half-w/h "
+                        "degrees around each extracted point) against "
+                        "the zone polygons")
+    p.add_argument("--bld-half-w", type=float, default=2.1e-4)
+    p.add_argument("--bld-half-h", type=float, default=1.7e-4)
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -79,6 +86,37 @@ def main(argv=None):
                  .agg(F.sum("page_count").alias("page_count"))
                  .withColumnRenamed("pcell", "cell"))
         level.write.mode("overwrite").parquet(f"{args.out}/res={pr}")
+
+    if args.building_overlay:
+        # polygon x polygon overlay (round-3 operator) on the JVM
+        # probe fast path: codegen bbox quads -> prebuilt poly-zone
+        # index -> pairs + per-zone counts
+        def dlit(x: float) -> str:
+            r = repr(float(x))
+            return r if "e" in r or "E" in r else r + "e0"
+
+        pidx = join.build_poly_zone_index(zones_df)
+        quads = points.selectExpr(
+            "url",
+            f"lon - {dlit(args.bld_half_w)} AS minx",
+            f"lon + {dlit(args.bld_half_w)} AS maxx",
+            f"lat - {dlit(args.bld_half_h)} AS miny",
+            f"lat + {dlit(args.bld_half_h)} AS maxy")
+        pairs = join.spatial_join_polygons(
+            quads, probe_id="url", probe_rect=True, broadcast=bcast,
+            index=pidx)
+        if ck:
+            pairs = ck.stage(pairs, "building_overlay",
+                             fingerprint_of(args.pages, args.zones,
+                                            args.bld_half_w,
+                                            args.bld_half_h,
+                                            args.code_version))
+        pairs.write.mode("overwrite") \
+            .parquet(f"{args.out}/building_overlay")
+        (pairs.groupBy("zone_id")
+         .agg(F.count(F.lit(1)).alias("building_count"))
+         .write.mode("overwrite")
+         .parquet(f"{args.out}/building_overlay_counts"))
 
     if ck:
         ck.lineage(spark).show(20, truncate=False)
