@@ -266,18 +266,14 @@ def q_spatial_join_polygon(spark, sf_dir):
             .select("url", "zone_id"))
 
 
-# Building half-extent in degrees: chosen so building edges land on a
-# 1e-5 lattice digit in {9, 1} (x) / {3, 7} (y) while zone vertices end
-# at 1e-5 digit 0 — no coordinate coincidence, so every edge-cross /
-# vertex-in test is strict-sign-decidable identically in both engines.
-_BLD_W = 2.1e-4
-_BLD_H = 1.7e-4
-# e-notation SQL literals of the SAME constants (double-typed in both
-# engines; '2.1e-04' parses to the identical IEEE double as 2.1e-4) —
-# the query and its oracle interpolate these, so tuning the extents
-# can never desynchronize the three usage sites
-_BLD_W_SQL = f"{_BLD_W:.1e}"
-_BLD_H_SQL = f"{_BLD_H:.1e}"
+# Building half-extents: the engine-level constants (join.py owns
+# them — lattice-alignment rationale there); the SQL literals below
+# are exponent-form doubles in both engines, interpolated into the
+# query AND its oracle so the three usage sites can never diverge.
+_BLD_W = join.RECT_HALF_W_DEG
+_BLD_H = join.RECT_HALF_H_DEG
+_BLD_W_SQL = join.double_lit(_BLD_W)
+_BLD_H_SQL = join.double_lit(_BLD_H)
 
 
 def _buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,10 +317,7 @@ def q_building_overlay_polygon(spark, sf_dir):
     theta-join over the identical edge sets; the general WKB-probe
     path is pinned equal in tests/test_spatial.py."""
     pts = _points(spark, sf_dir).select("url", "lat", "lon")
-    b = pts.selectExpr(
-        "url",
-        f"lon - {_BLD_W_SQL} AS minx", f"lon + {_BLD_W_SQL} AS maxx",
-        f"lat - {_BLD_H_SQL} AS miny", f"lat + {_BLD_H_SQL} AS maxy")
+    b = join.rect_probes_from_points(pts, half_w=_BLD_W, half_h=_BLD_H)
     zdf = _poly_zones_df(spark)
     return (join.spatial_join_polygons(b, zdf, probe_id="url",
                                        probe_rect=True, broadcast=True)

@@ -43,6 +43,40 @@ DEFAULT_RES = 12              # ~0.088 deg cells (~9.8 km at equator)
 MAX_CELLS_PER_POLY = 64
 BROADCAST_MAX_COVER_ROWS = 2_000_000
 
+# Default building-quad half-extents (degrees) for rect-probe overlays.
+# Chosen against the derived-point 0.0005-degree lattice so quad edges
+# land on 1e-5 digits in {9,1} (x) / {3,7} (y) while zone vertices end
+# at 1e-5 digit 0 — no coordinate coincidence, every predicate
+# strict-sign-decidable identically across engines. The ONE source for
+# entry queries, streaming, and the pipeline CLI.
+RECT_HALF_W_DEG = 2.1e-4
+RECT_HALF_H_DEG = 1.7e-4
+
+
+def double_lit(x: float) -> str:
+    """SQL literal that parses as DOUBLE in both Spark SQL and DuckDB
+    (exponent form; bare decimals are DECIMAL-typed in both). repr()
+    round-trips the exact float."""
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def rect_probes_from_points(points: DataFrame, *,
+                            id_col: str = "url",
+                            lat_col: str = "lat", lon_col: str = "lon",
+                            half_w: float = RECT_HALF_W_DEG,
+                            half_h: float = RECT_HALF_H_DEG) -> DataFrame:
+    """Codegen bbox quads around points — the probe frame for
+    spatial_join_polygons(probe_rect=True). Shared by the driver
+    query, the streaming overlay, and the pipeline CLI so the quad
+    construction can never diverge between them."""
+    return points.selectExpr(
+        id_col,
+        f"{lon_col} - {double_lit(half_w)} AS minx",
+        f"{lon_col} + {double_lit(half_w)} AS maxx",
+        f"{lat_col} - {double_lit(half_h)} AS miny",
+        f"{lat_col} + {double_lit(half_h)} AS maxy")
+
 
 def _poly_edges(g) -> list[tuple[float, float, float, float]]:
     """All ring edges of a (Multi)Polygon as (x0, y0, x1, y1) tuples.
@@ -507,13 +541,21 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame | None = None,
     pass is not).
     """
     if index is not None:
+        if zones is not None:
+            raise ValueError("pass zones OR index, not both")
         if index.refine != "poly":
             raise ValueError(
                 f"index built for refine={index.refine!r}, need 'poly' "
                 f"(build_poly_zone_index)")
+        if poly_id not in ("zone_id", index.poly_id):
+            raise ValueError(
+                f"poly_id={poly_id!r} conflicts with the index's "
+                f"{index.poly_id!r}")
         zcover, r, n_cover = index.cover, index.res, index.n_cover
         poly_id = index.poly_id
     else:
+        if zones is None:
+            raise ValueError("pass zones or index")
         r, n_cover = cover_stats(zones, poly_id, wkb_col, res,
                                  max_cells_per_poly)
         zcover = cover_polygons(zones, poly_id=poly_id, wkb_col=wkb_col,

@@ -122,36 +122,29 @@ def streaming_spatial_join(pages: DataFrame, zone_index,
 
 
 def streaming_building_overlay(pages: DataFrame, poly_index, *,
-                               half_w: float = 2.1e-4,
-                               half_h: float = 1.7e-4) -> DataFrame:
+                               half_w: float | None = None,
+                               half_h: float | None = None) -> DataFrame:
     """Stream->static polygon x polygon overlay: each page geotags,
-    becomes a building quad (codegen bbox), and joins the PREBUILT
-    polygonal zone cover (join.build_poly_zone_index) through the
-    batch operator itself — with probe_rect every probe-side step
-    (bbox project, sequence-explode cover, broadcast cell equi-join
-    with reference-cell dedup, stateless Arrow refine) is legal inside
-    a streaming query. One code path for batch and stream (Kappa),
-    zone state pinned per zone-set version like ZoneIndex."""
+    becomes a building quad (join.rect_probes_from_points — the same
+    construction as the batch driver query and the pipeline CLI), and
+    joins the PREBUILT polygonal zone cover
+    (join.build_poly_zone_index) through the batch operator itself —
+    with probe_rect every probe-side step (bbox project,
+    sequence-explode cover, cell equi-join with reference-cell dedup,
+    stateless Arrow refine) is legal inside a streaming query.
+    broadcast stays on auto: an oversized zone cover falls back to a
+    stream-static shuffle equi-join instead of force-broadcasting."""
     from . import join as joinmod
 
-    def dlit(x: float) -> str:
-        # exponent form makes the literal DOUBLE (a bare decimal would
-        # parse as DECIMAL); repr() round-trips the exact float and
-        # may already carry an exponent
-        r = repr(float(x))
-        return r if "e" in r or "E" in r else r + "e0"
-
-    b = (pages
-         .withColumn("lat", F.expr(lat_sql("domain", "url", "spark")))
-         .withColumn("lon", F.expr(lon_sql("domain", "url", "spark")))
-         .selectExpr("url",
-                     f"lon - {dlit(half_w)} AS minx",
-                     f"lon + {dlit(half_w)} AS maxx",
-                     f"lat - {dlit(half_h)} AS miny",
-                     f"lat + {dlit(half_h)} AS maxy"))
+    geo = (pages
+           .withColumn("lat", F.expr(lat_sql("domain", "url", "spark")))
+           .withColumn("lon", F.expr(lon_sql("domain", "url", "spark"))))
+    b = joinmod.rect_probes_from_points(
+        geo,
+        half_w=half_w if half_w is not None else joinmod.RECT_HALF_W_DEG,
+        half_h=half_h if half_h is not None else joinmod.RECT_HALF_H_DEG)
     return joinmod.spatial_join_polygons(
-        b, probe_id="url", probe_rect=True, broadcast=True,
-        index=poly_index)
+        b, probe_id="url", probe_rect=True, index=poly_index)
 
 
 def streaming_zone_counts(pages: DataFrame, zone_index,

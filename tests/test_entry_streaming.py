@@ -170,8 +170,16 @@ def test_streaming_building_overlay_equals_batch(spark, tmp_path):
         got = {(r.url, r.zone_id) for r in
                spark.sql(f"SELECT url, zone_id FROM {name}").collect()}
 
-        batch_pages = spark.read.parquet(path)
-        batch = streaming.streaming_building_overlay(batch_pages, pidx)
+        # batch side built INDEPENDENTLY of the streaming wrapper
+        # (geotag + quads + the batch operator directly), so a wrapper
+        # bug cannot cancel out of the comparison
+        from sparkspatial import extract
+
+        batch_pts = extract.geotag(spark.read.parquet(path),
+                                   "domain", "url")
+        quads = join.rect_probes_from_points(batch_pts)
+        batch = join.spatial_join_polygons(quads, probe_id="url",
+                                           probe_rect=True, index=pidx)
         want = {(r.url, r.zone_id) for r in batch.collect()}
         assert got == want and len(want) > 0
     finally:

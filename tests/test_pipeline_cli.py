@@ -3,16 +3,19 @@ in-process, including the round-3 --building-overlay mode."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 
 def test_run_pipeline_with_building_overlay(spark, tmp_path):
     import __spark_entry__ as entrymod
     from sparkspatial import fixtures
 
-    sys.path.insert(0, "/root/repo/tools")
     import run_pipeline
 
     pages = fixtures.synthetic_pages(spark, n=300, n_domains=15)

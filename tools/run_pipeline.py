@@ -44,8 +44,10 @@ def main(argv=None):
                         "building overlay (quads of --bld-half-w/h "
                         "degrees around each extracted point) against "
                         "the zone polygons")
-    p.add_argument("--bld-half-w", type=float, default=2.1e-4)
-    p.add_argument("--bld-half-h", type=float, default=1.7e-4)
+    p.add_argument("--bld-half-w", type=float, default=None,
+                   help="default: join.RECT_HALF_W_DEG")
+    p.add_argument("--bld-half-h", type=float, default=None,
+                   help="default: join.RECT_HALF_H_DEG")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -89,31 +91,35 @@ def main(argv=None):
 
     if args.building_overlay:
         # polygon x polygon overlay (round-3 operator) on the JVM
-        # probe fast path: codegen bbox quads -> prebuilt poly-zone
-        # index -> pairs + per-zone counts
-        def dlit(x: float) -> str:
-            r = repr(float(x))
-            return r if "e" in r or "E" in r else r + "e0"
-
+        # probe fast path: codegen bbox quads (shared construction,
+        # join.rect_probes_from_points) -> prebuilt poly-zone index ->
+        # pairs + per-zone counts
+        half_w = (args.bld_half_w if args.bld_half_w is not None
+                  else join.RECT_HALF_W_DEG)
+        half_h = (args.bld_half_h if args.bld_half_h is not None
+                  else join.RECT_HALF_H_DEG)
         pidx = join.build_poly_zone_index(zones_df)
-        quads = points.selectExpr(
-            "url",
-            f"lon - {dlit(args.bld_half_w)} AS minx",
-            f"lon + {dlit(args.bld_half_w)} AS maxx",
-            f"lat - {dlit(args.bld_half_h)} AS miny",
-            f"lat + {dlit(args.bld_half_h)} AS maxy")
+        quads = join.rect_probes_from_points(points, half_w=half_w,
+                                             half_h=half_h)
         pairs = join.spatial_join_polygons(
             quads, probe_id="url", probe_rect=True, broadcast=bcast,
             index=pidx)
         if ck:
+            # EXTRACT_TEXT_VERSION is part of the fingerprint: the
+            # quads derive from the extractor's points, so a bumped
+            # extractor must invalidate this stage too
             pairs = ck.stage(pairs, "building_overlay",
                              fingerprint_of(args.pages, args.zones,
-                                            args.bld_half_w,
-                                            args.bld_half_h,
-                                            args.code_version))
+                                            half_w, half_h,
+                                            args.code_version,
+                                            extract.EXTRACT_TEXT_VERSION))
         pairs.write.mode("overwrite") \
             .parquet(f"{args.out}/building_overlay")
-        (pairs.groupBy("zone_id")
+        # counts from the JUST-WRITTEN pairs: without a checkpoint the
+        # pairs plan is unmaterialized, and re-running the refine join
+        # for a tiny aggregate would double the stage's dominant cost
+        (spark.read.parquet(f"{args.out}/building_overlay")
+         .groupBy("zone_id")
          .agg(F.count(F.lit(1)).alias("building_count"))
          .write.mode("overwrite")
          .parquet(f"{args.out}/building_overlay_counts"))
