@@ -324,6 +324,20 @@ def q_building_overlay_polygon(spark, sf_dir):
             .select("url", "zone_id").orderBy("url", "zone_id"))
 
 
+def q_building_overlay_counts(spark, sf_dir):
+    """Per-zone building counts over the polygon x polygon overlay —
+    the grid-indicator shape (Data.groovy per-zone aggregates) on the
+    round-3 operator; same join, one agg exchange."""
+    pts = _points(spark, sf_dir).select("url", "lat", "lon")
+    b = join.rect_probes_from_points(pts, half_w=_BLD_W, half_h=_BLD_H)
+    zdf = _poly_zones_df(spark)
+    return (join.spatial_join_polygons(b, zdf, probe_id="url",
+                                       probe_rect=True, broadcast=True)
+            .groupBy("zone_id")
+            .agg(F.count(F.lit(1)).alias("building_count"))
+            .orderBy("zone_id"))
+
+
 def _duck_poly_vertices_cte() -> str:
     """Vertex VALUES table of every ring of ORACLE_POLY_ZONES (the
     zone side of the vertex-in-building leg)."""
@@ -1670,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_polygon": q_spatial_join_polygon,
         "spatial_join_polygon_counts": q_spatial_join_polygon_counts,
         "building_overlay_polygon": q_building_overlay_polygon,
+        "building_overlay_counts": q_building_overlay_counts,
         "spatial_antijoin": q_spatial_antijoin,
         "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
@@ -1814,6 +1829,11 @@ def oracle_sql() -> dict[str, str]:
             {_DUCK_RAYCAST_PAIRS}
         """,
         "building_overlay_polygon": _building_overlay_oracle_sql(),
+        "building_overlay_counts": f"""
+            WITH pairs AS ({_building_overlay_oracle_sql()})
+            SELECT zone_id, COUNT(*) AS building_count
+            FROM pairs GROUP BY zone_id ORDER BY zone_id
+        """,
         "spatial_join_polygon_counts": f"""
             WITH {pts}, {_duck_poly_edges_cte()},
             pairs AS ({_DUCK_RAYCAST_PAIRS}),
