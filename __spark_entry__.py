@@ -27,6 +27,7 @@ from sparkspatial import graph as graphmod
 from sparkspatial import params as paramsmod
 from sparkspatial import transform, zones
 from sparkspatial.geocode import lat_sql, lon_sql, url_sql
+from sparkspatial.session import fan_out
 from sparkspatial.hashing import h32_duckdb_sql, h32_spark_sql
 
 # ---------------------------------------------------------------------------
@@ -1091,18 +1092,18 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return text.minhash_signatures(docs, n_hashes=8).orderBy("doc_id")
 
 
 def q_simhash(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return text.simhash(docs).orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact shingle Jaccard for consecutive-id candidate pairs."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     pairs = docs.selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b") \
         .join(docs.selectExpr("doc_id AS id_b"), "id_b", "left_semi")
     return text.token_jaccard_pairs(docs, pairs).orderBy("id_a")
@@ -1113,8 +1114,8 @@ def q_lsh_pairs(spark, sf_dir):
     exact duplicates (every 10th doc re-inserted under id+1000000) so
     the band join provably fires; oracle = self-join on per-band
     signature-chunk equality (band hashing is an engine detail)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("doc_id", "text"))
     dup = docs.where("doc_id % 10 = 0").selectExpr(
         "doc_id + 1000000 AS doc_id", "text")
     corpus = docs.unionByName(dup)
@@ -1127,8 +1128,8 @@ def q_near_dedup_survivors(spark, sf_dir):
     shingle-Jaccard verification (>= 0.8) -> drop the higher id of
     each verified pair -> surviving corpus. The complete
     training-data dedup pipeline in one plan."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("doc_id", "text"))
     dup = docs.where("doc_id % 10 = 0").selectExpr(
         "doc_id + 1000000 AS doc_id", "text")
     corpus = docs.unionByName(dup)
@@ -1178,7 +1179,10 @@ def q_embedding_dedup_survivors(spark, sf_dir):
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (dup-token fraction,
     mode-token and mode-bigram share) per document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: sf-scale documents arrive as ONE row group; the bigram
+    # explode amplifies ~300x, so widen the scan before it (no-op on a
+    # naturally-wide 100 TB scan — see session.fan_out)
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return text.repetition_stats(docs).orderBy("doc_id")
 
 
@@ -1187,7 +1191,7 @@ def q_trigram_familiarity(spark, sf_dir):
     trigram familiarity under the corpus's own MLE trigram counts
     (text.trigram_familiarity — pure integer arithmetic, so the
     oracle hash is exact with no float-sum-order caveats)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return text.trigram_familiarity(docs).orderBy("doc_id")
 
 
@@ -1324,8 +1328,8 @@ def q_near_dedup_components(spark, sf_dir):
     DuckDB recursive CTE."""
     from sparkspatial import graph
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("doc_id", "text"))
     dup = docs.where("doc_id % 10 = 0").selectExpr(
         "doc_id + 1000000 AS doc_id", "text")
     corpus = docs.unionByName(dup)
@@ -1535,7 +1539,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     MOSS): min of every 4-window over the 5-token rolling shingle
     hashes, deduplicated — any shared 8-token run between documents
     shares a fingerprint (text.winnowing_fingerprints)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return (text.winnowing_fingerprints(docs, shingle_k=5, window=4)
             .orderBy("doc_id", "fp"))
 
@@ -1546,8 +1550,8 @@ def q_winnow_pairs(spark, sf_dir):
     (never all-pairs — the winnowing twin of lsh_candidate_pairs; the
     corpus gains exact duplicates at id+10^6 so pairs provably fire).
     Output (id_a, id_b, n_shared)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("doc_id", "text"))
     dup = docs.where("doc_id % 10 = 0").selectExpr(
         "doc_id + 1000000 AS doc_id", "text")
     corpus = docs.unionByName(dup)
@@ -1575,7 +1579,7 @@ def q_duplicated_spans(spark, sf_dir):
     tail; spans of >= 3 consecutive corpus-duplicated 5-shingles are
     reported with their token extent (text.duplicated_spans — global
     hash count + island-detection window, no suffix arrays)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     aug = docs.selectExpr(
         "doc_id",
         "concat(text, CASE WHEN doc_id % 7 = 0 THEN"
@@ -1590,7 +1594,7 @@ def q_dedup_substrings(spark, sf_dir):
     %7-boilerplate corpus scrubbed of every corpus-duplicated span
     >= 7 tokens (text.remove_duplicated_spans; all occurrences go —
     the boilerplate-scrubbing variant)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     aug = docs.selectExpr(
         "doc_id",
         "concat(text, CASE WHEN doc_id % 7 = 0 THEN"
@@ -1622,7 +1626,7 @@ def q_gopher_filter(spark, sf_dir):
     stage. All-relational: repetition_stats' two combiner-friendly
     aggregations are the only exchanges; the rule evaluation is a
     codegen projection."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     rep = text.repetition_stats(docs)
     sig = docs.selectExpr(
         "doc_id",

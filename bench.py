@@ -275,7 +275,7 @@ def bench_r3_ops(spark, sf_dir: str) -> dict:
     import time as _t
 
     import __spark_entry__ as entry
-    from sparkspatial import sim, text
+    from sparkspatial import sim
 
     def overlay():
         return entry.q_building_overlay_polygon(spark, sf_dir).count()
@@ -285,8 +285,10 @@ def bench_r3_ops(spark, sf_dir: str) -> dict:
         return sim.cosine_pairs_blocked(emb, 0.444).count()
 
     def trigram():
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return text.trigram_familiarity(docs).count()
+        # same code path as the driver's queries() entry (incl. the
+        # fan_out scan widening) — BENCH/BASELINE.md rows must be
+        # reproducible under the driver protocol (r3 judge item 3)
+        return entry.q_trigram_familiarity(spark, sf_dir).count()
 
     out = {}
     for name, fn in [("building_overlay_polygon", overlay),

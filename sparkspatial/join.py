@@ -632,22 +632,31 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame | None = None,
             zids = pdf[poly_id].values
             zws = pdf["the_geom_wkb"].values
             if probe_rect:
+                # vectorized: group the candidate batch by zone and
+                # test ALL of a zone's rect probes against its
+                # PreparedPolygon in one numpy pass (bit-identical to
+                # the scalar polygons_intersect decomposition — see
+                # PreparedPolygon.intersects_rects; replaces the r3
+                # ~0.5 ms/pair Python loop)
                 x0 = pdf["pminx"].to_numpy(np.float64)
                 y0 = pdf["pminy"].to_numpy(np.float64)
                 x1 = pdf["pmaxx"].to_numpy(np.float64)
                 y1 = pdf["pmaxy"].to_numpy(np.float64)
+                order = np.argsort(zids, kind="stable")
+                bounds = np.flatnonzero(
+                    np.r_[True, zids[order][1:] != zids[order][:-1]])
+                for s, e in zip(bounds,
+                                np.r_[bounds[1:], len(order)]):
+                    g = order[s:e]
+                    pz = zone_prep(zids[g[0]], zws[g[0]])
+                    keep[g] = pz.intersects_rects(
+                        x0[g], y0[g], x1[g], y1[g])
             else:
                 pws = pdf["_pwkb"].values
-            for k in range(len(pdf)):
-                if probe_rect:
-                    gp = ("Polygon", [np.array(
-                        [[x0[k], y0[k]], [x1[k], y0[k]],
-                         [x1[k], y1[k]], [x0[k], y1[k]],
-                         [x0[k], y0[k]]], dtype=np.float64)])
-                else:
+                for k in range(len(pdf)):
                     gp = geom.wkb_loads(bytes(pws[k]))
-                pz = zone_prep(zids[k], zws[k])
-                keep[k] = geom.polygons_intersect(gp, prepared=pz)
+                    pz = zone_prep(zids[k], zws[k])
+                    keep[k] = geom.polygons_intersect(gp, prepared=pz)
             yield pdf[[probe_id, poly_id]][keep]
 
     matched = coarse.mapInPandas(_ref, schema=out_schema)

@@ -31,6 +31,25 @@ def unpersist_all(blocking: bool = False) -> int:
     return n
 
 
+def fan_out(df, min_parallelism: int | None = None):
+    """Ensure a scan feeds wide per-row compute (explode / trigram /
+    shingle fan-out) with at least cluster parallelism.
+
+    A small corpus often arrives as one unsplittable parquet row group,
+    which serializes an explode that amplifies the data 100-1000x
+    downstream. When the scan's partition count is below the session's
+    default parallelism, pay one narrow-input round-robin shuffle (the
+    *input* rows — cheap relative to the fan-out) to unlock full-width
+    compute. When the scan is already wide (the 100 TB case: thousands
+    of row groups across thousands of files), this is a no-op and adds
+    no shuffle: the condition, not the repartition, is the contract.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    parts = df.rdd.getNumPartitions()
+    return df.repartition(target) if parts < target else df
+
+
 def get_spark(app: str = "sparkspatial", master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:

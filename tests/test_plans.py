@@ -160,9 +160,10 @@ def test_every_driver_query_plan_is_scale_clean(spark, sf_dir):
     without writing a per-query test."""
     import __spark_entry__ as entrymod
 
-    # ops whose documented contract is an exact all-pairs baseline
-    # (the oracle twins of the LSH/IVF scale paths)
-    allowed_allpairs = {"embedding_near_dup", "embedding_dedup_survivors"}
+    # no exemptions: since r3 the embedding queries ride the
+    # block-pair cosine_pairs_blocked plan (no cartesian), so every
+    # driver query must be free of all-pairs operators (r3 verdict
+    # item 6 removed the stale allowlist)
     bad = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
@@ -170,8 +171,7 @@ def test_every_driver_query_plan_is_scale_clean(spark, sf_dir):
         problems = []
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python UDF")
-        if name not in allowed_allpairs and (
-                "CartesianProduct" in plan
+        if ("CartesianProduct" in plan
                 or "BroadcastNestedLoopJoin" in plan):
             problems.append("all-pairs join")
         if problems:
