@@ -54,9 +54,20 @@ def write_geoparquet(df: DataFrame, path: str, *,
     """Write `df` as a GeoParquet dataset at `path`; returns row count.
 
     One file per partition, written executor-side via pyarrow with the
-    ``geo`` footer; resumable/idempotent per task (task-unique file
-    names, overwrite on retry). `geometry_types` defaults to the
-    polygonal pair the layer builders emit.
+    ``geo`` footer. Commit protocol: each task attempt writes to an
+    attempt-unique ``_tmp-`` name and atomically ``os.replace``s it
+    into the final ``part-NNNNN.parquet`` only when its stream
+    completes — a speculative or zombie attempt can therefore never
+    interleave bytes with a retry's file; whichever attempt renames
+    last leaves a complete file (task attempts of one partition carry
+    identical rows). A zero-row frame still produces one empty part
+    file carrying the footer, so the dataset always reads back.
+
+    Requires driver and executors to share one filesystem for `path`
+    (true in local mode and on clusters with a shared mount; an
+    object-store backend would swap the rename for a PUT, same
+    protocol). `geometry_types` defaults to the polygonal pair the
+    layer builders emit.
     """
     if geometry_col not in df.columns:
         raise ValueError(f"no geometry column {geometry_col!r} in {df.columns}")
@@ -68,7 +79,8 @@ def write_geoparquet(df: DataFrame, path: str, *,
     # fewer partitions must not leave earlier part files mixing into
     # glob reads under a fresh _SUCCESS
     for f in os.listdir(path):
-        if f.endswith(".parquet") or f == "_SUCCESS":
+        if f.endswith(".parquet") or f == "_SUCCESS" \
+                or f.startswith("_tmp-"):
             os.remove(os.path.join(path, f))
 
     # ONE schema derived from the DataFrame schema (not inferred per
@@ -86,7 +98,11 @@ def write_geoparquet(df: DataFrame, path: str, *,
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         fname = os.path.join(path, f"part-{pid:05d}.parquet")
+        # attempt-unique temp + atomic rename: concurrent attempts of
+        # the same partition never write the same inode
+        tmp = os.path.join(path, f"_tmp-{pid:05d}-{attempt}.parquet")
         writer = None
         n = 0
         for pdf in batches:
@@ -95,17 +111,26 @@ def write_geoparquet(df: DataFrame, path: str, *,
             table = pa.Table.from_pandas(pdf, schema=arrow_schema,
                                          preserve_index=False)
             if writer is None:
-                writer = pq.ParquetWriter(fname, arrow_schema)
+                writer = pq.ParquetWriter(tmp, arrow_schema)
             writer.write_table(table)
             n += len(pdf)
         if writer is not None:
             writer.close()
+            os.replace(tmp, fname)
         yield pd.DataFrame({"file": [fname if writer else None],
                             "n_rows": [n]})
 
     stats = df.mapInPandas(_write, schema="file string, n_rows long") \
         .collect()
     total = sum(r.n_rows for r in stats)
+    if not any(r.file for r in stats):
+        # all partitions were empty: emit one empty part with the
+        # footer so read_geo_metadata / spark.read.parquet succeed on
+        # a dataset that reported a successful write
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        empty = pa.Table.from_pylist([], schema=arrow_schema)
+        pq.write_table(empty, os.path.join(path, "part-00000.parquet"))
     with open(os.path.join(path, "_SUCCESS"), "w"):
         pass
     return total

@@ -55,12 +55,19 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     """(node, component) for every node appearing in `edges`;
     component = min node id in the node's connected component.
 
-    Only scalar convergence stats ever reach the driver. If `max_iter`
-    rounds do not converge (diameter larger than max_iter — e.g. a
-    chain-shaped duplicate cluster), falls back to the O(log n)-round
-    star-contraction variant (`connected_components_star`), which is
-    diameter-independent; set `fallback_star=False` to get the old
-    RuntimeError instead.
+    Only scalar convergence stats ever reach the driver. If the
+    label-sum trend stagnates (per-round delta decaying < 20% over
+    three rounds — the arithmetic-decay signature of a chain eating
+    one hop per round) or `max_iter` rounds elapse, falls back to the
+    O(log n)-round star-contraction variant, which is
+    diameter-independent. The fallback KEEPS the completed hash-min
+    rounds (ADVICE r3 — the old path restarted from raw edges): edges
+    are contracted through the current labels first, so star
+    contraction runs on the quotient graph (one node per current
+    label cluster) and the result composes back through the label
+    table. Set `fallback_star=False` to get the old RuntimeError at
+    exhaustion instead (stagnation never raises — it only picks the
+    faster plan).
     """
     sym = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .unionByName(
@@ -80,6 +87,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
               .localCheckpoint())
 
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    deltas: list[int] = []
     for _ in range(max_iter):
         nbr_min = (sym.join(labels, sym.src == labels.node)
                    .groupBy(F.col("dst").alias("node"))
@@ -94,10 +102,42 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             sym.unpersist()
             return labels.select(F.col("node"),
                                  F.col("lbl").alias("component"))
+        deltas.append(prev_sum - new_sum)
         prev_sum = new_sum
-    sym.unpersist()
+        if fallback_star and len(deltas) >= 4 and deltas[-1] > 0 \
+                and deltas[-1] * 5 >= deltas[-4] * 4:
+            # stagnating trend: the label-sum delta decayed < 20% over
+            # three rounds — chains/paths shed one hop per round
+            # (arithmetic decay) where hash-min on low-diameter graphs
+            # collapses geometrically. Switch plans now; the fallback
+            # is exact either way, so firing early only changes cost.
+            break
     if fallback_star:
-        return connected_components_star(edges, id_a, id_b)
+        # contract edges through the completed rounds' labels: star
+        # contraction then runs on the quotient graph instead of
+        # restarting from the raw edge set
+        la = labels.select(F.col("node").alias("src"),
+                           F.col("lbl").alias("_la"))
+        lb = labels.select(F.col("node").alias("dst"),
+                           F.col("lbl").alias("_lb"))
+        reduced = (sym.join(la, "src").join(lb, "dst")
+                   .where(F.col("_la") != F.col("_lb"))
+                   .select(F.col("_la").alias(id_a),
+                           F.col("_lb").alias(id_b))
+                   .distinct()
+                   .localCheckpoint())
+        sym.unpersist()
+        if reduced.isEmpty():
+            # every cluster already carries a single label
+            return labels.select(F.col("node"),
+                                 F.col("lbl").alias("component"))
+        roots = connected_components_star(reduced, id_a, id_b)
+        return (labels
+                .join(roots.withColumnRenamed("node", "lbl"),
+                      "lbl", "left")
+                .select(F.col("node"),
+                        F.coalesce("component", "lbl").alias("component")))
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} rounds")
 

@@ -540,6 +540,13 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame | None = None,
     is stateless, so the whole join is stream-static legal; the stats
     pass is not).
     """
+    if probe_id == poly_id:
+        # a self-overlay with one id name would carry duplicate columns
+        # through the cell equi-join and silently corrupt the refine's
+        # pdf[poly_id] lookup (ADVICE r3) — fail loudly instead
+        raise ValueError(
+            f"probe_id and poly_id are both {probe_id!r}; alias one side "
+            f"(e.g. probes.withColumnRenamed) before the join")
     if index is not None:
         if zones is not None:
             raise ValueError("pass zones OR index, not both")

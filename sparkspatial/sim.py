@@ -163,6 +163,11 @@ def cosine_pairs_blocked(corpus: DataFrame, threshold: float, *,
     `cosine_pairs` (driver-broadcast) remains as the small-corpus
     test oracle only.
     """
+    # derive the pair-id type from the corpus so non-long ids (int,
+    # string, ...) produce a typed schema instead of an opaque Arrow
+    # cast error (ADVICE r3); ordering via np.minimum/np.maximum works
+    # for any orderable dtype numpy can hold, incl. object strings
+    id_type = corpus.schema[id_col].dataType.simpleString()
     base = corpus.select(id_col, vec_col).withColumn(
         "_blk", F.pmod(F.xxhash64(F.col(id_col)),
                        F.lit(n_blocks)).cast("int"))
@@ -189,8 +194,7 @@ def cosine_pairs_blocked(corpus: DataFrame, threshold: float, *,
         blk = pdf["_blk"].to_numpy()
         a, b = blk == pa, blk == pb
         if not a.any() or not b.any():
-            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                                 "id_b": np.array([], dtype=np.int64),
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
                                  "cos": np.array([], dtype=np.float64)})
         cos = (mat[a] @ mat[b].T) / norm[a][:, None] / norm[b][None, :]
         keep = cos >= threshold
@@ -201,7 +205,9 @@ def cosine_pairs_blocked(corpus: DataFrame, threshold: float, *,
                              "cos": cos[ii, jj]})
 
     return (rep.groupBy("_pa", "_pb")
-            .applyInPandas(_pairs, schema="id_a long, id_b long, cos double"))
+            .applyInPandas(
+                _pairs,
+                schema=f"id_a {id_type}, id_b {id_type}, cos double"))
 
 
 def cosine_pairs_duckdb_sql(threshold: str,

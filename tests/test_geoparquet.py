@@ -117,3 +117,34 @@ def test_geoparquet_empty_partitions(spark, tmp_path):
     meta = geoparquet.read_geo_metadata(path)
     assert meta["primary_column"] == "the_geom_wkb"
     assert spark.read.parquet(path).count() == 1
+
+
+def test_geoparquet_zero_rows(spark, tmp_path):
+    """A zero-row frame still yields a readable dataset: one empty
+    part file carrying the geo footer plus _SUCCESS (ADVICE r3: the
+    old writer stamped _SUCCESS over an empty dir and the read path
+    raised FileNotFoundError on a 'successful' write)."""
+    df = spark.createDataFrame(
+        [], "zone_id string, the_geom_wkb binary").repartition(4)
+    path = str(tmp_path / "empty_geo")
+    assert geoparquet.write_geoparquet(df, path) == 0
+    meta = geoparquet.read_geo_metadata(path)
+    assert meta["primary_column"] == "the_geom_wkb"
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert set(back.columns) == {"zone_id", "the_geom_wkb"}
+
+
+def test_geoparquet_no_stray_tmp_files(spark, tmp_path):
+    """The attempt-unique temp names are all renamed or cleaned: after
+    a write, no _tmp- file remains next to the parts (the commit
+    protocol added for speculative/zombie task attempts)."""
+    import os
+
+    zdf = zones.synthetic_zones(spark, n=6)
+    path = str(tmp_path / "tmpless_geo")
+    geoparquet.write_geoparquet(zdf.repartition(3), path)
+    assert not [f for f in os.listdir(path) if f.startswith("_tmp-")]
+    # second write over the first also leaves no stragglers
+    geoparquet.write_geoparquet(zdf.repartition(2), path)
+    assert not [f for f in os.listdir(path) if f.startswith("_tmp-")]

@@ -701,6 +701,27 @@ def test_hashmin_falls_back_to_star_on_long_chain(spark):
                                    fallback_star=False).count()
 
 
+def test_hashmin_stagnation_fallback_early_and_exact(spark):
+    """ADVICE r3: the fallback no longer restarts from raw edges at
+    max_iter — a stagnating delta trend (chain) switches to star
+    contraction early, over the label-contracted quotient graph, and
+    the composed result is still exact. A chain long enough that 5
+    rounds cannot finish but short enough that the old code would
+    have burned all 25 default rounds: with stagnation detection the
+    answer must come back correct well before max_iter, alongside a
+    mixed graph (chain + cliques + isolated self-loop)."""
+    edges = ([(i, i + 1) for i in range(80)]            # long chain
+             + [(1000, 1001), (1001, 1002), (1000, 1002)]  # triangle
+             + [(2000, 2000)])                          # self-loop
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in graph.connected_components(df, max_iter=25).collect()}
+    assert {got[i] for i in range(81)} == {0}
+    assert got[1000] == got[1001] == got[1002] == 1000
+    assert got[2000] == 2000
+    assert len(got) == 85
+
+
 def test_star_cc_keeps_self_loop_nodes(spark):
     edges = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
     star = {r.node: r.component

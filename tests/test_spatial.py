@@ -180,6 +180,18 @@ def test_polygons_intersect_cases():
                                                           3.6, 3.6))
 
 
+def test_spatial_join_polygons_rejects_same_id_name(spark):
+    """probe_id == poly_id would duplicate the id column through the
+    cell equi-join and corrupt the refine lookup (ADVICE r3) — the
+    join must fail loudly up front."""
+    import pytest
+
+    zdf = zones.synthetic_zones(spark, n=2)
+    with pytest.raises(ValueError, match="alias one side"):
+        join.spatial_join_polygons(zdf, zdf, probe_id="zone_id",
+                                   probe_rect=True)
+
+
 def test_intersects_rects_matches_scalar():
     """The batched rect refine (PreparedPolygon.intersects_rects, the
     r4 vectorization of the overlay's per-pair Python loop) is

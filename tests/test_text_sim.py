@@ -246,6 +246,21 @@ def test_cosine_pairs_blocked_matches_oracle(emb):
         assert got == want, f"n_blocks={nb}"
 
 
+def test_cosine_pairs_blocked_nonlong_ids(emb):
+    """The pair schema derives from the corpus id type (ADVICE r3):
+    string ids come back as strings with the same (lexicographically
+    ordered) pair set, instead of an opaque Arrow cast error."""
+    semb = emb.selectExpr("concat('v', lpad(CAST(vec_id AS STRING), 4, '0'))"
+                          " AS vec_id", "embedding")
+    thr = 0.35
+    want = {("v%04d" % r.id_a, "v%04d" % r.id_b)
+            for r in sim.cosine_pairs(emb, thr).collect()}
+    got = {(r.id_a, r.id_b)
+           for r in sim.cosine_pairs_blocked(semb, thr, n_blocks=3)
+           .collect()}
+    assert got == want and len(want) > 0
+
+
 def test_embedding_query_path_has_no_driver_collect():
     """r2 verdict item 1: the shipped embedding near-dup queries must
     not ride a corpus-sized driver collect. cosine_pairs_blocked's
