@@ -126,6 +126,38 @@ def unproject_utm(easting, northing, epsg) -> tuple[np.ndarray, np.ndarray]:
     return np.degrees(lat), np.degrees(lon)
 
 
+def transform_geom(g, epsg: int, inverse: bool = False):
+    """Reproject a tagged-tuple geometry between EPSG:4326 (x=lon,
+    y=lat) and the given UTM EPSG (x=easting, y=northing) — the
+    ST_TRANSFORM step of the reference's per-zone layer export
+    (Data.groovy:370-372 picks the zone's UTM EPSG,
+    Transform.groovy:231 reprojects every output geometry). Vectorized
+    per ring/line via project_utm/unproject_utm; safe inside the layer
+    builders' existing Arrow stage (no extra Python stage needed).
+    """
+    tag, body = g
+
+    def _xy(arr):
+        a = np.asarray(arr, dtype=np.float64)
+        if inverse:
+            lat, lon = unproject_utm(a[:, 0], a[:, 1], epsg)
+            return np.column_stack([lon, lat])
+        e, n = project_utm(a[:, 1], a[:, 0], epsg)
+        return np.column_stack([e, n])
+
+    if tag == "Point":
+        return (tag, tuple(_xy(np.asarray(body, dtype=np.float64)
+                               .reshape(1, 2))[0]))
+    if tag == "LineString":
+        return (tag, _xy(body))
+    if tag == "Polygon":
+        return (tag, [_xy(r) for r in body])
+    if tag in ("MultiPoint", "MultiPolygon", "MultiLineString",
+               "GeometryCollection"):
+        return (tag, [transform_geom(sub, epsg, inverse) for sub in body])
+    raise ValueError(f"transform_geom: unsupported geometry {tag!r}")
+
+
 def to_mercator(lat, lon) -> tuple[np.ndarray, np.ndarray]:
     """WGS84 -> EPSG:3857 web-mercator meters."""
     lat = np.clip(np.asarray(lat, dtype=np.float64), -85.06, 85.06)

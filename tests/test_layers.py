@@ -166,6 +166,55 @@ def test_road_layer_and_traffic(spark):
     assert m.first().day_hv_speed == 90 if m.first().maxspeed >= 110 else True
 
 
+def test_layer_epsg_reprojection_roundtrip(spark):
+    """r3 verdict item 7: the layer builders accept `epsg=` like the
+    reference (Data.groovy:370-372 picks the zone's UTM EPSG,
+    Transform.groovy:231 reprojects outputs). Building + road layers
+    built at the zone's UTM EPSG carry metric coordinates that
+    round-trip back onto the 4326 outputs to < 1 mm, row for row."""
+    from sparkspatial import crs
+
+    # a Nantes-ish zone centre: UTM 30N
+    zone_epsg = int(crs.utm_epsg(47.2, -1.55))
+    assert zone_epsg == 32630
+
+    def poly(*pts):
+        return bytearray(geom.wkb_dumps(
+            ("Polygon", [np.array(pts, dtype=np.float64)])))
+
+    def line(*pts):
+        return bytearray(geom.wkb_dumps(
+            ("LineString", np.array(pts, dtype=np.float64))))
+
+    polys = spark.createDataFrame(
+        [("b1", poly((-1.551, 47.201), (-1.549, 47.201), (-1.549, 47.202),
+                     (-1.551, 47.202), (-1.551, 47.201)), "house", "2")],
+        "id string, the_geom_wkb binary, building string, "
+        "`building:levels` string")
+    lines = spark.createDataFrame(
+        [("w1", line((-1.56, 47.20), (-1.54, 47.21)), "motorway")],
+        "id string, the_geom_wkb binary, highway string")
+
+    for build, frame, kind in [
+            (layers.build_building_layer, polys, "Polygon"),
+            (layers.build_road_layer, lines, "LineString")]:
+        g4326 = geom.wkb_loads(bytes(
+            build(frame).collect()[0].the_geom_wkb))
+        gutm = geom.wkb_loads(bytes(
+            build(frame, epsg=zone_epsg).collect()[0].the_geom_wkb))
+        assert gutm[0] == kind
+        # metric coordinates in the UTM zone's plausible range
+        arr = np.asarray(gutm[1][0] if kind == "Polygon" else gutm[1])
+        assert (arr[:, 0] > 100000).all() and (arr[:, 0] < 900000).all()
+        assert (arr[:, 1] > 5000000).all() and (arr[:, 1] < 5400000).all()
+        back = crs.transform_geom(gutm, zone_epsg, inverse=True)
+        a = np.asarray(back[1][0] if kind == "Polygon" else back[1])
+        b = np.asarray(g4326[1][0] if kind == "Polygon" else g4326[1])
+        err_m = (np.abs(a[:, 1] - b[:, 1]) * 110574
+                 + np.abs(a[:, 0] - b[:, 0]) * 111320)
+        assert err_m.max() < 1e-3, err_m.max()
+
+
 def test_road_clip_to_envelope(spark):
     def line(*pts):
         return bytearray(geom.wkb_dumps(

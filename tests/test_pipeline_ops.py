@@ -871,6 +871,28 @@ def test_bpe_train_matches_reference_on_corpus(docs):
     assert len(rules) == 12
 
 
+def test_bpe_train_local_matches_all_paths(docs, spark):
+    """r3 verdict item 8: bpe_train_local (distributed word count +
+    in-driver incremental merge loop — the industrial job shape for
+    32k-merge tokenizers) produces EXACTLY the textbook and
+    distributed-round rules, including tie order, on the corpus and
+    on a quote/backslash/degenerate-repeat fixture."""
+    from sparkspatial import bpe
+
+    sub = docs.where("doc_id < 100").select("doc_id", "text")
+    wc = {r.word: r.weight for r in bpe.word_counts(sub).collect()}
+    assert bpe.bpe_train_local(sub, 40) == bpe.bpe_reference(wc, 40)
+
+    hostile = spark.createDataFrame(
+        [(1, "it's a\\b it's it's a\\b don't don't x'y x'y"),
+         (2, "aaaa aaaa aab aab")],
+        "doc_id long, text string")
+    wch = {r.word: r.weight for r in bpe.word_counts(hostile).collect()}
+    want = bpe.bpe_reference(wch, 50)
+    assert bpe.bpe_train_local(hostile, 50) == want
+    assert bpe.bpe_train(hostile, 50) == want
+
+
 def test_bpe_encode_counts_match_reference(docs):
     """APPLY side: per-doc learned-token counts from the vocab join ==
     encoding every doc with the reference merges locally."""
