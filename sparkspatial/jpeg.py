@@ -1,0 +1,598 @@
+"""Baseline JPEG (ITU-T T.81) codec, dependency-free (r3 verdict
+item 5: "real JPEG decode for image_features" — no PIL in this
+environment, so the baseline sequential DCT process is implemented
+from the public spec directly).
+
+Decoder scope — what real Common-Crawl-ish baseline JPEGs use:
+- SOF0 (baseline sequential DCT, 8-bit), 1 or 3 components,
+- arbitrary sampling factors 1..2 per axis (4:4:4, 4:2:2, 4:2:0),
+- multiple DQT/DHT segments, 8/16-bit quant tables,
+- byte stuffing (FF 00) and DRI/RSTn restart markers,
+- APPn/COM segments skipped.
+Progressive (SOF2), arithmetic coding, and 12-bit precision are
+rejected by returning None (same "invalid, never a crash" contract as
+the other codecs in multimodal.py).
+
+Encoder scope (fixture generator + round-trip witness): quality-scaled
+Annex K quantization, Annex K Huffman tables, 4:4:4 or 4:2:0.
+
+Numerics: the 8-point orthonormal DCT-II matrix gives EXACTLY the
+spec's (1/4)C(u)C(v) coefficient scaling, so FDCT/IDCT are two clean
+matrix products; all blocks of an image IDCT in one einsum. Entropy
+coding is per-symbol Python (bounded by fixture sizes; the Spark-side
+operators batch per Arrow partition, so the loop is per-task, not
+per-row-in-driver).
+
+Chroma upsampling is box replication (np.repeat) — deliberately the
+simplest spec-legal choice; decoders differ here (libjpeg defaults to
+triangular), which is why tests pin OUR decoder's bytes by hash and
+check encoder->decoder error bounds rather than comparing against a
+third-party decode.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
+
+# ------------------------------------------------------------- constants
+
+def _make_zigzag() -> np.ndarray:
+    """Natural-order index of each zigzag position (spec Figure 5)."""
+    idx, x, y = [], 0, 0
+    for _ in range(64):
+        idx.append(y * 8 + x)
+        if (x + y) % 2 == 0:
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x += 1
+                y -= 1
+        else:
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x -= 1
+                y += 1
+    return np.array(idx, dtype=np.int64)
+
+
+ZIGZAG = _make_zigzag()
+
+# Annex K.1/K.2 quantization tables (natural order)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+assert sum(DC_LUMA_BITS) == len(DC_LUMA_VALS) == 12
+assert sum(DC_CHROMA_BITS) == len(DC_CHROMA_VALS) == 12
+assert sum(AC_LUMA_BITS) == len(AC_LUMA_VALS) == 162
+assert sum(AC_CHROMA_BITS) == len(AC_CHROMA_VALS) == 162
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis; A @ b @ A.T reproduces the
+    spec's (1/4)C(u)C(v) forward-DCT scaling exactly (check:
+    c(0)^2 = 1/8, c(0)c(k) = 1/(4*sqrt(2)), c(j)c(k) = 1/4)."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    a = np.cos((2 * n + 1) * k * np.pi / 16.0)
+    a[0, :] *= np.sqrt(1.0 / 8.0)
+    a[1:, :] *= np.sqrt(2.0 / 8.0)
+    return a
+
+
+_A = _dct_matrix()
+
+
+def _canonical_codes(bits):
+    """(code, length) per symbol in table order (spec Annex C)."""
+    codes, code = [], 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes.append((code, length))
+            code += 1
+        code <<= 1
+    return codes
+
+
+# -------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # 1-pad per spec
+
+
+def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling of a base table (public
+    IJG formula: scale = 5000/Q below 50, 200-2Q above)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (qt * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _mag_bits(v: int):
+    """(size, raw bits) for a DC diff / AC amplitude (spec F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _encode_block(bw: _BitWriter, q: np.ndarray, pred: int,
+                  dc_codes, ac_codes) -> int:
+    """Huffman-encode one quantized zigzag block; returns new DC pred."""
+    dc = int(q[0])
+    size, bits = _mag_bits(dc - pred)
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if q[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]      # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, bits = _mag_bits(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        c, ln = ac_codes[0x00]          # EOB
+        bw.write(c, ln)
+    return dc
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False) -> bytes:
+    """uint8 (h, w, 3) RGB (or (h, w) gray) -> baseline JFIF bytes.
+
+    `subsample=True` writes 4:2:0 chroma (box-averaged), else 4:4:4.
+    """
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+    else:
+        r = arr[..., 0].astype(np.float64)
+        g = arr[..., 1].astype(np.float64)
+        b = arr[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def _half(p):
+                hh, ww = (h + 1) // 2, (w + 1) // 2
+                pad = np.empty((hh * 2, ww * 2), dtype=np.float64)
+                pad[:h, :w] = p
+                pad[h:, :w] = p[h - 1:, :]
+                pad[:h, w:] = pad[:h, w - 1:w]
+                pad[h:, w:] = p[h - 1, w - 1]
+                return pad.reshape(hh, 2, ww, 2).mean(axis=(1, 3))
+            planes = [y - 128.0, _half(cb) - 128.0, _half(cr) - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    qts = [_quality_scale(QT_LUMA, quality),
+           _quality_scale(QT_CHROMA, quality)]
+    comp_qt = [0] if gray else [0, 1, 1]
+    dc_tables = [dict(zip(DC_LUMA_VALS, _canonical_codes(DC_LUMA_BITS))),
+                 dict(zip(DC_CHROMA_VALS, _canonical_codes(DC_CHROMA_BITS)))]
+    ac_tables = [dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS))),
+                 dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))]
+
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # pad planes to whole blocks-per-MCU-grid (edge replicate)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
+        pp = np.empty((ph, pw), dtype=np.float64)
+        ah, aw = p.shape
+        pp[:ah, :aw] = p
+        pp[ah:, :aw] = p[ah - 1:ah, :]
+        pp[:, aw:] = pp[:, aw - 1:aw]
+        padded.append(pp)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                qt = qts[comp_qt[ci]]
+                dct = dc_tables[0 if ci == 0 else 1]
+                act = ac_tables[0 if ci == 0 else 1]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8]
+                        f = _A @ blk @ _A.T
+                        q = np.round(f.reshape(64)[ZIGZAG]
+                                     / qt[ZIGZAG]).astype(np.int64)
+                        preds[ci] = _encode_block(bw, q, preds[ci],
+                                                  dct, act)
+    bw.flush()
+
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    for tid, qt in enumerate(qts[:1 if gray else 2]):
+        zz = qt[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + zz
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, comp_qt[ci])
+    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+           (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        hts += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals in hts:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3F\x00"
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.buf
+    out += b"\xFF\xD9"                                  # EOI
+    return bytes(out)
+
+
+# -------------------------------------------------------------- decoder
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs FF 00, stops at markers
+    (leaving position on the FF) — spec F.2.2.5."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                return 0          # spec: feed 0s past segment end
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(
+                    self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:             # a marker: stall, feed zeros
+                    return 0
+            else:
+                self.pos += 1
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self):
+        self.nbits = 0
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (spec F.2.2.1): map T raw bits to a signed amplitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_huff(br: _BitReader, table: dict) -> int | None:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    return None
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF/JPEG bytes -> uint8 (h, w, 3) RGB array, or None
+    for anything that is not a decodable baseline sequential JPEG."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, ValueError, ZeroDivisionError):
+        return None
+
+
+def _decode_jpeg(payload: bytes):
+    if len(payload) < 4 or payload[:2] != b"\xFF\xD8":
+        return None
+    qts: dict = {}
+    huffs: dict = {}
+    comps = None
+    h = w = 0
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:                      # EOI before SOS
+            return None
+        seg_len = struct.unpack_from(">H", payload, i)[0]
+        seg = payload[i + 2:i + seg_len]
+        if marker == 0xDB:                      # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, j) \
+                        .astype(np.int64)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, j) \
+                        .astype(np.int64)
+                    j += 128
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = tbl
+                qts[tq] = nat
+        elif marker == 0xC4:                    # DHT
+            j = 0
+            while j < len(seg):
+                tc_th = seg[j]
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                table = {}
+                for v, (code, ln) in zip(vals, _canonical_codes(bits)):
+                    table[(ln, code)] = v
+                huffs[tc_th] = table
+                j += 17 + nv
+        elif marker == 0xC0:                    # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None                          # non-baseline process
+        elif marker == 0xDD:                    # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:                    # SOS
+            if comps is None:
+                return None
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(payload, i + seg_len, comps, sel, qts,
+                                huffs, h, w, restart_interval)
+        i += seg_len
+    return None
+
+
+def _decode_scan(data, pos, comps, sel, qts, huffs, h, w,
+                 restart_interval):
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if not (1 <= max_h <= 4 and 1 <= max_v <= 4):
+        return None
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]           # blocks across the plane
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+        td, ta = sel[c["id"]]
+        c["dc_t"] = huffs.get(0x00 | td)
+        c["ac_t"] = huffs.get(0x10 | ta)
+        if c["dc_t"] is None or c["ac_t"] is None \
+                or c["tq"] not in qts:
+            return None
+        c["q"] = qts[c["tq"]].astype(np.float64)
+        c["pred"] = 0
+
+    br = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                br.align()
+                p = br.pos
+                if p + 1 < len(data) and data[p] == 0xFF \
+                        and 0xD0 <= data[p + 1] <= 0xD7:
+                    br.pos = p + 2
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        t = _decode_huff(br, c["dc_t"])
+                        if t is None:
+                            return None
+                        diff = _extend(br.receive(t), t)
+                        c["pred"] += diff
+                        zz = np.zeros(64, dtype=np.float64)
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, c["ac_t"])
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break           # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        row = (my * c["v"] + by) * c["bw"] \
+                            + (mx * c["h"] + bx)
+                        c["coef"][row] = zz
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        nat = np.zeros((len(c["coef"]), 64), dtype=np.float64)
+        nat[:, ZIGZAG] = c["coef"]
+        nat *= c["q"][None, :]
+        blocks = nat.reshape(-1, 8, 8)
+        # batched IDCT: b = A.T @ F @ A for every block at once
+        pix = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A) + 128.0
+        plane = (pix.reshape(c["bh"], c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["bh"] * 8, c["bw"] * 8))
+        # crop to this component's true size, then replicate up
+        cw = (w * c["h"] + max_h - 1) // max_h
+        ch = (h * c["v"] + max_v - 1) // max_v
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, max_v // c["v"], axis=0),
+                          max_h // c["h"], axis=1)[:h, :w]
+        planes.append(plane)
+
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -212,3 +212,123 @@ def test_y4m_roundtrip_and_frame_sampling(spark):
         assert np.array_equal(arr[..., 0], fr[i])
         assert abs(r.mean_luma - fr[i].astype(np.float64).mean()) < 1e-9
     assert not any(r.url == "junk" for r in got)
+
+
+# ------------------------------------------------- real baseline JPEG codec
+
+def _grad_img():
+    import numpy as np
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    return np.stack([(xx * 255 // 55), (yy * 255 // 39),
+                     ((xx + yy) * 255 // 94)], axis=2).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_error_bounds_and_determinism():
+    """Baseline T.81 codec (r3 verdict item 5): encode->decode error
+    stays within quantization bounds on smooth, noisy, gray and
+    odd-sized images, at 4:4:4 and 4:2:0; encode and decode are
+    byte-deterministic (pinned sha256)."""
+    import hashlib
+
+    import numpy as np
+
+    from sparkspatial import jpeg
+
+    rng = np.random.RandomState(3)
+    img = _grad_img()
+    cases = [(img, 90, False, 6), (img, 90, True, 14),
+             (img, 50, False, 16),
+             (rng.randint(0, 256, (40, 56, 3)).astype(np.uint8),
+              85, False, 60),
+             (img[:17, :23], 80, True, 20)]
+    for src, q, sub, tol in cases:
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(src, quality=q,
+                                                subsample=sub))
+        assert dec is not None and dec.shape == src.shape
+        err = np.abs(dec.astype(int) - src.astype(int))
+        assert err.mean() < tol, (q, sub, err.mean())
+
+    enc = jpeg.encode_jpeg(img, quality=90)
+    dec = jpeg.decode_jpeg(enc)
+    assert hashlib.sha256(enc).hexdigest() == \
+        "4dbd332ee13dc86385d89d13b20398ebb5e96fb4d221c204401171fa066d727d"
+    assert hashlib.sha256(dec.tobytes()).hexdigest() == \
+        "865793101e58b003fa579a55a1407187893bf7912ee29fa8702aa61f15918899"
+    # invalid payloads: None, never a crash
+    assert jpeg.decode_jpeg(b"") is None
+    assert jpeg.decode_jpeg(b"notajpeg") is None
+    assert jpeg.decode_jpeg(b"\xff\xd8junk") is None
+    jpeg.decode_jpeg(enc[:-40])  # truncated mid-scan: no crash either way
+
+
+_REAL_JPEGS = [
+    ("/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/"
+     "python.jpg", (16, 16, 3),
+     "2a250932a73d84184d7996ac55ab3fb2f8c761ea3e2ce85731437fa0426aaece"),
+    ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+     "rust/html/embedded-book/assets/verify.jpeg", (477, 720, 3),
+     "4043ec03e0052124c81bd0eea9914f279068a2101bc5d45b8b683769c27a86a2"),
+]
+
+
+def test_jpeg_decodes_real_world_baseline_files():
+    """The decoder handles REAL baseline JPEGs produced by independent
+    encoders (CPython test-suite logo, rustup embedded-book photo —
+    read in place like the osm golden fixture), byte-for-byte pinned
+    pixel hashes; a progressive (SOF2) file is rejected with None."""
+    import hashlib
+
+    from sparkspatial import jpeg
+
+    found = 0
+    for path, shape, sha in _REAL_JPEGS:
+        if not os.path.exists(path):
+            continue
+        found += 1
+        dec = jpeg.decode_jpeg(open(path, "rb").read())
+        assert dec is not None and dec.shape == shape, path
+        assert hashlib.sha256(dec.tobytes()).hexdigest() == sha, path
+    prog = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+            "share/doc/rust/html/embedded-book/assets/f3.jpg")
+    if os.path.exists(prog):
+        assert jpeg.decode_jpeg(open(prog, "rb").read()) is None
+    if found == 0:
+        pytest.skip("no system JPEG fixtures on this box")
+
+
+def test_jpeg_image_features_and_resize(spark):
+    """codec='jpeg' flows through the same Spark operators as PPM:
+    extract_meta / image_features see real decoded dimensions and
+    near-PPM feature values; resize_images halves and re-encodes a
+    decodable baseline JPEG."""
+    import numpy as np
+
+    from sparkspatial import jpeg
+    from sparkspatial import multimodal as mm
+
+    img = _grad_img()
+    df = spark.createDataFrame(
+        [("a", jpeg.encode_jpeg(img, quality=90)), ("junk", b"\x00\x01")],
+        "url string, payload binary")
+
+    meta = {r.url: (r.kind, r.width, r.height, r.valid)
+            for r in mm.extract_meta(df, codec="jpeg").collect()}
+    assert meta["a"] == ("image", 56, 40, True)
+    assert meta["junk"] == (None, 0, 0, False)
+
+    feats = {r.url: r for r in
+             mm.image_features(df, codec="jpeg").collect()}
+    assert feats["a"].valid and not feats["junk"].valid
+    want = img.reshape(-1, 3).mean(axis=0)
+    assert abs(feats["a"].mean_r - want[0]) < 2.0
+    assert abs(feats["a"].mean_g - want[1]) < 2.0
+    assert abs(feats["a"].mean_b - want[2]) < 2.0
+
+    out = mm.resize_images(df, max_side=28, codec="jpeg").collect()
+    resized = {r.url: bytes(r.payload) for r in out}
+    dec = jpeg.decode_jpeg(resized["a"])
+    assert dec is not None and dec.shape == (20, 28, 3)
+    box = mm._halve(img)
+    assert np.abs(dec.astype(int) - box.astype(int)).mean() < 6.0
+    assert resized["junk"] == b"\x00\x01"  # non-images pass through
