@@ -353,6 +353,10 @@ def main():
             "north_pair": sc.get("north_pair"),
             "eff_lo_to_hi": sc.get("eff_lo_to_hi"),
             "both_runs_ge_0_8_lo_to_hi": sc.get("both_runs_ge_0_8_lo_to_hi"),
+            # the second in-envelope 4x pair the r3 judge asked for
+            # (item 4): 4->16 stays inside the physical cores
+            "eff_4_to_16": sc.get("eff_4_to_16"),
+            "both_runs_ge_0_8_4_to_16": sc.get("both_runs_ge_0_8"),
             "corpus_pages": sc.get("corpus_pages"),
             "pages_per_sec_by_cpus": [
                 {lvl: round(run[lvl]["pages_per_sec"], 1) for lvl in run}
