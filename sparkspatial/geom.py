@@ -485,6 +485,12 @@ class PreparedPolygon:
         # leg 3: strict edge crossings (rect edge set ea vs self.edges)
         eb = self.edges
         if len(eb):
+            # bound the (chunk, 4, E) broadcast temporaries by element
+            # budget, not a fixed rect count: a high-vertex zone
+            # (coastline, E ~ 1e5) at chunk=512 would allocate
+            # ~1.6 GB PER d-array (r4 self-review finding)
+            budget = 4 << 20          # elements per temp (~32 MB f64)
+            chunk = max(1, min(chunk, budget // (4 * len(eb))))
             x3 = eb[:, 0][None, None, :]
             y3 = eb[:, 1][None, None, :]
             x4 = eb[:, 2][None, None, :]

@@ -101,8 +101,10 @@ def write_geoparquet(df: DataFrame, path: str, *,
         attempt = ctx.taskAttemptId() if ctx is not None else 0
         fname = os.path.join(path, f"part-{pid:05d}.parquet")
         # attempt-unique temp + atomic rename: concurrent attempts of
-        # the same partition never write the same inode
-        tmp = os.path.join(path, f"_tmp-{pid:05d}-{attempt}.parquet")
+        # the same partition never write the same inode. The temp name
+        # deliberately does NOT end in .parquet so an in-flight zombie
+        # temp can never be picked up by *.parquet glob readers
+        tmp = os.path.join(path, f"_tmp-{pid:05d}-{attempt}.inprogress")
         writer = None
         n = 0
         for pdf in batches:

@@ -540,13 +540,6 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame | None = None,
     is stateless, so the whole join is stream-static legal; the stats
     pass is not).
     """
-    if probe_id == poly_id:
-        # a self-overlay with one id name would carry duplicate columns
-        # through the cell equi-join and silently corrupt the refine's
-        # pdf[poly_id] lookup (ADVICE r3) — fail loudly instead
-        raise ValueError(
-            f"probe_id and poly_id are both {probe_id!r}; alias one side "
-            f"(e.g. probes.withColumnRenamed) before the join")
     if index is not None:
         if zones is not None:
             raise ValueError("pass zones OR index, not both")
@@ -568,6 +561,15 @@ def spatial_join_polygons(probes: DataFrame, zones: DataFrame | None = None,
         zcover = cover_polygons(zones, poly_id=poly_id, wkb_col=wkb_col,
                                 res=r,
                                 max_cells_per_poly=max_cells_per_poly)
+    if probe_id == poly_id:
+        # a self-overlay with one id name would carry duplicate columns
+        # through the cell equi-join and silently corrupt the refine's
+        # pdf[poly_id] lookup (ADVICE r3) — fail loudly instead. The
+        # check runs AFTER index.poly_id resolution so an index built
+        # with a custom poly_id cannot slip past it (r4 self-review).
+        raise ValueError(
+            f"probe_id and poly_id are both {probe_id!r}; alias one side "
+            f"(e.g. probes.withColumnRenamed) before the join")
     if broadcast is None:
         broadcast = n_cover <= BROADCAST_MAX_COVER_ROWS
     if probe_bbox_cols is not None or probe_rect:

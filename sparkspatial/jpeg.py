@@ -36,7 +36,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "decode_jpeg", "jpeg_dimensions"]
 
 # ------------------------------------------------------------- constants
 
@@ -416,12 +416,58 @@ def _decode_huff(br: _BitReader, table: dict) -> int | None:
     return None
 
 
+def jpeg_dimensions(payload: bytes):
+    """(width, height) from the SOF0 header alone, or None if the
+    stream is not a baseline JPEG — the cheap metadata path
+    (extract_meta uses this instead of paying the full per-MCU
+    entropy decode just to report dimensions; r4 self-review).
+    Header-level only: a stream with a valid header but truncated
+    entropy data still reports its declared dimensions, matching the
+    PPM header-parse semantics."""
+    try:
+        if len(payload) < 4 or payload[:2] != b"\xFF\xD8":
+            return None
+        i, n = 2, len(payload)
+        while i < n - 1:
+            if payload[i] != 0xFF:
+                return None
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 1 >= n:
+                return None
+            marker = payload[i + 1]
+            i += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                return None
+            seg_len = struct.unpack_from(">H", payload, i)[0]
+            if marker == 0xC0:
+                prec, h, w, nc = struct.unpack_from(">BHHB",
+                                                    payload, i + 2)
+                if prec != 8 or nc not in (1, 3) or not (h and w):
+                    return None
+                return w, h
+            if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+            if marker == 0xDA:
+                return None          # scan before any SOF0
+            i += seg_len
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 def decode_jpeg(payload: bytes):
     """Baseline JFIF/JPEG bytes -> uint8 (h, w, 3) RGB array, or None
     for anything that is not a decodable baseline sequential JPEG."""
     try:
         return _decode_jpeg(payload)
-    except (struct.error, IndexError, ValueError, ZeroDivisionError):
+    except (struct.error, IndexError, KeyError, ValueError,
+            ZeroDivisionError):
+        # KeyError: e.g. SOS component selector ids that don't match
+        # the SOF frame ids (r4 self-review: reproduced crash)
         return None
 
 
@@ -437,6 +483,12 @@ def _decode_jpeg(payload: bytes):
     n = len(payload)
     while i < n - 1:
         if payload[i] != 0xFF:
+            return None
+        # skip spec-legal fill bytes: any number of 0xFF may pad
+        # before a marker code (T.81 B.1.1.2)
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
             return None
         marker = payload[i + 1]
         i += 2

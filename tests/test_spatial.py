@@ -183,13 +183,22 @@ def test_polygons_intersect_cases():
 def test_spatial_join_polygons_rejects_same_id_name(spark):
     """probe_id == poly_id would duplicate the id column through the
     cell equi-join and corrupt the refine lookup (ADVICE r3) — the
-    join must fail loudly up front."""
+    join must fail loudly up front, INCLUDING via the index path
+    where poly_id resolves to index.poly_id after the early params
+    (r4 self-review: the original guard ran before that resolution
+    and a custom-poly_id index slipped past it)."""
     import pytest
 
     zdf = zones.synthetic_zones(spark, n=2)
     with pytest.raises(ValueError, match="alias one side"):
         join.spatial_join_polygons(zdf, zdf, probe_id="zone_id",
                                    probe_rect=True)
+    idx = join.build_poly_zone_index(
+        zdf.withColumnRenamed("zone_id", "gid"), poly_id="gid")
+    with pytest.raises(ValueError, match="alias one side"):
+        join.spatial_join_polygons(
+            zdf.withColumnRenamed("zone_id", "gid"),
+            index=idx, probe_id="gid", probe_rect=True)
 
 
 def test_intersects_rects_matches_scalar():
@@ -207,12 +216,20 @@ def test_intersects_rects_matches_scalar():
                                _rect_poly(4, 4, 6, 6)])
     concave = ("Polygon", [np.array(
         [[0, 0], [4, 10], [8, 0], [4, 6], [0, 0]], float)])
-    for g in (holed, island, concave):
+    # a 3000-edge star polygon exercises the element-budget chunk
+    # reduction (budget // (4 * E) < default chunk — r4 self-review:
+    # leg-3 temporaries must scale with edge count)
+    th = np.linspace(0, 2 * np.pi, 3001)
+    rr = np.where(np.arange(3001) % 2 == 0, 5.0, 2.5)
+    star = ("Polygon", [np.column_stack([5 + rr * np.cos(th),
+                                         5 + rr * np.sin(th)])])
+    for g, n_r in ((holed, 1500), (island, 1500), (concave, 1500),
+                   (star, 200)):
         pz = geom.PreparedPolygon(g)
-        x0 = rng.uniform(-3, 11, 1500)
-        y0 = rng.uniform(-3, 11, 1500)
-        x1 = x0 + rng.uniform(1e-3, 4, 1500)
-        y1 = y0 + rng.uniform(1e-3, 4, 1500)
+        x0 = rng.uniform(-3, 11, n_r)
+        y0 = rng.uniform(-3, 11, n_r)
+        x1 = x0 + rng.uniform(1e-3, 4, n_r)
+        y1 = y0 + rng.uniform(1e-3, 4, n_r)
         fast = pz.intersects_rects(x0, y0, x1, y1, chunk=237)
         for k in range(len(x0)):
             slow = geom.polygons_intersect(
