@@ -268,10 +268,13 @@ def bench_text_ops(spark, pages_path: str) -> dict:
 
 
 def bench_r3_ops(spark, sf_dir: str) -> dict:
-    """Round-3 operators timed over the sf tables (single timed rep
-    after one warmup — coarse documentation, not the primary metric):
-    polygon x polygon overlay (JVM probe fast path), distributed
-    embedding near-dup, trigram familiarity."""
+    """Round-3/4 operators timed over the sf tables (MEDIAN of three
+    reps after one warmup — documentation, not the primary metric;
+    r4: single reps at the suite tail swung 0.4-4.3 s with GC/persist
+    pressure, medians are reproducible): polygon x polygon overlay
+    (JVM probe fast path), distributed embedding near-dup, trigram
+    familiarity."""
+    import statistics as _stats
     import time as _t
 
     import __spark_entry__ as entry
@@ -295,9 +298,12 @@ def bench_r3_ops(spark, sf_dir: str) -> dict:
                      ("embedding_near_dup_blocked", emb_pairs),
                      ("trigram_familiarity", trigram)]:
         fn()
-        t0 = _t.monotonic()
-        fn()
-        out[name] = round(_t.monotonic() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t0 = _t.monotonic()
+            fn()
+            reps.append(_t.monotonic() - t0)
+        out[name] = round(_stats.median(reps), 3)
     return out
 
 
@@ -354,9 +360,16 @@ def main():
             "eff_lo_to_hi": sc.get("eff_lo_to_hi"),
             "both_runs_ge_0_8_lo_to_hi": sc.get("both_runs_ge_0_8_lo_to_hi"),
             # the second in-envelope 4x pair the r3 judge asked for
-            # (item 4): 4->16 stays inside the physical cores
+            # (item 4): 4->16 stays inside the physical cores.
+            # Per-run values are noisy at local[16] (ALL physical
+            # cores — ambient load lands there; see BENCH/BASELINE.md
+            # disclosure); pooled_* is the median over every clean
+            # rep of every run — the low-variance aggregate.
             "eff_4_to_16": sc.get("eff_4_to_16"),
             "both_runs_ge_0_8_4_to_16": sc.get("both_runs_ge_0_8"),
+            "pooled_eff_1_to_4": sc.get("pooled_eff_1_to_4"),
+            "pooled_eff_4_to_16": sc.get("pooled_eff_4_to_16"),
+            "n_ladder_runs": sc.get("n_ladder_runs"),
             "corpus_pages": sc.get("corpus_pages"),
             "pages_per_sec_by_cpus": [
                 {lvl: round(run[lvl]["pages_per_sec"], 1) for lvl in run}
