@@ -106,6 +106,14 @@ def extract_meta(media: DataFrame, payload_col: str = "payload",
                         dims = _c.png_dimensions(b)
                     hdr = None if dims is None else \
                         ("image", dims[0], dims[1], 1)
+                elif codec == "mp4":
+                    # real ISO-BMFF box walk (mp4.py): width/height
+                    # from tkhd, frame count from the video stsz
+                    from . import mp4 as _mp4
+                    mm4 = _mp4.mp4_meta(b)
+                    hdr = None if mm4 is None else \
+                        ("video", mm4["width"], mm4["height"],
+                         mm4["n_samples"])
                 else:
                     hdr = _parse_header(b)
                 nb.append(len(b))
@@ -182,11 +190,22 @@ def resize_images(media: DataFrame, max_side: int,
 def sample_frames(media: DataFrame, every_n: int,
                   id_col: str = "url", payload_col: str = "payload",
                   codec: str = "fake") -> DataFrame:
-    """Video -> one row per sampled frame (UDTF explode semantics,
-    the multimodal analog of the reference's multi-geometry explode
-    loop, Data.groovy:210-218)."""
+    """Video -> one row per sampled frame/sample (UDTF explode
+    semantics, the multimodal analog of the reference's
+    multi-geometry explode loop, Data.groovy:210-218).
+
+    codec='mp4' does the REAL container work: every n-th sample's
+    exact bytes are sliced out of mdat via the stsz/stsc/stco
+    sample-table join (mp4.mp4_sample_ranges) — the sharding
+    primitive of a video curation pipeline. The emitted bytes are the
+    stored (compressed) sample payloads; decoding them to pixels is
+    the one remaining stub ('real'), which needs an AVC codec.
+    """
     if codec == "real":
-        raise NotImplementedError("real frame sampling needs ffmpeg — stubbed")
+        raise NotImplementedError(
+            "compressed-sample PIXEL decode needs an AVC codec "
+            "(ffmpeg) — codec='mp4' gives real container-level sample "
+            "extraction, sample_frames_y4m real raw-frame decode")
 
     schema = f"{id_col} string, frame_idx int, frame binary"
 
@@ -195,6 +214,16 @@ def sample_frames(media: DataFrame, every_n: int,
             ids, idxs, frames = [], [], []
             for rid, p in zip(pdf[id_col].values, pdf[payload_col].values):
                 b = bytes(p)
+                if codec == "mp4":
+                    from . import mp4 as _mp4
+                    rng = _mp4.mp4_sample_ranges(b)
+                    if rng is None:
+                        continue
+                    for i, off, sz in rng[::every_n]:
+                        ids.append(rid)
+                        idxs.append(i)
+                        frames.append(b[off:off + sz])
+                    continue
                 hdr = _parse_header(b)
                 if hdr is None or hdr[0] != "video":
                     continue

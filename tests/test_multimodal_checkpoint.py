@@ -535,3 +535,60 @@ def test_png_spark_operators(spark):
     dec = png.decode_png(out["a"])
     assert np.array_equal(dec, mm._halve(mm._halve(img)))
     assert out["junk"] == b"\x00\x01"
+
+
+# --------------------------------------------- real MP4 container codec
+
+def test_mp4_container_meta_and_sample_ranges():
+    """ISO-BMFF container parsing (sparkspatial/mp4.py): box-walk
+    metadata, and the stsz/stsc/stco sample-table join reconstructing
+    every sample's exact bytes — including the uneven tail chunk that
+    exercises the stsc run expansion."""
+    import struct
+
+    from sparkspatial import mp4
+
+    b = mp4.encode_mp4_stub(640, 360, 10, fps=25, seed=7,
+                            samples_per_chunk=3)
+    m = mp4.mp4_meta(b)
+    assert m["width"] == 640 and m["height"] == 360
+    assert m["n_samples"] == 10 and m["n_tracks"] == 1
+    assert m["video_codec"] == "avc1" and m["audio_codec"] is None
+    assert abs(m["duration_s"] - 10 / 25) < 1e-9
+
+    rng = mp4.mp4_sample_ranges(b)
+    assert [x[0] for x in rng] == list(range(10))
+    for i, off, sz in rng:
+        seed, idx, w, h = struct.unpack(">IIII", b[off:off + sz])
+        assert (seed, idx, w, h) == (7, i, 640, 360)
+
+    # invalid payloads: None, never a crash
+    assert mp4.mp4_meta(b"") is None
+    assert mp4.mp4_meta(b"notanmp4box") is None
+    assert mp4.mp4_sample_ranges(b"\x00\x00\x00\x08ftyp") is None
+    assert mp4.mp4_meta(b[:40]) is None  # truncated moov
+
+
+def test_mp4_spark_operators(spark):
+    """codec='mp4' through extract_meta (real box-walk dims/frames)
+    and sample_frames (real byte-range sample extraction)."""
+    import struct
+
+    from sparkspatial import mp4
+    from sparkspatial import multimodal as mm
+
+    rows = [("v1", mp4.encode_mp4_stub(320, 240, 9, seed=3)),
+            ("junk", b"\x00\x01\x02")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+
+    meta = {r.url: (r.kind, r.width, r.height, r.n_frames, r.valid)
+            for r in mm.extract_meta(df, codec="mp4").collect()}
+    assert meta["v1"] == ("video", 320, 240, 9, True)
+    assert meta["junk"] == (None, 0, 0, 0, False)
+
+    frames = mm.sample_frames(df, every_n=2, codec="mp4").collect()
+    got = {(r.url, r.frame_idx): bytes(r.frame) for r in frames}
+    assert sorted(i for (_, i) in got) == [0, 2, 4, 6, 8]
+    for (_, i), payload in got.items():
+        seed, idx, w, h = struct.unpack(">IIII", payload)
+        assert (seed, idx, w, h) == (3, i, 320, 240)
