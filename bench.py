@@ -293,10 +293,17 @@ def bench_r3_ops(spark, sf_dir: str) -> dict:
         # reproducible under the driver protocol (r3 judge item 3)
         return entry.q_trigram_familiarity(spark, sf_dir).count()
 
+    def knng():
+        # r4 operator: exact corpus x corpus top-5 over 5k vectors
+        # (25M dot products, distributed block-pair path)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return sim.knn_graph(emb, k=5).count()
+
     out = {}
     for name, fn in [("building_overlay_polygon", overlay),
                      ("embedding_near_dup_blocked", emb_pairs),
-                     ("trigram_familiarity", trigram)]:
+                     ("trigram_familiarity", trigram),
+                     ("knn_graph_exact", knng)]:
         fn()
         reps = []
         for _ in range(3):

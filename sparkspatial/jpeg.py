@@ -530,6 +530,11 @@ def _decode_jpeg(payload: bytes):
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or nc not in (1, 3):
                 return None
+            if h * w > (1 << 26):
+                # 67M-pixel cap: a corrupted/adversarial SOF would
+                # otherwise allocate coefficient planes (GBs) before
+                # the entropy decode ever validates a byte
+                return None
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(

@@ -198,6 +198,8 @@ def _sample_ranges(payload: bytes, track_kind: bytes):
             return None
         _, _, zp = _full_box(payload, stsz[0])
         default_size, cnt = struct.unpack_from(">II", payload, zp)
+        if cnt > (1 << 24):
+            return None           # adversarial count: no GB lists
         if default_size:
             sizes = [default_size] * cnt
         else:
@@ -217,10 +219,15 @@ def _sample_ranges(payload: bytes, track_kind: bytes):
         nrun = struct.unpack_from(">I", payload, sp)[0]
         runs = [struct.unpack_from(">III", payload, sp + 4 + 12 * i)
                 for i in range(nrun)]
-        # expand runs -> samples-per-chunk for every chunk
+        # expand runs -> samples-per-chunk for every chunk (clamp run
+        # extents to the real chunk count: adversarial first_chunk
+        # values must not expand GB-sized lists)
         spc = []
         for i, (first, per, _desc) in enumerate(runs):
             last = runs[i + 1][0] - 1 if i + 1 < nrun else nch
+            last = min(last, nch)
+            if first < 1 or first > last:
+                return None
             spc.extend([per] * (last - first + 1))
         if len(spc) < nch:
             return None

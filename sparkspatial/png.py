@@ -174,11 +174,18 @@ def _decode_png(payload: bytes):
     elif depth not in (8, 16):
         return None
 
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     bytes_per_sample = 2 if (depth == 16 and ctype != 3) else 1
     stride = w * channels * bytes_per_sample
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    if expected > (1 << 28):
+        return None                   # 256 MB raw-plane cap
+    # cap the inflate at the expected plane size: a zip-bombed IDAT
+    # must not allocate beyond it (decompress() has no limit)
+    d = zlib.decompressobj()
+    raw_b = d.decompress(b"".join(idat), expected + 1)
+    if len(raw_b) != expected or not d.eof:
         return None
+    raw = np.frombuffer(raw_b, np.uint8)
     bpp = channels * bytes_per_sample
     flat = _unfilter(raw, h, stride, bpp)
 

@@ -592,3 +592,70 @@ def test_mp4_spark_operators(spark):
     for (_, i), payload in got.items():
         seed, idx, w, h = struct.unpack(">IIII", payload)
         assert (seed, idx, w, h) == (3, i, 320, 240)
+
+
+def test_codecs_never_crash_or_alloc_bomb():
+    """Adversarial-payload contract across all three from-spec codecs:
+    3,000 fuzz trials (random bytes, truncations, byte-flips of valid
+    payloads) return None-or-value without raising, and the
+    memory-bomb shapes are rejected up front — a SOF0 declaring 2^31
+    pixels, a zip-bombed IDAT expanding past the declared plane, an
+    stsz sample count in the millions, an stsc run spanning 2^31
+    chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sparkspatial import jpeg, mp4, png
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    enc_j = jpeg.encode_jpeg(img)
+    enc_p = png.encode_png(img)
+    enc_m = mp4.encode_mp4_stub(64, 48, 6)
+    for trial in range(3000):
+        src = (enc_j, enc_p, enc_m)[trial % 3]
+        mode = trial % 5
+        if mode == 0:
+            b = bytes(rng.randint(0, 256,
+                                  rng.randint(1, 400)).astype(np.uint8))
+        elif mode == 1:
+            b = src[:rng.randint(0, len(src))]
+        else:
+            ba = bytearray(src)
+            for _ in range(rng.randint(1, 8)):
+                ba[rng.randint(0, len(ba))] = rng.randint(0, 256)
+            b = bytes(ba)
+        jpeg.decode_jpeg(b)
+        png.decode_png(b)
+        mp4.mp4_meta(b)
+        mp4.mp4_sample_ranges(b)
+        jpeg.jpeg_dimensions(b)
+        png.png_dimensions(b)
+
+    # SOF0 with 46341x46341 (2^31 px) must reject before allocating
+    sof = enc_j.find(b"\xff\xc0")
+    bomb = bytearray(enc_j)
+    struct.pack_into(">HH", bomb, sof + 5, 46341, 46341)
+    assert jpeg.decode_jpeg(bytes(bomb)) is None
+
+    # zip-bombed IDAT: deflate of 64 MB of zeros behind a 1x1 header
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    bombed = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+              + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20)))
+              + chunk(b"IEND", b""))
+    assert png.decode_png(bombed) is None
+
+    # stsz declaring 50M samples / stsc first_chunk at 2^31
+    valid = bytearray(enc_m)
+    zi = bytes(valid).find(b"stsz")
+    struct.pack_into(">I", valid, zi + 12, 50_000_000)
+    assert mp4.mp4_sample_ranges(bytes(valid)) is None
+    valid = bytearray(enc_m)
+    si = bytes(valid).find(b"stsc")
+    struct.pack_into(">I", valid, si + 12, 1 << 31)
+    mp4.mp4_sample_ranges(bytes(valid))  # None or value, no bomb
