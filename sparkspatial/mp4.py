@@ -45,6 +45,8 @@ def _boxes(buf: bytes, start: int, end: int):
                 return
             size = struct.unpack_from(">Q", buf, pos + 8)[0]
             body = pos + 16
+            if size < 16:       # inverted box (body_start > body_end)
+                return
         elif size == 0:
             size = end - pos
         if size < 8 or pos + size > end:
@@ -198,8 +200,14 @@ def _sample_ranges(payload: bytes, track_kind: bytes):
             return None
         _, _, zp = _full_box(payload, stsz[0])
         default_size, cnt = struct.unpack_from(">II", payload, zp)
-        if cnt > (1 << 24):
-            return None           # adversarial count: no GB lists
+        if cnt > (1 << 20) or cnt > len(payload):
+            # adversarial count: allocations below are O(cnt) lists,
+            # so bound cnt by both a sanity cap (1M samples ≈ 10h of
+            # 30fps video) and the file size itself — a 700-byte
+            # payload cannot legitimately declare 16M samples
+            # (r4 second-review finding: the old 2^24 cap still let
+            # a tiny payload drive 2.3 GB of list allocation)
+            return None
         if default_size:
             sizes = [default_size] * cnt
         else:
@@ -243,6 +251,11 @@ def _sample_ranges(payload: bytes, track_kind: bytes):
                 si += 1
         if si != cnt:
             return None
+        # every range must lie inside the file: a mid-mdat-truncated
+        # payload must be rejected, not yield empty/partial sample
+        # bytes from past-EOF slices (r4 second-review finding)
+        if any(off + sz > n for _, off, sz in out):
+            return None
         return out
     return None
 
@@ -281,14 +294,26 @@ def encode_mp4_stub(width: int, height: int, n_samples: int,
     # mdat follows ftyp + moov; compute moov size by building it with
     # placeholder offsets first (fixed-size stco), then rebuild
     def build_moov(chunk_offsets):
-        mvhd = full(b"mvhd", 0, 0, struct.pack(
-            ">IIIIII", 0, 0, timescale, duration, 0x00010000, 0x0100)
-            + b"\x00" * 10 + _identity_matrix() + b"\x00" * 24
-            + struct.pack(">I", 2))
-        tkhd = full(b"tkhd", 0, 7, struct.pack(
-            ">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 12
-            + struct.pack(">HHHH", 0, 0, 0, 0) + _identity_matrix()
-            + struct.pack(">II", width << 16, height << 16))
+        # exact ISO 14496-12 v0 layouts (r4 second-review finding: an
+        # earlier draft packed volume as 4 bytes / wrong reserved
+        # lengths, shifting width/height off spec offsets for
+        # third-party parsers): mvhd body = creation4 mod4 timescale4
+        # duration4 rate4 volume2 res2 res8 matrix36 predefined24
+        # next4 = 96; tkhd body = creation4 mod4 id4 res4 duration4
+        # res8 layer2 alt2 volume2 res2 matrix36 w4 h4 = 80
+        mvhd = full(b"mvhd", 0, 0,
+                    struct.pack(">IIII", 0, 0, timescale, duration)
+                    + struct.pack(">I", 0x00010000)       # rate 1.0
+                    + struct.pack(">H", 0x0100)           # volume 1.0
+                    + b"\x00" * 2 + b"\x00" * 8
+                    + _identity_matrix() + b"\x00" * 24
+                    + struct.pack(">I", 2))
+        tkhd = full(b"tkhd", 0, 7,
+                    struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                    + b"\x00" * 8
+                    + struct.pack(">HHHH", 0, 0, 0, 0)
+                    + _identity_matrix()
+                    + struct.pack(">II", width << 16, height << 16))
         mdhd = full(b"mdhd", 0, 0, struct.pack(
             ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
         hdlr = full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide"
@@ -303,10 +328,17 @@ def encode_mp4_stub(width: int, height: int, n_samples: int,
         stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
         stts = full(b"stts", 0, 0, struct.pack(
             ">III", 1, n_samples, timescale // fps))
-        stsc_runs = [(1, samples_per_chunk, 1)]
-        tail = n_samples % samples_per_chunk
-        if tail and len(chunks) > 1:
-            stsc_runs.append((len(chunks), tail, 1))
+        # stsc must agree with the real chunk contents, including a
+        # lone underfull chunk (r4 second-review finding: declaring
+        # samples_per_chunk for a chunk holding fewer breaks strict
+        # spec-offset parsers)
+        if len(chunks) == 1:
+            stsc_runs = [(1, len(chunks[0]), 1)]
+        else:
+            stsc_runs = [(1, samples_per_chunk, 1)]
+            tail = len(chunks[-1])
+            if tail != samples_per_chunk:
+                stsc_runs.append((len(chunks), tail, 1))
         stsc = full(b"stsc", 0, 0, struct.pack(
             ">I", len(stsc_runs)) + b"".join(
             struct.pack(">III", *r) for r in stsc_runs))

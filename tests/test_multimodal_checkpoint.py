@@ -567,6 +567,20 @@ def test_mp4_container_meta_and_sample_ranges():
     assert mp4.mp4_meta(b"notanmp4box") is None
     assert mp4.mp4_sample_ranges(b"\x00\x00\x00\x08ftyp") is None
     assert mp4.mp4_meta(b[:40]) is None  # truncated moov
+    # mid-mdat truncation: ranges past EOF rejected, not empty slices
+    assert mp4.mp4_sample_ranges(b[:-20]) is None
+    # largesize < 16 (inverted box) rejected
+    import struct as _st
+    assert mp4.mp4_meta(_st.pack(">I4sQ", 1, b"ftyp", 12)
+                        + b"\x00" * 8) is None
+    # spec box layouts: mvhd 108 / tkhd 92 bytes, width/height at
+    # tkhd content offsets 72/76 (a spec-offset parser reads them)
+    i = b.find(b"mvhd")
+    assert _st.unpack_from(">I", b, i - 4)[0] == 108
+    i = b.find(b"tkhd")
+    assert _st.unpack_from(">I", b, i - 4)[0] == 92
+    w_fp, h_fp = _st.unpack_from(">II", b, i + 8 + 72)
+    assert (w_fp >> 16, h_fp >> 16) == (640, 360)
 
 
 def test_mp4_spark_operators(spark):
@@ -655,6 +669,16 @@ def test_codecs_never_crash_or_alloc_bomb():
     zi = bytes(valid).find(b"stsz")
     struct.pack_into(">I", valid, zi + 12, 50_000_000)
     assert mp4.mp4_sample_ranges(bytes(valid)) is None
+    # the r4 second-review crafted shape: default_size=1 with a
+    # 2^24-1 count in a ~800-byte file must reject fast (the count
+    # is bounded by len(payload), so no multi-GB list builds)
+    import time as _time
+    valid = bytearray(enc_m)
+    zi = bytes(valid).find(b"stsz")
+    struct.pack_into(">II", valid, zi + 8, 1, (1 << 24) - 1)
+    t0 = _time.monotonic()
+    assert mp4.mp4_sample_ranges(bytes(valid)) is None
+    assert _time.monotonic() - t0 < 0.5
     valid = bytearray(enc_m)
     si = bytes(valid).find(b"stsc")
     struct.pack_into(">I", valid, si + 12, 1 << 31)

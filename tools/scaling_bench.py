@@ -193,7 +193,11 @@ def main():
     consec = all(eff(r, n_lo, n_hi) >= 0.8 for r in all_runs)
     consec_4_16 = all(eff(r, 4, 16) >= 0.8 for r in all_runs)
 
-    md = f"""# BENCH/BASELINE — throughput + scaling evidence
+    md = f"""# BENCH/SCALING_RUNS — fresh ladder report (this invocation only)
+
+The full multi-run history, pooled estimator and SMT/DRAM
+disclosures live in BENCH/BASELINE.md (curated) and
+BENCH/scaling.json (merged run history — this tool APPENDS to it).
 
 Flagship job: pages -> HTML geo-marker extraction (JVM
 regexp_extract_all, whole-stage codegen) -> cell-encode -> broadcast
@@ -236,22 +240,66 @@ reps (not best-of), so the table is reproducible, not opportunistic.
 
 Raw (latest run): {raw}
 """
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # The fresh-run report goes to SCALING_RUNS.md; the curated
+    # BENCH/BASELINE.md (full multi-run history + disclosures) is
+    # never clobbered by a rerun.
+    out_path = os.path.join(REPO, "BENCH", "SCALING_RUNS.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         f.write(md)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump({"runs": [{str(c): r for c, r in run.items()}
-                            for run in all_runs],
-                   "eff_4_to_16": [eff(r, 4, 16) for r in all_runs],
-                   "eff_lo_to_hi": [eff(r, n_lo, n_hi) for r in all_runs],
-                   "north_pair": f"{n_lo}->{n_hi}",
-                   "both_runs_ge_0_8_lo_to_hi":
-                       consec and len(all_runs) >= 2,
-                   "both_runs_ge_0_8": consec_4_16 and len(all_runs) >= 2,
-                   "steal_max_pct": STEAL_MAX, "sys_max_pct": SYS_MAX,
-                   "corpus_pages": latest[n_lo]["n_pages"],
-                   "sf_dir": sf_dir}, f)
+
+    # MERGE into scaling.json rather than overwrite (r4 second-review
+    # finding: the old overwrite destroyed the run history, the
+    # pooled stats bench.py reports, and the 8->32/membw disclosure
+    # blocks — making the committed artifact unreproducible by the
+    # documented command). Run history appends; pooled stats
+    # recompute over EVERY run on file; extra keys carry over.
+    import statistics
+
+    sc_path = os.path.join(REPO, "BENCH", "scaling.json")
+    prev = {}
+    if os.path.exists(sc_path):
+        try:
+            with open(sc_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+    hist = prev.get("runs", []) + [
+        {str(c): r for c, r in run.items()} for run in all_runs]
+    shared = [lvl for lvl in map(str, levels)
+              if all(lvl in r for r in hist)]
+    pooled = {}
+    for lvl in shared:
+        pooled[lvl] = statistics.median(
+            x["sec"] for r in hist for x in r[lvl]["reps"])
+
+    def hist_eff(run, a, b):
+        if str(a) not in run or str(b) not in run:
+            return None
+        return (run[str(a)]["sec"] / run[str(b)]["sec"]) / (b / a)
+
+    merged = dict(prev)
+    merged.update({
+        "runs": hist,
+        "eff_4_to_16": [e for e in (hist_eff(r, 4, 16) for r in hist)
+                        if e is not None],
+        "eff_lo_to_hi": [e for e in (hist_eff(r, n_lo, n_hi)
+                                     for r in hist) if e is not None],
+        "north_pair": f"{n_lo}->{n_hi}",
+        "both_runs_ge_0_8_lo_to_hi": consec and len(all_runs) >= 2,
+        "both_runs_ge_0_8": consec_4_16 and len(all_runs) >= 2,
+        "n_ladder_runs": len(hist),
+        "pooled_median_sec": pooled,
+        "steal_max_pct": STEAL_MAX, "sys_max_pct": SYS_MAX,
+        "corpus_pages": latest[n_lo]["n_pages"],
+        "sf_dir": sf_dir,
+    })
+    if "1" in pooled and "4" in pooled:
+        merged["pooled_eff_1_to_4"] = (pooled["1"] / pooled["4"]) / 4
+    if "4" in pooled and "16" in pooled:
+        merged["pooled_eff_4_to_16"] = (pooled["4"] / pooled["16"]) / 4
+    with open(sc_path, "w") as f:
+        json.dump(merged, f)
     print(md)
 
 
