@@ -373,8 +373,11 @@ def main():
             # disclosure); pooled_* is the median over every clean
             # rep of every run — the low-variance aggregate.
             "eff_4_to_16": sc.get("eff_4_to_16"),
+            "eff_2_to_8": sc.get("eff_2_to_8"),
+            "both_runs_ge_0_8_2_to_8": sc.get("both_runs_ge_0_8_2_to_8"),
             "both_runs_ge_0_8_4_to_16": sc.get("both_runs_ge_0_8"),
             "pooled_eff_1_to_4": sc.get("pooled_eff_1_to_4"),
+            "pooled_eff_2_to_8": sc.get("pooled_eff_2_to_8"),
             "pooled_eff_4_to_16": sc.get("pooled_eff_4_to_16"),
             "n_ladder_runs": sc.get("n_ladder_runs"),
             "corpus_pages": sc.get("corpus_pages"),

@@ -266,12 +266,14 @@ Raw (latest run): {raw}
             prev = {}
     hist = prev.get("runs", []) + [
         {str(c): r for c, r in run.items()} for run in all_runs]
-    shared = [lvl for lvl in map(str, levels)
-              if all(lvl in r for r in hist)]
+    # per-level pooling over every run that measured that level
+    # (ladders with different level sets still pool what they share)
     pooled = {}
-    for lvl in shared:
-        pooled[lvl] = statistics.median(
-            x["sec"] for r in hist for x in r[lvl]["reps"])
+    for lvl in sorted({lvl for r in hist for lvl in r}, key=int):
+        reps_all = [x["sec"] for r in hist if lvl in r
+                    for x in r[lvl]["reps"]]
+        if reps_all:
+            pooled[lvl] = statistics.median(reps_all)
 
     def hist_eff(run, a, b):
         if str(a) not in run or str(b) not in run:
@@ -281,11 +283,20 @@ Raw (latest run): {raw}
     merged = dict(prev)
     merged.update({
         "runs": hist,
+        # per-pair efficiency histories over every run measuring the
+        # pair (ladders with different level sets coexist); the
+        # north pair for the brief stays 1->4 regardless of which
+        # pair THIS invocation exercised
+        "eff_1_to_4": [e for e in (hist_eff(r, 1, 4) for r in hist)
+                       if e is not None],
+        "eff_2_to_8": [e for e in (hist_eff(r, 2, 8) for r in hist)
+                       if e is not None],
         "eff_4_to_16": [e for e in (hist_eff(r, 4, 16) for r in hist)
                         if e is not None],
         "eff_lo_to_hi": [e for e in (hist_eff(r, n_lo, n_hi)
                                      for r in hist) if e is not None],
-        "north_pair": f"{n_lo}->{n_hi}",
+        "north_pair": "1->4",
+        "this_invocation_pair": f"{n_lo}->{n_hi}",
         "both_runs_ge_0_8_lo_to_hi": consec and len(all_runs) >= 2,
         "both_runs_ge_0_8": consec_4_16 and len(all_runs) >= 2,
         "n_ladder_runs": len(hist),
@@ -294,10 +305,11 @@ Raw (latest run): {raw}
         "corpus_pages": latest[n_lo]["n_pages"],
         "sf_dir": sf_dir,
     })
-    if "1" in pooled and "4" in pooled:
-        merged["pooled_eff_1_to_4"] = (pooled["1"] / pooled["4"]) / 4
-    if "4" in pooled and "16" in pooled:
-        merged["pooled_eff_4_to_16"] = (pooled["4"] / pooled["16"]) / 4
+    for a, b, key in ((1, 4, "pooled_eff_1_to_4"),
+                      (2, 8, "pooled_eff_2_to_8"),
+                      (4, 16, "pooled_eff_4_to_16")):
+        if str(a) in pooled and str(b) in pooled:
+            merged[key] = (pooled[str(a)] / pooled[str(b)]) / (b / a)
     with open(sc_path, "w") as f:
         json.dump(merged, f)
     print(md)
