@@ -4,16 +4,29 @@ Extension beyond the reference (SURVEY.md §2.3: "kNN is required by the
 north_rule"). For each query point: candidates are points whose cell
 lies in the query's k-ring; candidates re-rank by exact haversine; the
 result is certified exact when the k-th distance fits inside the
-guaranteed-covered window of the searched ring, else the ring doubles
-and only the unsatisfied queries re-run.
+guaranteed-covered window of the searched ring, else the query re-runs
+with a larger ring.
+
+Ring growth is adaptive PER QUERY (r4): each uncertified query jumps
+straight to the ring its own round-1 evidence suggests — the density
+estimate (candidates seen per window area) sizes the ring to expect
+~4k candidates, and the margin estimate (current k-th distance vs the
+certified cover) sizes it to clear the certification bound — instead
+of every query sharing one global doubling schedule. Certification is
+re-checked exactly each round, so the jump heuristic can only affect
+round count, never correctness. Dense-area queries finish in round 1;
+sparse ones converge in ~2 rounds where doubling needed log2(need).
 
 The loop is DataFrame-native: queries, ring-cell expansion,
 certification, and the done/remaining split all stay distributed (no
 per-round toPandas of query state, no IN-list literals in the plan) —
-only one scalar count per round reaches the driver, so the operator
-survives query sets of 10^5+ rows. Per-round outputs are
-localCheckpoint'ed so lineage stays flat across rounds and the round's
-caches release immediately.
+only one scalar stats row per round reaches the driver, so the
+operator survives query sets of 10^5+ rows. Round count is the serial
+bottleneck at cluster scale (each round is a job barrier), so the
+round body is a single eager localCheckpoint: rank, certification
+flag, and growth evidence all materialize in one pass (three window
+functions over one exchange), and the done/remaining split reads the
+checkpointed result.
 
 Coverage bounds are exact on the engine's sphere (R = 6371008.8 m,
 matching geom.haversine_deg): one degree of latitude is pi*R/180 m; the
@@ -42,40 +55,41 @@ M_PER_DEG_LAT_LB = M_PER_DEG_LAT * (1.0 - 1e-9)
 BROADCAST_MAX_RING_ROWS = 4_000_000
 
 
-def _ring_cells(queries: DataFrame, ring: int, res: int) -> DataFrame:
-    """(qid, qlat, qlon) -> one row per (query, k-ring cell) —
-    distributed Arrow expansion, no driver-side query state."""
-    out_schema = "qid string, qlat double, qlon double, cell long"
+def _ring_cells(queries: DataFrame, res: int) -> DataFrame:
+    """(qid, qlat, qlon, ring) -> one row per (query, k-ring cell).
 
-    def _exp(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"qid": [], "qlat": [], "qlon": [], "cell": []})
-                continue
-            qc = cells.encode(pdf["qlat"].to_numpy(np.float64),
-                              pdf["qlon"].to_numpy(np.float64), res)
-            qids, qlats, qlons, ccells = [], [], [], []
-            for i in range(len(pdf)):
-                kc = cells.kring(int(qc[i]), ring)
-                qids.append(np.repeat(pdf["qid"].iloc[i], len(kc)))
-                qlats.append(np.full(len(kc), pdf["qlat"].iloc[i]))
-                qlons.append(np.full(len(kc), pdf["qlon"].iloc[i]))
-                ccells.append(kc)
-            yield pd.DataFrame({
-                "qid": np.concatenate(qids),
-                "qlat": np.concatenate(qlats),
-                "qlon": np.concatenate(qlons),
-                "cell": np.concatenate(ccells)})
+    Pure-JVM twin of :func:`cells.kring` (same wrap/clamp semantics,
+    pinned by pytest against the numpy version): two
+    ``explode(sequence(...))`` generators stay inside codegen, so ring
+    expansion costs no Python stage and the broadcast side evaluates
+    without an Arrow round-trip. Latitude rows beyond the poles drop;
+    longitude wraps via ``pmod``; when the ring spans the whole grid
+    width the x range collapses to one absolute 0..n-1 pass so no
+    (qid, cell) pair ever duplicates (a duplicate would double-count a
+    candidate point in the top-k window)."""
+    n = 1 << res
+    gx = cells.grid_idx_sql("qlon", res, "x")
+    gy = cells.grid_idx_sql("qlat", res, "y")
+    return (queries
+            .selectExpr("qid", "qlat", "qlon", "ring",
+                        f"{gx} AS _gx", f"{gy} AS _gy")
+            .withColumn("_y", F.explode(F.expr(
+                "sequence(_gy - ring, _gy + ring)")))
+            .where((F.col("_y") >= 0) & (F.col("_y") < n))
+            .withColumn("_x", F.explode(F.expr(
+                f"CASE WHEN 2 * ring + 1 >= {n} THEN sequence(0, {n - 1}) "
+                f"ELSE transform(sequence(_gx - ring, _gx + ring), "
+                f"v -> pmod(v, {n})) END")))
+            .selectExpr("qid", "qlat", "qlon", "ring",
+                        cells.compose_cell_sql("_x", "_y", res) + " AS cell"))
 
-    return queries.mapInPandas(_exp, schema=out_schema)
 
-
-def _cover_m_col(ring: int, res: int):
+def _cover_m_col(ring, res: int):
     """Guaranteed-covered radius (meters) of a searched k-ring as a
-    Column over qlat — everything within this haversine distance of the
-    query provably lies inside the ring window, so a k-th neighbor
-    closer than it certifies the result exact.
+    Column over (qlat, ring) — everything within this haversine
+    distance of the query provably lies inside the ring window, so a
+    k-th neighbor closer than it certifies the result exact. `ring` is
+    a Column (per-query adaptive radius).
 
     lat direction: the window spans >= ring*cell_h degrees, and one
     degree of latitude is exactly pi*R/180 m on the sphere.
@@ -83,15 +97,81 @@ def _cover_m_col(ring: int, res: int):
     at |lat| <= phi_max is 2*R*asin(cos(phi_max)*sin(min(W,360)/2))
     (haversine >= cos(lat1)*cos(lat2)*sin^2(dlon/2) term).
     """
-    h_deg = ring * (180.0 / (1 << res))
-    w_deg = ring * (360.0 / (1 << res))
+    ring = ring.cast("double")
+    h_deg = ring * F.lit(180.0 / (1 << res))
+    w_deg = ring * F.lit(360.0 / (1 << res))
     r_m = geom.EARTH_RADIUS_M
-    cover_lat = F.lit(math.radians(h_deg) * r_m)
-    phi_max = F.least(F.abs(F.col("qlat")) + F.lit(h_deg), F.lit(90.0))
-    half_w = min(math.radians(w_deg), math.pi) / 2.0
+    cover_lat = F.radians(h_deg) * F.lit(r_m)
+    phi_max = F.least(F.abs(F.col("qlat")) + h_deg, F.lit(90.0))
+    half_w = F.least(F.radians(w_deg) / 2.0, F.lit(math.pi / 2.0))
     cover_lon = (F.lit(2.0 * r_m)
-                 * F.asin(F.cos(F.radians(phi_max)) * F.lit(math.sin(half_w))))
+                 * F.asin(F.cos(F.radians(phi_max)) * F.sin(half_w)))
     return F.least(cover_lat, cover_lon)
+
+
+class KnnIndex:
+    """Precomputed point-side kNN state: one row per distinct
+    (cell, lat, lon) location with its point count and the `k_max`
+    smallest point ids.
+
+    EXACT collapse of co-located points — the dominant skew shape of
+    web-geotagged data, where every page of a domain shares one
+    geocode: all points at one location are equidistant from any
+    query, and ties rank by id, so only a location's k smallest ids
+    can ever reach a global top-k. The candidate window then sees
+    ``min(k, n_pts)`` rows per location instead of ``n_pts``
+    (measured 2.6M -> ~30k window rows on the 600k-page bench corpus).
+    For all-distinct locations the index degenerates to the points
+    table and the plan matches the naive one.
+
+    Build-once pattern (SURVEY.md §2.8 P2/P3, same stance as
+    ZoneIndex): one window pass over the points table, reusable
+    across knn_join calls while the point set is unchanged.
+    `persist()` pins it (caller owns the lifetime).
+    """
+
+    def __init__(self, loc: DataFrame, res: int, k_max: int,
+                 point_id: str, lat_col: str, lon_col: str):
+        self.loc = loc
+        self.res = res
+        self.k_max = k_max
+        self.point_id = point_id
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+
+    def persist(self) -> "KnnIndex":
+        from . import session as _session
+        self.loc = self.loc.persist()
+        self.loc.count()
+        _session.register_persisted(self.loc)
+        return self
+
+    def release(self) -> None:
+        self.loc.unpersist()
+
+
+def build_knn_index(points: DataFrame, *, res: int = 10, k_max: int = 64,
+                    point_id: str = "url", lat_col: str = "lat",
+                    lon_col: str = "lon") -> KnnIndex:
+    """One shuffle over the points table -> KnnIndex (see class doc).
+
+    Window (not collect_list-then-slice) keeps per-location state
+    bounded at k_max rows even for a location with millions of
+    co-located points — the 100-TB-safe shape; the groupBy after it
+    reuses the window's hash partitioning (no second exchange).
+    """
+    pts = points.withColumn(
+        "cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
+    wloc = Window.partitionBy("cell", lat_col, lon_col)
+    ranked = (pts
+              .withColumn("_r", F.row_number().over(
+                  wloc.orderBy(F.col(point_id).asc())))
+              .withColumn("n_pts", F.count(F.lit(1)).over(wloc)))
+    loc = (ranked.where(F.col("_r") <= k_max)
+           .groupBy("cell", lat_col, lon_col)
+           .agg(F.first("n_pts").alias("n_pts"),
+                F.sort_array(F.collect_list(point_id)).alias("top_ids")))
+    return KnnIndex(loc, res, k_max, point_id, lat_col, lon_col)
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
@@ -99,74 +179,143 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
              lat_col: str = "lat", lon_col: str = "lon",
              qid_col: str = "qid", qlat_col: str = "qlat",
              qlon_col: str = "qlon",
-             initial_ring: int = 1, max_ring: int = 64) -> DataFrame:
+             initial_ring: int = 1, max_ring: int = 64,
+             index: KnnIndex | None = None) -> DataFrame:
     """Exact kNN: returns (qid, point_id, dist_m, rnk) with rnk 1..k.
 
     Query state never collects to the driver: each round is a
-    (ring-cell x points) cell equi-join + window top-k + a DataFrame
-    certification join; certified rows checkpoint out, the rest loop
-    with a doubled ring. One scalar `count()` per round is the only
-    driver-side data.
+    (ring-cell x location-index) cell equi-join + ONE window pass
+    computing the top-k rank, the certification flag, and the
+    ring-growth evidence together, materialized by a single eager
+    localCheckpoint; the done/remaining split reads the checkpointed
+    frame. One scalar stats row per round (count + ring-row sum, for
+    loop exit and the broadcast decision) is the only driver-side
+    data. Uncertified queries grow their ring adaptively (see module
+    docstring); certification is exact, so growth only affects round
+    count.
+
+    `index`: a prebuilt (usually persisted) KnnIndex over `points` —
+    must match res/point_id/lat/lon and have k_max >= k. Without it
+    the index builds inline (one extra shuffle over points per call).
     """
     spark = points.sparkSession
-    pts = points.withColumn("cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
+    if index is not None:
+        if (index.res != res or index.point_id != point_id
+                or index.lat_col != lat_col or index.lon_col != lon_col):
+            raise ValueError(
+                "KnnIndex was built with different res/point_id/lat/lon "
+                f"({index.res}, {index.point_id!r}, {index.lat_col!r}, "
+                f"{index.lon_col!r})")
+        if index.k_max < k:
+            raise ValueError(
+                f"KnnIndex k_max={index.k_max} < requested k={k}")
+        loc = index.loc
+    else:
+        loc = build_knn_index(points, res=res, k_max=k, point_id=point_id,
+                              lat_col=lat_col, lon_col=lon_col).loc
 
     remaining = (queries.select(F.col(qid_col).cast("string").alias("qid"),
                                 F.col(qlat_col).cast("double").alias("qlat"),
                                 F.col(qlon_col).cast("double").alias("qlon"))
+                 .withColumn("ring", F.lit(int(initial_ring)).cast("int"))
                  .localCheckpoint(eager=True))
-    n_remaining = remaining.count()
 
     results: list[DataFrame] = []
-    ring = initial_ring
-    while n_remaining > 0:
-        ring_df = _ring_cells(remaining, ring, res)
-        if n_remaining * (2 * ring + 1) ** 2 <= BROADCAST_MAX_RING_ROWS:
+    exhausted: list[DataFrame] = []
+    while True:
+        # one tiny job: loop-exit count + exact ring-row total for the
+        # broadcast decision (remaining is checkpointed or a shallow
+        # anti-join over checkpointed frames, so this is cheap)
+        n_remaining, ring_rows = remaining.agg(
+            F.count(F.lit(1)),
+            F.sum((F.col("ring").cast("long") * 2 + 1)
+                  * (F.col("ring").cast("long") * 2 + 1))).first()
+        if not n_remaining:
+            break
+        ring_df = _ring_cells(remaining, res)
+        if ring_rows <= BROADCAST_MAX_RING_ROWS:
             ring_df = F.broadcast(ring_df)
-        cand = pts.join(ring_df, on="cell", how="inner")
-
         dist = haversine_col(F.col("qlat"), F.col("qlon"),
                              F.col(lat_col), F.col(lon_col))
-        cand = cand.withColumn("dist_m", dist)
+        # candidate = (query, LOCATION) pair; dist computes once per
+        # location, then the capped id list explodes to <= k rows —
+        # all JVM, and the explode is what keeps a 10^4-point
+        # co-located cell from flooding the window below
+        cand = (loc.join(ring_df, on="cell", how="inner")
+                .withColumn("dist_m", dist)
+                .select("qid", "ring", "n_pts", "dist_m",
+                        F.col("qlat"),
+                        F.posexplode(F.slice("top_ids", 1, k))
+                        .alias("_pos", point_id)))
 
-        w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(),
-                                              F.col(point_id).asc())
-        # persist for the duration of the round only: the certification
-        # aggregate AND the done-row select both consume topk
-        topk = (cand.withColumn("rnk", F.row_number().over(w))
-                    .where(F.col("rnk") <= k)
-                    .select("qid", "qlat", "qlon", point_id, "dist_m", "rnk")
-                    .persist())
+        w_rank = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(),
+                                                   F.col(point_id).asc())
+        w_all = Window.partitionBy("qid")
+        # three windows, one exchange: rnk (sorted), cand_n (growth
+        # evidence; each location counts its FULL population once, on
+        # its _pos==0 row), kth (certification + growth evidence);
+        # then the exact certification flag. All materialize in ONE
+        # checkpoint.
+        kth = F.max(F.when(F.col("rnk") == k, F.col("dist_m"))).over(w_all)
+        flagged = (cand
+                   .withColumn("rnk", F.row_number().over(w_rank))
+                   .withColumn("cand_n", F.sum(
+                       F.when(F.col("_pos") == 0, F.col("n_pts"))).over(w_all))
+                   .where(F.col("rnk") <= k)
+                   .withColumn("kth", kth)
+                   .withColumn("ok", F.col("kth").isNotNull()
+                               & (F.col("kth") < _cover_m_col(F.col("ring"),
+                                                              res)))
+                   .select("qid", point_id, "dist_m", "rnk", "ok",
+                           "cand_n", "kth", "ring")
+                   .localCheckpoint(eager=True))
 
-        cert = (topk.groupBy("qid", "qlat")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.max("dist_m").alias("dmax")))
-        done_q = (cert.where((F.col("n") >= k)
-                             & (F.col("dmax") < _cover_m_col(ring, res)))
-                  .select("qid"))
+        results.append(flagged.where("ok")
+                       .select("qid", point_id, "dist_m", "rnk"))
 
-        done = (topk.join(done_q, "qid", "left_semi")
-                .select("qid", point_id, "dist_m", "rnk")
-                .localCheckpoint(eager=True))
-        # append unconditionally: a possibly-empty frame in the final
-        # union is free, the isEmpty() probe was one extra job/round
-        results.append(done)
-        new_remaining = (remaining.join(done_q, "qid", "left_anti")
-                         .localCheckpoint(eager=True))
-        topk.unpersist()
-        remaining = new_remaining
-        n_remaining = remaining.count()
+        # uncertified queries: keep zero-candidate ones (absent from
+        # flagged) via left_anti against the certified qid set, join
+        # the growth evidence back, and jump the ring
+        done_q = flagged.where("ok").select("qid").distinct()
+        ev = (flagged.where(~F.col("ok"))
+              .groupBy("qid").agg(F.first("cand_n").alias("cand_n"),
+                                  F.first("kth").alias("kth")))
+        not_done = (remaining.join(done_q, "qid", "left_anti")
+                    .join(ev, "qid", "left"))
+        exhausted.append(not_done.where(F.col("ring") >= max_ring)
+                         .select("qid", "qlat", "qlon"))
 
-        if n_remaining > 0 and ring >= max_ring:
-            # ring expansion exhausted (queries far from all data, or
-            # fewer than k points exist): exact brute-force for the
-            # remaining queries — bounded, since only uncertified
-            # queries reach this branch
-            results.append(knn_bruteforce(points, remaining, k,
+        # growth: enough ring to expect ~4k candidates under the
+        # observed density, AND to clear the certification bound at the
+        # current k-th distance (1.25 margin); >=2x keeps the doubling
+        # worst case, <=8x bounds one bad estimate. Heuristic only —
+        # certification re-checks exactly next round.
+        cover_now = _cover_m_col(F.col("ring"), res)
+        g_density = F.ceil(F.sqrt(F.lit(4.0 * k)
+                                  / F.greatest(F.col("cand_n"), F.lit(1))))
+        g_margin = F.when(F.col("kth").isNotNull(),
+                          F.ceil(F.col("kth") / cover_now * 1.25)) \
+            .otherwise(F.lit(2))
+        growth = F.least(F.greatest(F.lit(2), g_density, g_margin), F.lit(8))
+        remaining = (not_done.where(F.col("ring") < max_ring)
+                     .withColumn("ring",
+                                 F.least(F.col("ring").cast("long") * growth,
+                                         F.lit(int(max_ring)))
+                                 .cast("int"))
+                     .select("qid", "qlat", "qlon", "ring"))
+
+    # ring expansion exhausted (queries far from all data, or fewer
+    # than k points exist): exact brute-force for those queries —
+    # bounded, since only uncertified-at-max_ring queries reach here.
+    # One isEmpty probe total (not per round).
+    if exhausted:
+        ex = exhausted[0]
+        for e in exhausted[1:]:
+            ex = ex.unionByName(e)
+        if not ex.isEmpty():
+            results.append(knn_bruteforce(points, ex, k,
                                           point_id=point_id,
                                           lat_col=lat_col, lon_col=lon_col))
-            break
-        ring *= 2
 
     if not results:
         return spark.createDataFrame(

@@ -462,6 +462,71 @@ def test_knn_fewer_than_k(spark):
     assert got.count() == 2  # only two points exist
 
 
+def test_ring_cells_jvm_matches_numpy_kring(spark):
+    """The pure-JVM ring expansion (explode/pmod SQL) must produce
+    exactly cells.kring's cell set for every query row — incl. pole
+    clamp, antimeridian wrap, and a ring spanning the whole grid
+    width (where the wrap would otherwise duplicate cells)."""
+    from sparkspatial.knn import _ring_cells
+
+    cases = [  # (qid, lat, lon, ring, res)
+        ("mid", 40.5, -74.0, 1, 10),
+        ("pole", 89.9, 10.0, 3, 8),
+        ("spole", -89.95, -170.0, 2, 9),
+        ("wrap", 0.0, 179.95, 2, 10),
+        ("wrapw", 10.0, -179.99, 4, 7),
+        ("whole", 5.0, 5.0, 3, 2),    # 2*3+1 = 7 >= grid width 4
+        ("whole2", -40.0, 100.0, 9, 4),  # 19 >= 16
+        ("big", 48.85, 2.35, 64, 10),
+    ]
+    for qid, lat, lon, ring, res in cases:
+        q = spark.createDataFrame(
+            [(qid, lat, lon, ring)],
+            "qid string, qlat double, qlon double, ring int")
+        got = sorted(r.cell for r in _ring_cells(q, res).collect())
+        want = cells.kring(
+            int(cells.encode(np.array([lat]), np.array([lon]), res)[0]),
+            ring).tolist()
+        assert got == want, (qid, res, ring)
+        assert len(got) == len(set(got)), f"duplicate ring cells: {qid}"
+
+
+def test_knn_index_exact_with_colocated_points(spark):
+    """Prebuilt KnnIndex path: co-located points (the web-domain skew
+    shape the index collapses) must still rank exactly — ties at one
+    location break by id, interleaved with other locations at equal
+    distance — and index misuse fails loudly."""
+    from sparkspatial.knn import KnnIndex, build_knn_index
+
+    rows = [(f"colo{i:02d}", 40.5, -74.0) for i in range(40)]   # one loc
+    rows += [(f"near{i}", 40.5 + 1e-4 * (i + 1), -74.0) for i in range(6)]
+    rows += [("far", 42.0, -70.0), ("mirror00", 40.52, -74.02)]
+    # a second location exactly equidistant from the query as colo*:
+    # query sits midway in longitude, same latitude
+    rows += [(f"tie{i}", 40.5, -73.9) for i in range(3)]
+    pts = spark.createDataFrame(rows, "url string, lat double, lon double")
+    q = spark.createDataFrame([("q", 40.5, -73.95), ("q2", 40.5, -74.0)],
+                              "qid string, qlat double, qlon double")
+
+    idx = build_knn_index(pts, res=9, k_max=8)
+    got = knn_join(pts, q, k=8, res=9, index=idx)
+    want = knn_bruteforce(pts, q, k=8)
+    g = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6)) for r in got.collect()}
+    w = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6)) for r in want.collect()}
+    assert g == w
+
+    # inline path (builds its own index) agrees too
+    got2 = knn_join(pts, q, k=8, res=9)
+    g2 = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6))
+          for r in got2.collect()}
+    assert g2 == w
+
+    with pytest.raises(ValueError, match="k_max"):
+        knn_join(pts, q, k=9, res=9, index=idx)
+    with pytest.raises(ValueError, match="res"):
+        knn_join(pts, q, k=4, res=10, index=idx)
+
+
 def test_knn_large_query_set_no_driver_state(spark):
     """10^4 queries through the DataFrame-native kNN loop at sf0.1:
     completes with no driver-side query collect / IN-list literals
