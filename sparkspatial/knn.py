@@ -40,7 +40,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,6 +127,13 @@ class KnnIndex:
     ZoneIndex): one window pass over the points table, reusable
     across knn_join calls while the point set is unchanged.
     `persist()` pins it (caller owns the lifetime).
+
+    Staleness contract: knn_join validates PARAMETERS (res, column
+    names, k_max) loudly, but cannot detect that `points` changed
+    since the index was built — like ZoneIndex, the caller owns
+    rebuilding on data change; a stale index silently answers from
+    the old point set (and the max_ring brute-force fallback would
+    answer from the new one).
     """
 
     def __init__(self, loc: DataFrame, res: int, k_max: int,
@@ -275,11 +281,13 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
 
         # uncertified queries: keep zero-candidate ones (absent from
         # flagged) via left_anti against the certified qid set, join
-        # the growth evidence back, and jump the ring
-        done_q = flagged.where("ok").select("qid").distinct()
-        ev = (flagged.where(~F.col("ok"))
-              .groupBy("qid").agg(F.first("cand_n").alias("cand_n"),
-                                  F.first("kth").alias("kth")))
+        # the growth evidence back, and jump the ring. ok/cand_n/kth
+        # are constant per qid and row_number guarantees exactly one
+        # rnk=1 row per qid, so both sets are plain filters over the
+        # checkpointed frame — no distinct/groupBy exchange.
+        done_q = flagged.where("ok AND rnk = 1").select("qid")
+        ev = flagged.where("NOT ok AND rnk = 1").select("qid", "cand_n",
+                                                        "kth")
         not_done = (remaining.join(done_q, "qid", "left_anti")
                     .join(ev, "qid", "left"))
         exhausted.append(not_done.where(F.col("ring") >= max_ring)
@@ -297,12 +305,18 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
                           F.ceil(F.col("kth") / cover_now * 1.25)) \
             .otherwise(F.lit(2))
         growth = F.least(F.greatest(F.lit(2), g_density, g_margin), F.lit(8))
+        # lazy localCheckpoint: materializes inside next round's stats
+        # job (no extra job here) and keeps lineage flat — without it
+        # the remaining-plan is an anti-join chain that deepens and
+        # re-evaluates every round (quadratic in round count on
+        # sparse data driving many rounds)
         remaining = (not_done.where(F.col("ring") < max_ring)
                      .withColumn("ring",
                                  F.least(F.col("ring").cast("long") * growth,
                                          F.lit(int(max_ring)))
                                  .cast("int"))
-                     .select("qid", "qlat", "qlon", "ring"))
+                     .select("qid", "qlat", "qlon", "ring")
+                     .localCheckpoint(eager=False))
 
     # ring expansion exhausted (queries far from all data, or fewer
     # than k points exist): exact brute-force for those queries —
