@@ -95,19 +95,24 @@ def extract_points(pages: DataFrame, html_col: str = "html",
     schema = f"{url_col} string, lat double, lon double"
 
     if impl == "jvm":
-        lats = F.expr(
+        # ONE regex pass over the page: extract whole matches (group
+        # 0), then parse lat/lon out of each ~60-char match with a
+        # quote split — the old two-call form (group 1, then group 2)
+        # ran the full-page regex twice per page (the same
+        # re-evaluation family as the r3 norm-in-lambda finding, 2x
+        # not nx). The match is '<span class="geo" data-lat="LAT"
+        # data-lon="LON">', so quote-delimited fields 3/5 are exactly
+        # the two capture groups.
+        ms = F.expr(
             f"regexp_extract_all(decode({html_col}, 'UTF-8'), "
-            f"'{_MARKER_SQL_RE}', 1)")
-        lons = F.expr(
-            f"regexp_extract_all(decode({html_col}, 'UTF-8'), "
-            f"'{_MARKER_SQL_RE}', 2)")
+            f"'{_MARKER_SQL_RE}', 0)")
         return (pages
-                .select(F.col(url_col),
-                        F.explode(F.arrays_zip(lats.alias("la"),
-                                               lons.alias("lo"))).alias("m"))
+                .select(F.col(url_col), F.explode(ms).alias("m"))
                 .select(url_col,
-                        F.col("m.la").cast("double").alias("lat"),
-                        F.col("m.lo").cast("double").alias("lon")))
+                        F.split("m", '"').getItem(3)
+                        .cast("double").alias("lat"),
+                        F.split("m", '"').getItem(5)
+                        .cast("double").alias("lon")))
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -280,25 +280,37 @@ Raw (latest run): {raw}
             return None
         return (run[str(a)]["sec"] / run[str(b)]["sec"]) / (b / a)
 
+    # per-pair efficiency histories over every run measuring the
+    # pair (ladders with different level sets coexist); the north
+    # pair for the brief stays 1->4 regardless of which pair THIS
+    # invocation exercised — eff_lo_to_hi is ALWAYS the 1->4 history
+    # (bench.py embeds it as the north-pair evidence; computing it
+    # from this invocation's levels mislabeled a 4->16 run's numbers
+    # as the north pair)
+    def pair_hist(a, b):
+        return [e for e in (hist_eff(r, a, b) for r in hist)
+                if e is not None]
+
+    # criterion flags read each pair's OWN history: the LAST two runs
+    # that measured the pair, both >= 0.8 (most recent consecutive
+    # evidence, not best-ever)
+    def last_two_ge(lst):
+        return len(lst) >= 2 and min(lst[-2:]) >= 0.8
+
+    e14, e28, e416 = pair_hist(1, 4), pair_hist(2, 8), pair_hist(4, 16)
     merged = dict(prev)
     merged.update({
         "runs": hist,
-        # per-pair efficiency histories over every run measuring the
-        # pair (ladders with different level sets coexist); the
-        # north pair for the brief stays 1->4 regardless of which
-        # pair THIS invocation exercised
-        "eff_1_to_4": [e for e in (hist_eff(r, 1, 4) for r in hist)
-                       if e is not None],
-        "eff_2_to_8": [e for e in (hist_eff(r, 2, 8) for r in hist)
-                       if e is not None],
-        "eff_4_to_16": [e for e in (hist_eff(r, 4, 16) for r in hist)
-                        if e is not None],
-        "eff_lo_to_hi": [e for e in (hist_eff(r, n_lo, n_hi)
-                                     for r in hist) if e is not None],
+        "eff_1_to_4": e14,
+        "eff_2_to_8": e28,
+        "eff_4_to_16": e416,
+        "eff_lo_to_hi": e14,
         "north_pair": "1->4",
         "this_invocation_pair": f"{n_lo}->{n_hi}",
-        "both_runs_ge_0_8_lo_to_hi": consec and len(all_runs) >= 2,
-        "both_runs_ge_0_8": consec_4_16 and len(all_runs) >= 2,
+        "this_invocation_eff": [eff(r, n_lo, n_hi) for r in all_runs],
+        "both_runs_ge_0_8_lo_to_hi": last_two_ge(e14),
+        "both_runs_ge_0_8_2_to_8": last_two_ge(e28),
+        "both_runs_ge_0_8": last_two_ge(e416),
         "n_ladder_runs": len(hist),
         "pooled_median_sec": pooled,
         "steal_max_pct": STEAL_MAX, "sys_max_pct": SYS_MAX,
