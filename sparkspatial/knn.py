@@ -53,6 +53,20 @@ M_PER_DEG_LAT_LB = M_PER_DEG_LAT * (1.0 - 1e-9)
 # broadcast the ring-cell table while |queries| * ring cells is small
 BROADCAST_MAX_RING_ROWS = 4_000_000
 
+# map-side candidate prefilter: drop dist > cover(ring) before the
+# top-k window. EXACT with IDENTICAL round count: certification
+# requires kth < cover, so every member of a certified top-k
+# survives the filter (dropped points are strictly farther than
+# cover >= kth and cannot displace or tie one), and a query whose
+# kth lands beyond cover fails certification with or without the
+# filter — the filter changes no outcome, only the rows exchanged
+# into the window (~7x fewer on the bench corpus: the ring window
+# spans ~(2 ring+1)^2 cells, the certified disc is a fraction of
+# it). phi > 1 (tighter discs) was measured and REJECTED: at phi=4,
+# 11/113 bench queries fell under k survivors and paid an extra
+# full round, a net loss.
+PREFILTER_PHI = 1.0
+
 
 def _ring_cells(queries: DataFrame, res: int) -> DataFrame:
     """(qid, qlat, qlon, ring) -> one row per (query, k-ring cell).
@@ -249,6 +263,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
         # co-located cell from flooding the window below
         cand = (loc.join(ring_df, on="cell", how="inner")
                 .withColumn("dist_m", dist)
+                .where(F.col("dist_m")
+                       <= _cover_m_col(F.col("ring"), res)
+                       / F.lit(PREFILTER_PHI))
                 .select("qid", "ring", "n_pts", "dist_m",
                         F.col("qlat"),
                         F.posexplode(F.slice("top_ids", 1, k))
