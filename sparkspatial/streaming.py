@@ -228,3 +228,38 @@ def streaming_near_dup_alerts(pages: DataFrame, corpus_bands: DataFrame,
     return (hits.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["url", "doc_id"])
             .select("url", "doc_id", ts_col))
+
+
+def streaming_knn(queries: DataFrame, points: DataFrame, k: int, *,
+                  index=None, res: int = 10, point_id: str = "url",
+                  lat_col: str = "lat", lon_col: str = "lon",
+                  qid_col: str = "qid", qlat_col: str = "qlat",
+                  qlon_col: str = "qlon", sink=None):
+    """Streaming exact kNN: a stream of query points against a STATIC
+    corpus, via foreachBatch reusing the batch operator verbatim.
+
+    The certification loop (adaptive rings + localCheckpoint rounds)
+    is a multi-job iterative plan — illegal inline in a streaming
+    query (non-time windows and loops don't stream) — but each
+    micro-batch is an ordinary DataFrame inside foreachBatch, and kNN
+    is per-query independent, so per-batch results are EXACTLY the
+    batch operator's results for those queries (pinned in tests).
+    The corpus side follows the build-once index stance: pass a
+    persisted `knn.KnnIndex` so micro-batches pay only the
+    ring-join + window, never the corpus aggregation.
+
+    `sink(result_df, epoch_id)` receives each batch's (qid, point_id,
+    dist_m, rnk) frame; returns the unstarted writeStream builder so
+    the caller adds checkpointLocation/trigger and starts it.
+    """
+    from . import knn as knnmod
+
+    def _batch(bdf: DataFrame, epoch_id: int) -> None:
+        out = knnmod.knn_join(points, bdf, k, res=res, index=index,
+                              point_id=point_id, lat_col=lat_col,
+                              lon_col=lon_col, qid_col=qid_col,
+                              qlat_col=qlat_col, qlon_col=qlon_col)
+        if sink is not None:
+            sink(out, epoch_id)
+
+    return queries.writeStream.foreachBatch(_batch)

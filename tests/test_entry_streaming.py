@@ -185,3 +185,48 @@ def test_streaming_building_overlay_equals_batch(spark, tmp_path):
     finally:
         pidx.release()
         zdf.unpersist()
+
+
+def test_streaming_knn_equals_batch(spark, tmp_path):
+    """Streaming exact kNN (foreachBatch over the batch operator with
+    a prebuilt KnnIndex): union of per-micro-batch results == the
+    batch knn_join over all queries (kNN is per-query independent, so
+    batch slicing cannot change any result)."""
+    from sparkspatial import extract, knn
+
+    pages = fixtures.synthetic_pages(spark, n=400, n_domains=20)
+    pts = extract.geotag(pages.select("url", "domain", "lang"),
+                         "domain", "url").persist()
+    # query stream: several parquet files -> several micro-batches
+    queries = (pts.where("xxhash64(url) % 10 = 0")
+               .selectExpr("url AS qid", "lat AS qlat", "lon AS qlon"))
+    qpath = str(tmp_path / "knn_queries_stream")
+    queries.repartition(4).write.mode("overwrite").parquet(qpath)
+
+    kidx = knn.build_knn_index(pts, res=8, k_max=8).persist()
+    try:
+        qstream = (spark.readStream
+                   .schema("qid string, qlat double, qlon double")
+                   .option("maxFilesPerTrigger", 1).parquet(qpath))
+        got = {}
+
+        def sink(df, epoch_id):
+            for r in df.collect():
+                assert (r.qid, r.rnk) not in got  # no cross-batch dupes
+                got[(r.qid, r.rnk)] = (r.url, round(r.dist_m, 6))
+
+        q = (streaming.streaming_knn(qstream, pts, 3, index=kidx,
+                                     res=8, sink=sink)
+             .option("checkpointLocation", str(tmp_path / "knn_ckpt"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+        batch = knn.knn_join(pts, spark.read.parquet(qpath), 3,
+                             res=8, index=kidx)
+        want = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6))
+                for r in batch.collect()}
+        assert got == want and len(want) > 0
+    finally:
+        kidx.release()
+        pts.unpersist()

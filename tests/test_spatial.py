@@ -490,6 +490,35 @@ def test_ring_cells_jvm_matches_numpy_kring(spark):
         assert got == want, (qid, res, ring)
         assert len(got) == len(set(got)), f"duplicate ring cells: {qid}"
 
+    # randomized batch (seeded): 60 cases per resolution sweep in ONE
+    # Spark job per res, exercising lat extremes plus rings over the
+    # grid width — but only where full-grid coverage is cheap (res
+    # <= 4); at res 7/10 an over-width ring enumerates ~2^{2res}
+    # cells per query, so cap those rings small to keep the test
+    # seconds, not minutes.
+    rng = np.random.default_rng(42)
+    for res in (2, 4, 7, 10):
+        n = 60
+        lats = rng.uniform(-90.0, 90.0, n)
+        lats[:6] = [89.999, -89.999, 90.0, -90.0, 0.0, -0.0]
+        lons = rng.uniform(-180.0, 180.0, n)
+        lons[:4] = [179.999, -180.0, 0.0, -179.999]
+        ring_hi = ((1 << res) + 2) if res <= 4 else 12
+        rings = rng.integers(1, ring_hi, n)
+        rows = [(str(i), float(lats[i]), float(lons[i]), int(rings[i]))
+                for i in range(n)]
+        q = spark.createDataFrame(
+            rows, "qid string, qlat double, qlon double, ring int")
+        got_by_q = {}
+        for r in _ring_cells(q, res).collect():
+            got_by_q.setdefault(r.qid, []).append(r.cell)
+        for i in range(n):
+            want = cells.kring(
+                int(cells.encode(lats[i:i + 1], lons[i:i + 1], res)[0]),
+                int(rings[i])).tolist()
+            got = sorted(got_by_q.get(str(i), []))
+            assert got == want, (res, lats[i], lons[i], rings[i])
+
 
 def test_knn_index_exact_with_colocated_points(spark):
     """Prebuilt KnnIndex path: co-located points (the web-domain skew
