@@ -9,10 +9,10 @@ with a larger ring.
 
 Ring growth is adaptive PER QUERY (r4): each uncertified query jumps
 straight to the ring its own round-1 evidence suggests — the density
-estimate (candidates seen per window area) sizes the ring to expect
-~4k candidates, and the margin estimate (current k-th distance vs the
-certified cover) sizes it to clear the certification bound — instead
-of every query sharing one global doubling schedule. Certification is
+estimate (points observed inside the certified disc, which scales
+with ring^2 just like the window, so sqrt(4k/seen) growth holds and
+the disc/window area ratio only makes it conservative) — instead of
+every query sharing one global doubling schedule. Certification is
 re-checked exactly each round, so the jump heuristic can only affect
 round count, never correctness. Dense-area queries finish in round 1;
 sparse ones converge in ~2 rounds where doubling needed log2(need).
@@ -54,17 +54,22 @@ M_PER_DEG_LAT_LB = M_PER_DEG_LAT * (1.0 - 1e-9)
 BROADCAST_MAX_RING_ROWS = 4_000_000
 
 # map-side candidate prefilter: drop dist > cover(ring) before the
-# top-k window. EXACT with IDENTICAL round count: certification
-# requires kth < cover, so every member of a certified top-k
-# survives the filter (dropped points are strictly farther than
-# cover >= kth and cannot displace or tie one), and a query whose
-# kth lands beyond cover fails certification with or without the
-# filter — the filter changes no outcome, only the rows exchanged
+# top-k window. EXACT with IDENTICAL per-round certification
+# outcomes: certification requires kth < cover, so every member of
+# a certified top-k survives the filter (dropped points are
+# strictly farther than cover >= kth and cannot displace or tie
+# one), and a query whose true kth lands at/beyond cover has < k
+# in-disc survivors, failing certification with or without the
+# filter — the filter changes no result, only the rows exchanged
 # into the window (~7x fewer on the bench corpus: the ring window
 # spans ~(2 ring+1)^2 cells, the certified disc is a fraction of
-# it). phi > 1 (tighter discs) was measured and REJECTED: at phi=4,
-# 11/113 bench queries fell under k survivors and paid an extra
-# full round, a net loss.
+# it). Side effect on SCHEDULE (not results): the observed kth is
+# capped at cover and cand_n counts in-disc points only, so ring
+# growth is density-driven (see the growth comment in the loop);
+# round counts may differ from an unfiltered loop. phi > 1
+# (tighter discs) was measured and REJECTED: at phi=4, 11/113
+# bench queries fell under k survivors and paid an extra full
+# round, a net loss.
 PREFILTER_PHI = 1.0
 
 
@@ -231,8 +236,12 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
                 f"KnnIndex k_max={index.k_max} < requested k={k}")
         loc = index.loc
     else:
-        loc = build_knn_index(points, res=res, k_max=k, point_id=point_id,
-                              lat_col=lat_col, lon_col=lon_col).loc
+        # lazy localCheckpoint: materializes inside round 1's window
+        # job and pins the built index so rounds 2+ reuse the stored
+        # blocks instead of re-running the build shuffle per round
+        loc = (build_knn_index(points, res=res, k_max=k, point_id=point_id,
+                               lat_col=lat_col, lon_col=lon_col)
+               .loc.localCheckpoint(eager=False))
 
     remaining = (queries.select(F.col(qid_col).cast("string").alias("qid"),
                                 F.col(qlat_col).cast("double").alias("qlat"),
@@ -245,11 +254,20 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
     while True:
         # one tiny job: loop-exit count + exact ring-row total for the
         # broadcast decision (remaining is checkpointed or a shallow
-        # anti-join over checkpointed frames, so this is cheap)
-        n_remaining, ring_rows = remaining.agg(
+        # anti-join over checkpointed frames, so this is cheap). The
+        # null-qid count rides the same job: qid is the partition/join
+        # key, so a NULL qid would merge queries in the top-k window
+        # AND never leave `remaining` (null-unsafe anti-join) — reject
+        # loudly instead of looping to max_ring and emitting dupes.
+        n_remaining, ring_rows, n_null = remaining.agg(
             F.count(F.lit(1)),
             F.sum((F.col("ring").cast("long") * 2 + 1)
-                  * (F.col("ring").cast("long") * 2 + 1))).first()
+                  * (F.col("ring").cast("long") * 2 + 1)),
+            F.count(F.when(F.col("qid").isNull(), 1))).first()
+        if n_null:
+            raise ValueError(
+                f"knn_join: {n_null} query rows have NULL {qid_col!r} — "
+                "qid is the top-k key and must be non-null")
         if not n_remaining:
             break
         ring_df = _ring_cells(remaining, res)
@@ -276,9 +294,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
         w_all = Window.partitionBy("qid")
         # three windows, one exchange: rnk (sorted), cand_n (growth
         # evidence; each location counts its FULL population once, on
-        # its _pos==0 row), kth (certification + growth evidence);
-        # then the exact certification flag. All materialize in ONE
-        # checkpoint.
+        # its _pos==0 row), kth (certification); then the exact
+        # certification flag. All materialize in ONE checkpoint.
         kth = F.max(F.when(F.col("rnk") == k, F.col("dist_m"))).over(w_all)
         flagged = (cand
                    .withColumn("rnk", F.row_number().over(w_rank))
@@ -290,7 +307,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
                                & (F.col("kth") < _cover_m_col(F.col("ring"),
                                                               res)))
                    .select("qid", point_id, "dist_m", "rnk", "ok",
-                           "cand_n", "kth", "ring")
+                           "cand_n", "ring")
                    .localCheckpoint(eager=True))
 
         results.append(flagged.where("ok")
@@ -303,25 +320,26 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
         # rnk=1 row per qid, so both sets are plain filters over the
         # checkpointed frame — no distinct/groupBy exchange.
         done_q = flagged.where("ok AND rnk = 1").select("qid")
-        ev = flagged.where("NOT ok AND rnk = 1").select("qid", "cand_n",
-                                                        "kth")
+        ev = flagged.where("NOT ok AND rnk = 1").select("qid", "cand_n")
         not_done = (remaining.join(done_q, "qid", "left_anti")
                     .join(ev, "qid", "left"))
         exhausted.append(not_done.where(F.col("ring") >= max_ring)
                          .select("qid", "qlat", "qlon"))
 
-        # growth: enough ring to expect ~4k candidates under the
-        # observed density, AND to clear the certification bound at the
-        # current k-th distance (1.25 margin); >=2x keeps the doubling
-        # worst case, <=8x bounds one bad estimate. Heuristic only —
-        # certification re-checks exactly next round.
-        cover_now = _cover_m_col(F.col("ring"), res)
+        # growth: enough ring to expect ~4k in-disc candidates under
+        # the observed density. cand_n counts points inside the
+        # certified disc, whose area scales with ring^2 exactly like
+        # the window's, so sqrt(4k/cand_n) is the right growth factor
+        # (the disc/window area ratio only biases it conservative —
+        # bigger jumps, never smaller). A kth-vs-cover margin term
+        # would be dead code here: the prefilter caps every observed
+        # dist at cover, so an uncertified query's kth is NULL (fewer
+        # than k in-disc survivors) or == cover. >=2x keeps the
+        # doubling worst case, <=8x bounds one bad estimate.
+        # Heuristic only — certification re-checks exactly next round.
         g_density = F.ceil(F.sqrt(F.lit(4.0 * k)
                                   / F.greatest(F.col("cand_n"), F.lit(1))))
-        g_margin = F.when(F.col("kth").isNotNull(),
-                          F.ceil(F.col("kth") / cover_now * 1.25)) \
-            .otherwise(F.lit(2))
-        growth = F.least(F.greatest(F.lit(2), g_density, g_margin), F.lit(8))
+        growth = F.least(F.greatest(F.lit(2), g_density), F.lit(8))
         # lazy localCheckpoint: materializes inside next round's stats
         # job (no extra job here) and keeps lineage flat — without it
         # the remaining-plan is an anti-join chain that deepens and

@@ -462,6 +462,20 @@ def test_knn_fewer_than_k(spark):
     assert got.count() == 2  # only two points exist
 
 
+def test_knn_null_qid_rejected(spark):
+    """A NULL qid would merge queries in the top-k window AND never
+    leave the anti-join loop (null-unsafe equality) — knn_join must
+    reject it loudly, not loop to max_ring and emit duplicates."""
+    import pytest
+
+    pts = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("b", 0.1, 0.1)], "url string, lat double, lon double")
+    q = spark.createDataFrame([("q", 0.0, 0.05), (None, 1.0, 1.0)],
+                              "qid string, qlat double, qlon double")
+    with pytest.raises(ValueError, match="NULL 'qid'"):
+        knn_join(pts, q, k=1, res=6, max_ring=4)
+
+
 def test_ring_cells_jvm_matches_numpy_kring(spark):
     """The pure-JVM ring expansion (explode/pmod SQL) must produce
     exactly cells.kring's cell set for every query row — incl. pole
@@ -525,7 +539,7 @@ def test_knn_index_exact_with_colocated_points(spark):
     shape the index collapses) must still rank exactly — ties at one
     location break by id, interleaved with other locations at equal
     distance — and index misuse fails loudly."""
-    from sparkspatial.knn import KnnIndex, build_knn_index
+    from sparkspatial.knn import build_knn_index
 
     rows = [(f"colo{i:02d}", 40.5, -74.0) for i in range(40)]   # one loc
     rows += [(f"near{i}", 40.5 + 1e-4 * (i + 1), -74.0) for i in range(6)]
