@@ -247,7 +247,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
                                 F.col(qlat_col).cast("double").alias("qlat"),
                                 F.col(qlon_col).cast("double").alias("qlon"))
                  .withColumn("ring", F.lit(int(initial_ring)).cast("int"))
-                 .localCheckpoint(eager=True))
+                 # lazy like the in-loop checkpoints: round 1's stats
+                 # job materializes it, saving one job per call
+                 .localCheckpoint(eager=False))
 
     results: list[DataFrame] = []
     exhausted: list[DataFrame] = []
