@@ -47,3 +47,43 @@ def test_run_pipeline_with_building_overlay(spark, tmp_path):
     # the point-join rollup outputs still produced
     assert spark.read.parquet(f"{out}/res=8").count() > 0
     assert spark.read.parquet(f"{out}/res=5").count() > 0
+
+
+def test_run_pipeline_with_knn(spark, tmp_path):
+    """--knn stage under the deployment entry point: output exact-
+    matches knn_bruteforce for the same hash-sampled query side, and
+    a second run with the same fingerprints serves the knn stage from
+    the checkpoint (lineage row present, results identical)."""
+    from sparkspatial import extract, fixtures, knn
+
+    import run_pipeline
+
+    pages = fixtures.synthetic_pages(spark, n=300, n_domains=15)
+    pages_path = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(pages_path)
+
+    import __spark_entry__ as entrymod
+    zones_path = str(tmp_path / "zones")
+    entrymod._poly_zones_df(spark).write.parquet(zones_path)
+
+    out = str(tmp_path / "out")
+    args = ["--pages", pages_path, "--zones", zones_path, "--out", out,
+            "--checkpoint", str(tmp_path / "ck"),
+            "--res", "8", "--rollup", "5",
+            "--knn", "3", "--knn-sample", "10", "--knn-res", "8"]
+    run_pipeline.main(args)
+
+    got = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6))
+           for r in spark.read.parquet(f"{out}/knn").collect()}
+    pts = extract.extract_points(spark.read.parquet(pages_path))
+    queries = (pts.where("xxhash64(url) % 10 = 0")
+               .selectExpr("url AS qid", "lat AS qlat", "lon AS qlon"))
+    want = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6))
+            for r in knn.knn_bruteforce(pts, queries, 3).collect()}
+    assert got == want and len(want) > 0
+
+    # resumed run: same fingerprints -> knn served from checkpoint
+    run_pipeline.main(args)
+    got2 = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6))
+            for r in spark.read.parquet(f"{out}/knn").collect()}
+    assert got2 == got

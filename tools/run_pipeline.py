@@ -16,6 +16,8 @@ Stages (each resumable through the fingerprinted checkpointer):
   2. join:    points x zones spatial join (broadcast-or-shuffle,
               optional hot-cell salting)
   3. tiles:   per-cell indicators + hierarchical rollups
+  4. overlay: polygon x polygon building overlay (--building-overlay)
+  5. knn:     exact kNN for a hash-sampled query side (--knn K)
 """
 
 from __future__ import annotations
@@ -48,6 +50,17 @@ def main(argv=None):
                    help="default: join.RECT_HALF_W_DEG")
     p.add_argument("--bld-half-h", type=float, default=None,
                    help="default: join.RECT_HALF_H_DEG")
+    p.add_argument("--knn", type=int, default=0, metavar="K",
+                   help="additionally run exact kNN (r4 operator): "
+                        "top-K neighbors for a deterministic "
+                        "1/--knn-sample hash sample of the extracted "
+                        "points against all points, through a "
+                        "build-once KnnIndex")
+    p.add_argument("--knn-sample", type=int, default=100,
+                   help="query side = points with "
+                        "xxhash64(url) %% N == 0 (default 100)")
+    p.add_argument("--knn-res", type=int, default=10,
+                   help="kNN cell-index resolution (default 10)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -123,6 +136,31 @@ def main(argv=None):
          .agg(F.count(F.lit(1)).alias("building_count"))
          .write.mode("overwrite")
          .parquet(f"{args.out}/building_overlay_counts"))
+
+    if args.knn:
+        # exact kNN (round-4 operator) under the same deployment:
+        # build-once location index (persisted for the certification
+        # rounds), deterministic hash-sampled query side, checkpointed
+        # like every other stage
+        from sparkspatial import knn as knnmod
+
+        kidx = knnmod.build_knn_index(points, res=args.knn_res,
+                                      k_max=args.knn).persist()
+        queries = (points
+                   .where(F.pmod(F.xxhash64("url"),
+                                 F.lit(args.knn_sample)) == 0)
+                   .selectExpr("url AS qid", "lat AS qlat",
+                               "lon AS qlon"))
+        nn = knnmod.knn_join(points, queries, args.knn,
+                             res=args.knn_res, index=kidx)
+        if ck:
+            nn = ck.stage(nn, "knn",
+                          fingerprint_of(args.pages, args.knn,
+                                         args.knn_sample, args.knn_res,
+                                         args.code_version,
+                                         extract.EXTRACT_TEXT_VERSION))
+        nn.write.mode("overwrite").parquet(f"{args.out}/knn")
+        kidx.release()
 
     if ck:
         ck.lineage(spark).show(20, truncate=False)
