@@ -83,7 +83,12 @@ def test_run_pipeline_with_knn(spark, tmp_path):
     assert got == want and len(want) > 0
 
     # resumed run: same fingerprints -> knn served from checkpoint
+    # (manifest mtime unchanged proves no recompute: stage() rewrites
+    # the manifest whenever it materializes)
+    manifest = str(tmp_path / "ck" / "knn" / "_MANIFEST.json")
+    mtime_before = os.path.getmtime(manifest)
     run_pipeline.main(args)
+    assert os.path.getmtime(manifest) == mtime_before
     got2 = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6))
             for r in spark.read.parquet(f"{out}/knn").collect()}
     assert got2 == got

@@ -141,26 +141,32 @@ def main(argv=None):
         # exact kNN (round-4 operator) under the same deployment:
         # build-once location index (persisted for the certification
         # rounds), deterministic hash-sampled query side, checkpointed
-        # like every other stage
+        # like every other stage. Unlike the lazy stages, knn_join
+        # RUNS its certification loop when called, so the checkpoint
+        # hit must be checked BEFORE building anything.
         from sparkspatial import knn as knnmod
 
-        kidx = knnmod.build_knn_index(points, res=args.knn_res,
-                                      k_max=args.knn).persist()
-        queries = (points
-                   .where(F.pmod(F.xxhash64("url"),
-                                 F.lit(args.knn_sample)) == 0)
-                   .selectExpr("url AS qid", "lat AS qlat",
-                               "lon AS qlon"))
-        nn = knnmod.knn_join(points, queries, args.knn,
-                             res=args.knn_res, index=kidx)
-        if ck:
-            nn = ck.stage(nn, "knn",
-                          fingerprint_of(args.pages, args.knn,
-                                         args.knn_sample, args.knn_res,
-                                         args.code_version,
-                                         extract.EXTRACT_TEXT_VERSION))
+        knn_fp = fingerprint_of(args.pages, args.knn, args.knn_sample,
+                                args.knn_res, args.code_version,
+                                extract.EXTRACT_TEXT_VERSION)
+        if ck and ck.is_complete("knn", knn_fp):
+            nn = ck.stage(points.limit(0), "knn", knn_fp)  # df unused on hit
+            kidx = None
+        else:
+            kidx = knnmod.build_knn_index(points, res=args.knn_res,
+                                          k_max=args.knn).persist()
+            queries = (points
+                       .where(F.pmod(F.xxhash64("url"),
+                                     F.lit(args.knn_sample)) == 0)
+                       .selectExpr("url AS qid", "lat AS qlat",
+                                   "lon AS qlon"))
+            nn = knnmod.knn_join(points, queries, args.knn,
+                                 res=args.knn_res, index=kidx)
+            if ck:
+                nn = ck.stage(nn, "knn", knn_fp)
         nn.write.mode("overwrite").parquet(f"{args.out}/knn")
-        kidx.release()
+        if kidx is not None:
+            kidx.release()
 
     if ck:
         ck.lineage(spark).show(20, truncate=False)
