@@ -402,13 +402,27 @@ def range_join(points: DataFrame, queries: DataFrame, radius_m: float, *,
 
     Query state stays distributed: the longitude window is a JVM
     column expression, the join resolution comes from ONE scalar
-    aggregate (max window width), and the circle covers expand in an
-    Arrow stage — no per-query toPandas, so the operator survives
+    aggregate (min+max window width), and the circle covers expand in
+    an Arrow stage — no per-query toPandas, so the operator survives
     10^5+ query rows (the kNN-loop discipline; r1 verdict flagged the
     old driver-side collect). `broadcast=False` shuffles the cover
     instead of broadcasting for huge query sets.
+
+    Resolution is PER QUERY (r4): each query covers at the finest of
+    <= 4 levels whose bbox stays under 256 cells, so one polar/wide
+    query no longer coarsens the index for the whole set (pre-r4 a
+    single global res came from max(dlon)). The cell id encodes its
+    res, so mixed-res covers join against `join.point_cells`' <= 4-way
+    point-side expansion on plain cell equality; when every query
+    agrees on one level the plan is identical to the single-res one.
+
+    Covers WRAP at the antimeridian (r4 fix): a circle straddling
+    +-180 splits into two lon ranges (pre-r4 the cover clamped at the
+    seam and silently missed the far-side points).
     """
     import pandas as pd
+
+    from . import join as joinmod
 
     spark = points.sparkSession
     qdf = queries.select(F.col(qid_col).cast("string").alias("qid"),
@@ -425,23 +439,31 @@ def range_join(points: DataFrame, queries: DataFrame, radius_m: float, *,
         .otherwise(F.degrees(2.0 * F.asin(F.least(s, F.lit(1.0)))))
     qdf = qdf.withColumn("dlon", dlon_col)
 
-    # one resolution for BOTH sides (cell equality is the join key):
-    # coarsen until the widest circle bbox covers <= 256 cells.
-    # max(dlon) is the ONLY scalar that reaches the driver.
-    row = qdf.agg(F.max("dlon")).first()
+    # level ladder: finest level for the narrowest window, coarsest
+    # for the widest, at most 4 levels between them. min/max(dlon) are
+    # the ONLY scalars that reach the driver; the per-query level
+    # assignment below uses the same closed form, and dlon is
+    # monotone in the level formula, so every assigned level lies in
+    # [res_for(max_dlon), res_for(min_dlon)].
+    row = qdf.agg(F.min("dlon"), F.max("dlon")).first()
     if row[0] is None:
         return spark.createDataFrame(
             [], f"qid string, {point_id} string, dist_m double")
-    max_dlon = float(row[0])
-    while res > 0:
-        nx = 2.0 * max_dlon / (360.0 / (1 << res)) + 2
-        ny = 2.0 * dlat / (180.0 / (1 << res)) + 2
-        if nx * ny <= 256:
-            break
-        res -= 1
-    pts = points.withColumn("cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
 
-    cover_res = res
+    def _res_for(d: float) -> int:
+        r = res
+        while r > 0:
+            nx = 2.0 * d / (360.0 / (1 << r)) + 2
+            ny = 2.0 * dlat / (180.0 / (1 << r)) + 2
+            if nx * ny <= 256:
+                break
+            r -= 1
+        return r
+
+    r_hi, r_lo = _res_for(float(row[0])), _res_for(float(row[1]))
+    levels = sorted({r_lo, *(max(r_lo, r_hi - i) for i in range(3))})
+    pts = joinmod.point_cells(points, levels,
+                              lat_col=lat_col, lon_col=lon_col)
 
     def _cover(batches):
         for pdf in batches:
@@ -452,12 +474,52 @@ def range_join(points: DataFrame, queries: DataFrame, radius_m: float, *,
             qlat = pdf["qlat"].to_numpy(np.float64)
             qlon = pdf["qlon"].to_numpy(np.float64)
             dlon = pdf["dlon"].to_numpy(np.float64)
-            idx, cell = cells.covering_cells_many(
-                qlon - dlon, qlat - dlat, qlon + dlon, qlat + dlat,
-                cover_res, max_cells_per_box=10 ** 9)
-            yield pd.DataFrame({"qid": pdf["qid"].to_numpy()[idx],
-                                "qlat": qlat[idx], "qlon": qlon[idx],
-                                "cell": cell})
+            qid = pdf["qid"].to_numpy()
+            # largest level whose bbox stays under 256 cells (count
+            # grows with the level, so ascending assignment ends on
+            # the finest admissible one)
+            lvl = np.full(len(pdf), levels[0], dtype=np.int64)
+            for r in levels[1:]:
+                nx = 2.0 * dlon / (360.0 / (1 << r)) + 2
+                ny = 2.0 * dlat / (180.0 / (1 << r)) + 2
+                lvl[nx * ny <= 256.0] = r
+            # antimeridian wrap: a window crossing +-180 becomes two
+            # boxes; a window spanning the full ring stays one box
+            lo, hi = qlon - dlon, qlon + dlon
+            full = dlon >= 180.0
+            wrap_e = (hi > 180.0) & ~full
+            wrap_w = (lo < -180.0) & ~full
+            boxes = [(np.arange(len(pdf)),
+                      np.where(wrap_w, -180.0, lo),
+                      np.where(wrap_e, 180.0, hi))]
+            if wrap_e.any():
+                i = np.flatnonzero(wrap_e)
+                boxes.append((i, np.full(len(i), -180.0), hi[i] - 360.0))
+            if wrap_w.any():
+                i = np.flatnonzero(wrap_w)
+                boxes.append((i, lo[i] + 360.0, np.full(len(i), 180.0)))
+            frames = []
+            for r in levels:
+                for pos, blo, bhi in boxes:
+                    m = lvl[pos] == r
+                    if not m.any():
+                        continue
+                    p = pos[m]
+                    idx, cell = cells.covering_cells_many(
+                        blo[m], qlat[p] - dlat, bhi[m], qlat[p] + dlat,
+                        int(r), max_cells_per_box=10 ** 9)
+                    frames.append(pd.DataFrame(
+                        {"qid": qid[p][idx], "qlat": qlat[p][idx],
+                         "qlon": qlon[p][idx], "cell": cell}))
+            out = pd.concat(frames, ignore_index=True) if frames else \
+                pd.DataFrame({"qid": pd.Series([], dtype=str),
+                              "qlat": [], "qlon": [], "cell": []})
+            if len(boxes) > 1:
+                # near-global windows: the clamped split boxes can
+                # overlap at the seam columns — dedup so no (query,
+                # point) pair ever joins twice
+                out = out.drop_duplicates(["qid", "cell"])
+            yield out
 
     ring_df = qdf.mapInPandas(
         _cover, schema="qid string, qlat double, qlon double, cell long")

@@ -453,6 +453,71 @@ def test_range_join_matches_bruteforce(spark, points_df):
     assert len(got) > 0
 
 
+def _range_bruteforce(pts_rows, q_rows, radius_m):
+    from sparkspatial.geom import haversine_deg
+    want = set()
+    lat = np.array([p[1] for p in pts_rows])
+    lon = np.array([p[2] for p in pts_rows])
+    for qid, qlat, qlon in q_rows:
+        d = haversine_deg(np.full(len(pts_rows), qlat),
+                          np.full(len(pts_rows), qlon), lat, lon)
+        for i in np.flatnonzero(d <= radius_m):
+            want.add((qid, pts_rows[i][0]))
+    return want
+
+
+def test_range_join_antimeridian_wrap(spark):
+    """A query circle straddling +-180 must see points on the far
+    side (regression: the pre-r4 cover clamped at the seam and a
+    60 km query at lon 179.95 missed a point 16.7 km away)."""
+    from sparkspatial.knn import range_join
+    pts_rows = [("east", 0.0, 179.99), ("west", 0.0, -179.90),
+                ("far_w", 0.0, -179.0), ("mid", 0.0, 0.0),
+                ("west_hi", 30.0, -179.95), ("east_hi", 30.0, 179.80)]
+    q_rows = [("q_e", 0.0, 179.95), ("q_w", 0.0, -179.97),
+              ("q_hi", 30.0, 179.99)]
+    pts = spark.createDataFrame(pts_rows, "url string, lat double, lon double")
+    q = spark.createDataFrame(q_rows, "qid string, qlat double, qlon double")
+    got = {(r.qid, r.url) for r in
+           range_join(pts, q, radius_m=60_000.0, res=10).collect()}
+    want = _range_bruteforce(pts_rows, q_rows, 60_000.0)
+    assert got == want
+    # the fix is only exercised if some pair actually crosses the seam
+    assert ("q_e", "west") in want and ("q_w", "east") in want
+
+
+def test_range_join_near_global_window(spark):
+    """A polar query's longitude window spans the whole ring
+    (dlon >= 180): one box, every point within the lat band matches,
+    and no (query, point) pair joins twice."""
+    from sparkspatial.knn import range_join
+    pts_rows = [("np1", 89.5, 10.0), ("np2", 89.2, -170.0),
+                ("np3", 88.0, 100.0), ("eq", 0.0, 0.0),
+                ("np4", 89.9, -60.0)]
+    q_rows = [("pole", 89.8, 0.0)]
+    pts = spark.createDataFrame(pts_rows, "url string, lat double, lon double")
+    q = spark.createDataFrame(q_rows, "qid string, qlat double, qlon double")
+    out = range_join(pts, q, radius_m=120_000.0, res=10).collect()
+    got = [(r.qid, r.url) for r in out]
+    assert len(got) == len(set(got))  # no duplicate pairs
+    assert set(got) == _range_bruteforce(pts_rows, q_rows, 120_000.0)
+
+
+def test_range_join_mixed_polar_equatorial(spark, points_df):
+    """Per-query resolution (r4): one polar query must not coarsen
+    the cover for the equatorial ones — the mixed set stays exact
+    and matches the brute force pair-for-pair."""
+    from sparkspatial.knn import range_join
+    q_rows = [("q_eq", 40.5, -74.0), ("q_pole", 89.0, 0.0),
+              ("q_seam", -30.0, 179.9), ("q_mid", -10.0, 100.0)]
+    q = spark.createDataFrame(q_rows, "qid string, qlat double, qlon double")
+    got = {(r.qid, r.url) for r in
+           range_join(points_df, q, radius_m=250_000.0, res=10).collect()}
+    ppdf = points_df.toPandas()
+    pts_rows = list(zip(ppdf["url"], ppdf["lat"], ppdf["lon"]))
+    assert got == _range_bruteforce(pts_rows, q_rows, 250_000.0)
+
+
 def test_knn_fewer_than_k(spark):
     pts = spark.createDataFrame(
         [("a", 0.0, 0.0), ("b", 0.1, 0.1)], "url string, lat double, lon double")
