@@ -88,6 +88,19 @@ class Checkpointer:
         os.replace(tmp, manifest)
         return out.drop("_pid")
 
+    def load(self, spark: SparkSession, stage: str) -> DataFrame:
+        """Read-only accessor for a completed stage's data.
+
+        Callers that already checked `is_complete()` must use this
+        instead of routing a dummy DataFrame through `stage()`: if
+        the manifest disappears between the outer check and stage()'s
+        internal re-check, stage() would materialize the dummy under
+        the real fingerprint and poison every future resume
+        (review-caught r4).
+        """
+        root, _, _ = self._paths(stage)
+        return spark.read.parquet(os.path.join(root, "data")).drop("_pid")
+
     def lineage(self, spark: SparkSession, stage: str | None = None) -> DataFrame:
         base = os.path.join(self.base, "_lineage")
         path = os.path.join(base, stage) if stage else os.path.join(base, "*")

@@ -484,9 +484,15 @@ def range_join(points: DataFrame, queries: DataFrame, radius_m: float, *,
                 ny = 2.0 * dlat / (180.0 / (1 << r)) + 2
                 lvl[nx * ny <= 256.0] = r
             # antimeridian wrap: a window crossing +-180 becomes two
-            # boxes; a window spanning the full ring stays one box
+            # boxes; a window spanning the full ring (dlon >= 180)
+            # stays ONE box pinned to [-180, 180] — pinning matters:
+            # an unpinned [qlon-180, qlon+180] box would be clamped
+            # by covering_cells and silently drop the arc beyond the
+            # seam whenever qlon != 0 (review-caught r4)
             lo, hi = qlon - dlon, qlon + dlon
             full = dlon >= 180.0
+            lo = np.where(full, -180.0, lo)
+            hi = np.where(full, 180.0, hi)
             wrap_e = (hi > 180.0) & ~full
             wrap_w = (lo < -180.0) & ~full
             boxes = [(np.arange(len(pdf)),

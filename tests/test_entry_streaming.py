@@ -275,6 +275,7 @@ def test_transform_with_state_boundary(spark, tmp_path):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")
+    q = None
     try:
         stream = spark.readStream.schema("domain string").parquet(src)
         out_schema = StructType([StructField("domain", StringType()),
@@ -291,10 +292,13 @@ def test_transform_with_state_boundary(spark, tmp_path):
         spark.createDataFrame([("a.com",), ("c.com",)], "domain string") \
             .write.mode("append").parquet(src)
         q.processAllAvailable()
-        q.stop()
         assert {("a.com", 2), ("b.com", 1)} <= set(got)   # batch 1
         assert {("a.com", 3), ("c.com", 1)} <= set(got)   # accumulated
     finally:
+        # stop in finally: a mid-stream failure must not leak a
+        # running query holding the RocksDB store for the session
+        if q is not None:
+            q.stop()
         if prov is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:

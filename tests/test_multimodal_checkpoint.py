@@ -79,6 +79,24 @@ def test_checkpoint_resume(spark, tmp_path):
     assert {r.stage for r in lin} == {"stage1"}
 
 
+def test_checkpoint_load_readonly(spark, tmp_path):
+    """load() reads a completed stage WITHOUT a recompute path:
+    unlike stage(), it can never materialize a caller's dummy frame
+    under the real fingerprint if the manifest vanishes between the
+    outer is_complete() check and the read (review-caught r4)."""
+    ck = Checkpointer(str(tmp_path))
+    fp = fingerprint_of("ro", "v1")
+    ck.stage(spark.range(7).withColumn("v", F.col("id") + 1), "ro", fp)
+    out = ck.load(spark, "ro")
+    assert out.count() == 7
+    assert set(out.columns) == {"id", "v"}  # _pid stripped
+    # even with the manifest gone, load() still reads the data and
+    # writes NOTHING (stage() here would have recomputed/rewritten)
+    ck.invalidate("ro")
+    assert ck.load(spark, "ro").count() == 7
+    assert not ck.is_complete("ro", fp)
+
+
 def test_checkpoint_invalidate(spark, tmp_path):
     ck = Checkpointer(str(tmp_path))
     fp = fingerprint_of("x")

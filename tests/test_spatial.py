@@ -503,6 +503,26 @@ def test_range_join_near_global_window(spark):
     assert set(got) == _range_bruteforce(pts_rows, q_rows, 120_000.0)
 
 
+def test_range_join_full_window_off_zero_lon(spark):
+    """A full-longitude window (dlon >= 180) at qlon != 0 must pin
+    its cover box to [-180, 180] (regression: an unpinned
+    [qlon-180, qlon+180] box was clamped by covering_cells and
+    silently dropped the arc beyond the seam — a polar query at
+    lon 100 missed a point 24.9 km away at lon -170)."""
+    from sparkspatial.knn import range_join
+    pts_rows = [("near", 89.9, -170.0), ("band", 89.3, -100.0),
+                ("out", 85.0, 100.0), ("eq", 0.0, 100.0)]
+    q_rows = [("pole", 89.8, 100.0)]
+    pts = spark.createDataFrame(pts_rows, "url string, lat double, lon double")
+    q = spark.createDataFrame(q_rows, "qid string, qlat double, qlon double")
+    out = range_join(pts, q, radius_m=120_000.0, res=10).collect()
+    got = [(r.qid, r.url) for r in out]
+    assert len(got) == len(set(got))
+    want = _range_bruteforce(pts_rows, q_rows, 120_000.0)
+    assert set(got) == want
+    assert ("pole", "near") in want  # the pair the clamp used to drop
+
+
 def test_range_join_mixed_polar_equatorial(spark, points_df):
     """Per-query resolution (r4): one polar query must not coarsen
     the cover for the equatorial ones — the mixed set stays exact

@@ -150,7 +150,7 @@ def main(argv=None):
                                 args.knn_res, args.code_version,
                                 extract.EXTRACT_TEXT_VERSION)
         if ck and ck.is_complete("knn", knn_fp):
-            nn = ck.stage(points.limit(0), "knn", knn_fp)  # df unused on hit
+            nn = ck.load(spark, "knn")  # read-only: never recomputes
             kidx = None
         else:
             kidx = knnmod.build_knn_index(points, res=args.knn_res,
