@@ -263,3 +263,38 @@ def streaming_knn(queries: DataFrame, points: DataFrame, k: int, *,
             sink(out, epoch_id)
 
     return queries.writeStream.foreachBatch(_batch)
+
+
+def streaming_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          qid_col: str = "qid", qvec_col: str = "qvec",
+                          q_blocks: int = 4, c_blocks: int = 8,
+                          sink=None):
+    """Streaming exact cosine top-k: a stream of query vectors against
+    a STATIC corpus, via foreachBatch reusing
+    :func:`sim.cosine_topk_blocked` verbatim.
+
+    The re-rank window partitions by qid (a non-time window — illegal
+    inline in a streaming query), but each micro-batch is an ordinary
+    DataFrame inside foreachBatch and top-k is per-query independent,
+    so per-batch results are EXACTLY the batch operator's results for
+    those queries (pinned in tests). Persist the corpus DataFrame for
+    the build-once stance: micro-batches then pay only the block
+    product against the cached corpus, never the source re-scan.
+
+    `sink(result_df, epoch_id)` receives each batch's (qid, id_col,
+    cos, rnk) frame; returns the unstarted writeStream builder so the
+    caller adds checkpointLocation/trigger and starts it.
+    """
+    from . import sim as simmod
+
+    def _batch(bdf: DataFrame, epoch_id: int) -> None:
+        out = simmod.cosine_topk_blocked(
+            corpus, bdf, k, id_col=id_col, vec_col=vec_col,
+            qid_col=qid_col, qvec_col=qvec_col,
+            q_blocks=q_blocks, c_blocks=c_blocks)
+        if sink is not None:
+            sink(out, epoch_id)
+
+    return queries.writeStream.foreachBatch(_batch)

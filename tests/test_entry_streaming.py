@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -230,6 +231,55 @@ def test_streaming_knn_equals_batch(spark, tmp_path):
     finally:
         kidx.release()
         pts.unpersist()
+
+
+def test_streaming_cosine_topk_equals_batch(spark, tmp_path):
+    """Streaming exact cosine top-k (foreachBatch over
+    cosine_topk_blocked against a static persisted corpus): union of
+    per-micro-batch results == the batch operator over all queries
+    (top-k is per-query independent, so batch slicing cannot change
+    any result), with no cross-batch duplicates."""
+    from sparkspatial import sim
+
+    rng = np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=8)])
+         for i in range(60)],
+        "vec_id long, embedding array<double>").persist()
+    queries = spark.createDataFrame(
+        [(int(100 + i), [float(x) for x in rng.normal(size=8)])
+         for i in range(12)],
+        "qid long, qvec array<double>")
+    qpath = str(tmp_path / "topk_queries_stream")
+    queries.repartition(4).write.mode("overwrite").parquet(qpath)
+    q = None
+    try:
+        qstream = (spark.readStream
+                   .schema("qid long, qvec array<double>")
+                   .option("maxFilesPerTrigger", 1).parquet(qpath))
+        got = {}
+
+        def sink(df, epoch_id):
+            for r in df.collect():
+                assert (r.qid, r.rnk) not in got  # no cross-batch dupes
+                got[(r.qid, r.rnk)] = (r.vec_id, round(r.cos, 9))
+
+        q = (streaming.streaming_cosine_topk(
+                qstream, corpus, 4, q_blocks=2, c_blocks=3, sink=sink)
+             .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+             .start())
+        q.processAllAvailable()
+
+        batch = sim.cosine_topk_blocked(
+            corpus, spark.read.parquet(qpath), 4,
+            q_blocks=2, c_blocks=3)
+        want = {(r.qid, r.rnk): (r.vec_id, round(r.cos, 9))
+                for r in batch.collect()}
+        assert got == want and len(want) == 12 * 4
+    finally:
+        if q is not None:
+            q.stop()
+        corpus.unpersist()
 
 
 def test_transform_with_state_boundary(spark, tmp_path):
