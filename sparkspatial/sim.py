@@ -34,6 +34,20 @@ def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
     return rng.standard_normal((n_bits, dim)).astype(np.float64)
 
 
+def _topk_order(ids: np.ndarray, cos_row: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the partial top-kk under THE exact-ANN total order:
+    cos descending, id ascending on ties.
+
+    Single definition on purpose — cosine_topk, cosine_topk_blocked
+    and knn_graph all truncate partials with this order, and it must
+    stay in lockstep with their JVM re-rank windows
+    (``ORDER BY cos DESC, id ASC``); a tie-order fix applied to one
+    copy and not the others would silently break cross-path parity
+    (review-caught r4 when the pattern reached its third inline copy).
+    """
+    return np.lexsort((ids, -cos_row))[:kk]
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
@@ -75,7 +89,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             kk = min(k + 1, n)
             out_q, out_i, out_c = [], [], []
             for j in range(q):
-                top = np.lexsort((ids, -cos[:, j]))[:kk]
+                top = _topk_order(ids, cos[:, j], kk)
                 out_q.append(np.full(kk, qids_b[j]))
                 out_i.append(ids[top])
                 out_c.append(cos[top, j])
@@ -270,7 +284,7 @@ def knn_graph(corpus: DataFrame, k: int, *, id_col: str = "vec_id",
             kk = min(k + (1 if same else 0), len(ci))
             for r in range(len(qi)):
                 row = cos[r]
-                order = np.lexsort((cids, -row))[:kk]
+                order = _topk_order(cids, row, kk)
                 if same:
                     order = order[cids[order] != ids[qi[r]]][:k]
                 out_q.extend([ids[qi[r]]] * len(order))
@@ -307,20 +321,28 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame, k: int, *,
     Bipartite block product: queries hash into `q_blocks` blocks and
     replicate across the `c_blocks` corpus blocks (JVM explode, no
     Python); corpus rows symmetrically replicate across the query
-    blocks; each (q_block, c_block) group scores with one numpy matmul
-    and emits a PARTIAL top-(k+1) per query (the +1 survives the
-    self-match drop below). For a fixed query, its c_blocks groups
-    partition the corpus exactly once, so the final per-qid window
-    over <= c_blocks*(k+1) partial rows is exact — any global top-k
-    neighbor is necessarily in its group's partial top-k. Ties break
-    (cos desc, id asc) in BOTH the partial lexsort and the window: the
-    same total order as cosine_topk, row-for-row.
+    blocks; each (q_block, c_block) COGROUP scores with one numpy
+    matmul and emits a PARTIAL top-(k+1) per query (the +1 survives
+    the self-match drop below). For a fixed query, its c_blocks
+    groups partition the corpus exactly once, so the final per-qid
+    window over <= c_blocks*(k+1) partial rows is exact — any global
+    top-k neighbor is necessarily in its group's partial top-k. Ties
+    break via :func:`_topk_order` (cos desc, id asc) in BOTH the
+    partial and the window: the same total order as cosine_topk,
+    row-for-row.
 
-    Self-matches (qid == corpus id) are excluded, matching
-    cosine_topk — pass disjoint id domains if that filter must be a
-    no-op. NULL qids are rejected by contract (they would merge in the
-    window); the corpus/query split inside the group rides an explicit
-    side tag, not id nullability.
+    The two sides meet in a COGROUPED applyInPandas, never a union:
+    NULL-padding long id columns across a union coerces them to
+    float64 in Arrow-to-pandas, silently corrupting ids above 2^53 —
+    exactly the range xxhash64-derived ids live in (review-caught
+    r4). Each side keeps its own dtype end to end.
+
+    Self-matches (qid == corpus id) are excluded when the two id
+    types MATCH, same semantics as cosine_topk; when the types
+    differ the domains are disjoint by construction and the filter
+    is skipped (a cross-type != would cast-to-NULL and silently drop
+    every row — review-caught r4). NULL qids are rejected loudly
+    (they would merge in the window).
 
     Scale shape: shuffle n_q*c_blocks + n_c*q_blocks rows; per-task
     memory n_q/q_blocks + n_c/c_blocks rows (size the block counts so
@@ -332,44 +354,40 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame, k: int, *,
     qid_type = queries.schema[qid_col].dataType.simpleString()
     c = (corpus
          .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_vec"))
-         .withColumn("_qid", F.lit(None).cast(qid_type))
-         .withColumn("_side", F.lit(0))
          .withColumn("_cb", F.pmod(F.xxhash64("_cid"),
                                    F.lit(c_blocks)).cast("int"))
          .withColumn("_qb", F.explode(
              F.sequence(F.lit(0), F.lit(q_blocks - 1)))))
     q = (queries
-         .select(F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_vec"))
-         .withColumn("_cid", F.lit(None).cast(id_type))
-         .withColumn("_side", F.lit(1))
+         .select(F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_qvec"))
          .withColumn("_qb", F.pmod(F.xxhash64("_qid"),
                                    F.lit(q_blocks)).cast("int"))
          .withColumn("_cb", F.explode(
              F.sequence(F.lit(0), F.lit(c_blocks - 1)))))
-    both = c.unionByName(q.select(*c.columns))
 
-    def _partials(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"qid": pdf["_qid"][:0], id_col: pdf["_cid"][:0],
+    def _partials(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": qpdf["_qid"][:0], id_col: cpdf["_cid"][:0],
                               "cos": np.array([], dtype=np.float64)})
-        side = pdf["_side"].to_numpy()
-        qi = np.flatnonzero(side == 1)
-        ci = np.flatnonzero(side == 0)
-        if len(qi) == 0 or len(ci) == 0:
+        if len(qpdf) == 0 or len(cpdf) == 0:
             return empty
-        if pdf["_qid"].iloc[qi].isna().any():
+        if qpdf["_qid"].isna().any():
             raise ValueError("cosine_topk_blocked: NULL qid in queries")
-        mat = np.stack([np.asarray(v, dtype=np.float64)
-                        for v in pdf["_vec"]])
-        norm = np.linalg.norm(mat, axis=1)
-        norm[norm == 0] = 1.0
-        cos = (mat[qi] @ mat[ci].T) / norm[qi][:, None] / norm[ci][None, :]
-        cids = pdf["_cid"].iloc[ci].to_numpy()
-        qids = pdf["_qid"].iloc[qi].to_numpy()
-        kk = min(k + 1, len(ci))
+        qmat = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in qpdf["_qvec"]])
+        cmat = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in cpdf["_vec"]])
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qnorm[qnorm == 0] = 1.0
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        cos = (qmat @ cmat.T) / qnorm[:, None] / cnorm[None, :]
+        cids = cpdf["_cid"].to_numpy()
+        qids = qpdf["_qid"].to_numpy()
+        kk = min(k + 1, len(cids))
         out_q, out_i, out_c = [], [], []
-        for r in range(len(qi)):
+        for r in range(len(qids)):
             row = cos[r]
-            top = np.lexsort((cids, -row))[:kk]
+            top = _topk_order(cids, row, kk)
             out_q.append(np.full(kk, qids[r]))
             out_i.append(cids[top])
             out_c.append(row[top])
@@ -377,12 +395,16 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame, k: int, *,
                              id_col: np.concatenate(out_i),
                              "cos": np.concatenate(out_c)})
 
-    partials = both.groupBy("_qb", "_cb").applyInPandas(
-        _partials, schema=f"qid {qid_type}, {id_col} {id_type}, cos double")
-    scored = partials.where(F.col("qid") != F.col(id_col))
+    partials = (q.groupBy("_qb", "_cb")
+                .cogroup(c.groupBy("_qb", "_cb"))
+                .applyInPandas(
+                    _partials,
+                    schema=f"qid {qid_type}, {id_col} {id_type}, cos double"))
+    if qid_type == id_type:
+        partials = partials.where(F.col("qid") != F.col(id_col))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
                                           F.col(id_col).asc())
-    return (scored.withColumn("rnk", F.row_number().over(w))
+    return (partials.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k))
 
 

@@ -269,7 +269,7 @@ def streaming_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           qid_col: str = "qid", qvec_col: str = "qvec",
-                          q_blocks: int = 4, c_blocks: int = 8,
+                          q_blocks: int = 1, c_blocks: int = 8,
                           sink=None):
     """Streaming exact cosine top-k: a stream of query vectors against
     a STATIC corpus, via foreachBatch reusing
@@ -282,6 +282,12 @@ def streaming_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int, *,
     those queries (pinned in tests). Persist the corpus DataFrame for
     the build-once stance: micro-batches then pay only the block
     product against the cached corpus, never the source re-scan.
+
+    `q_blocks` defaults to 1 here (not the batch operator's 4): a
+    micro-batch of queries fits one query block, and every extra
+    query block replicates — and shuffles — the ENTIRE static corpus
+    once more per batch (review-caught r4). Raise it only for very
+    large micro-batches.
 
     `sink(result_df, epoch_id)` receives each batch's (qid, id_col,
     cos, rnk) frame; returns the unstarted writeStream builder so the

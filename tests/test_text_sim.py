@@ -300,6 +300,47 @@ def test_cosine_topk_blocked_disjoint_string_ids(emb):
     assert all(sorted(v) == list(range(1, 8)) for v in per_q.values())
 
 
+def test_cosine_topk_blocked_big_ids_exact(spark):
+    """Ids above 2^53 survive bit-exact (regression: the first
+    implementation NULL-padded long id columns across a union, and
+    Arrow-to-pandas coerced them to float64 — 9007199254740993 came
+    back as ...992; xxhash64-derived ids live in that range). The
+    cogroup design keeps each side's dtype end to end."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    big = [(1 << 53) + 2 * i + 1 for i in range(9)]  # all odd > 2^53
+    corpus = spark.createDataFrame(
+        [(b, [float(x) for x in rng.normal(size=6)]) for b in big],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(big[0], [float(x) for x in rng.normal(size=6)]),
+         (big[4], [float(x) for x in rng.normal(size=6)])],
+        "qid long, qvec array<double>")
+    out = sim.cosine_topk_blocked(corpus, queries, k=3,
+                                  q_blocks=2, c_blocks=3).collect()
+    assert len(out) == 2 * 3
+    assert all(r.vec_id in big and r.qid in big for r in out)
+    # self-match exclusion worked on the EXACT ids
+    assert all(r.vec_id != r.qid for r in out)
+
+
+def test_cosine_topk_blocked_cross_type_ids(emb):
+    """Long qids against STRING corpus ids: the self-match filter is
+    skipped when the id types differ (regression: a cross-type !=
+    cast-to-NULL silently dropped every row) — every query still
+    gets its full k ranked neighbors."""
+    semb = emb.selectExpr("concat('v', lpad(CAST(vec_id AS STRING), 4, '0'))"
+                          " AS vec_id", "embedding")
+    queries = emb.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = sim.cosine_topk_blocked(semb, queries, k=5,
+                                  q_blocks=2, c_blocks=3).collect()
+    n_q = queries.count()
+    assert len(out) == n_q * 5 and n_q > 0
+    assert all(isinstance(r.vec_id, str) and not isinstance(r.qid, str)
+               for r in out)
+
+
 def test_cosine_topk_blocked_null_qid_rejected(emb):
     """A NULL qid would merge queries in the re-rank window — the
     group stage rejects it loudly."""
