@@ -305,11 +305,17 @@ def bench_r3_ops(spark, sf_dir: str) -> dict:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return sim.knn_graph(emb, k=5).count()
 
+    def topk_blocked():
+        # r4 operator: exact top-5, DISTRIBUTED query side (bipartite
+        # block product) — same code path as the driver query
+        return entry.q_ann_cosine_blocked(spark, sf_dir).count()
+
     out = {}
     for name, fn in [("building_overlay_polygon", overlay),
                      ("embedding_near_dup_blocked", emb_pairs),
                      ("trigram_familiarity", trigram),
-                     ("knn_graph_exact", knng)]:
+                     ("knn_graph_exact", knng),
+                     ("ann_cosine_blocked", topk_blocked)]:
         fn()
         reps = []
         for _ in range(3):
