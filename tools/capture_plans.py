@@ -105,6 +105,16 @@ Regenerate with `python tools/capture_plans.py > docs/PLANS.md`.
          "pair; the final window re-ranks <= n_blocks*k partial rows "
          "per id — no CartesianProduct anywhere.")
 
+    qv = emb.where("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    show("Exact top-k, distributed query side",
+         sim.cosine_topk_blocked(emb, qv, k=5),
+         "Bipartite block product: BOTH replications are JVM explodes; "
+         "the sides meet in one FlatMapCoGroupsInPandas (cogroup, not "
+         "a null-padded union — preserves int64 ids above 2^53); the "
+         "per-qid window re-ranks <= c_blocks*(k+1) partials. Zero "
+         "driver state, no CartesianProduct.")
+
 
 if __name__ == "__main__":
     main()
