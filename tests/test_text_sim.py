@@ -341,6 +341,49 @@ def test_cosine_topk_blocked_cross_type_ids(emb):
                for r in out)
 
 
+def test_cosine_topk_blocked_randomized_vs_bruteforce(spark):
+    """Seeded randomized parity vs numpy brute force: odd corpus and
+    query sizes, random block configs, k beyond the corpus, and
+    DISCRETE vector components (from {-1,0,1,2}) so exact cosine
+    TIES occur and the (cos desc, id asc) order is really exercised,
+    incl. an empty query set."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n_c = int(rng.integers(1, 31))
+        n_q = int(rng.integers(0, 9)) if trial else 0  # trial 0: empty
+        dim = int(rng.integers(2, 6))
+        k = int(rng.integers(1, 7))
+        qb = int(rng.integers(1, 4))
+        cb = int(rng.integers(1, 5))
+        cmat = rng.choice([-1.0, 0.0, 1.0, 2.0], size=(n_c, dim))
+        qmat = rng.choice([-1.0, 0.0, 1.0, 2.0], size=(n_q, dim))
+        cids = rng.permutation(1000 + np.arange(n_c))
+        qids = rng.permutation(np.arange(n_q))  # disjoint from cids
+        corpus = spark.createDataFrame(
+            [(int(cids[i]), [float(x) for x in cmat[i]])
+             for i in range(n_c)],
+            "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(
+            [(int(qids[i]), [float(x) for x in qmat[i]])
+             for i in range(n_q)],
+            "qid long, qvec double_array".replace("double_array",
+                                                  "array<double>"))
+        got = {(r.qid, r.rnk): r.vec_id
+               for r in sim.cosine_topk_blocked(
+                   corpus, queries, k, q_blocks=qb, c_blocks=cb).collect()}
+        cn = np.linalg.norm(cmat, axis=1)
+        cn[cn == 0] = 1.0
+        want = {}
+        for i in range(n_q):
+            qn = np.linalg.norm(qmat[i]) or 1.0
+            cos = (cmat @ qmat[i]) / cn / qn
+            order = np.lexsort((cids, -cos))[:k]
+            for rnk, j in enumerate(order, 1):
+                want[(int(qids[i]), rnk)] = int(cids[j])
+        assert got == want, (trial, n_c, n_q, dim, k, qb, cb)
+
+
 def test_cosine_topk_blocked_null_qid_rejected(emb):
     """A NULL qid would merge queries in the re-rank window — the
     group stage rejects it loudly."""
