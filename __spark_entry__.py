@@ -466,6 +466,19 @@ def q_spatial_semijoin(spark, sf_dir):
             .select("url"))
 
 
+def q_nearest_zone(spark, sf_dir):
+    """Nearest-zone assignment (join.nearest_zone): every page gets
+    the zone minimizing planar squared envelope distance (0 inside),
+    ties by zone_id — map-only whole-stage-codegen argmin over the
+    literal zone array: no join, no shuffle, no Python. dist_deg2
+    uses only correctly-rounded IEEE ops in a fixed association
+    order, so it is hash-compared against the DuckDB twin bit-for-
+    bit (not just the zone choice)."""
+    pts = _points(spark, sf_dir)
+    return (join.nearest_zone(pts, ORACLE_ZONES)
+            .orderBy("url"))
+
+
 def q_grid_counts(spark, sf_dir):
     """Grid aggregation: page counts per res-7 cell."""
     pts = _points(spark, sf_dir)
@@ -1758,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "building_overlay_polygon": q_building_overlay_polygon,
         "building_overlay_counts": q_building_overlay_counts,
         "spatial_antijoin": q_spatial_antijoin,
+        "nearest_zone": q_nearest_zone,
         "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
         "geohash_counts": q_geohash_counts,
@@ -1926,6 +1940,33 @@ def oracle_sql() -> dict[str, str]:
             WITH {pts}, {zon}
             SELECT p.url FROM pts p
             WHERE EXISTS (SELECT 1 FROM zon z WHERE {join_on})
+        """,
+        # dist_deg2 is hash-compared: dx*dx + dy*dy over greatest()/
+        # sub/mul is correctly-rounded IEEE in a fixed association
+        # order, identical in both engines given the same lat/lon
+        # doubles. VALUES literals are DECIMAL in DuckDB -> CAST each
+        # bound to DOUBLE before arithmetic (verify-skill trap).
+        "nearest_zone": f"""
+            WITH {pts}, {zon}, scored AS (
+                SELECT p.url, z.zone_id,
+                       (greatest(CAST(z.minx AS DOUBLE) - p.lon,
+                                 p.lon - CAST(z.maxx AS DOUBLE), 0e0)
+                        * greatest(CAST(z.minx AS DOUBLE) - p.lon,
+                                   p.lon - CAST(z.maxx AS DOUBLE), 0e0)
+                        + greatest(CAST(z.miny AS DOUBLE) - p.lat,
+                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0)
+                        * greatest(CAST(z.miny AS DOUBLE) - p.lat,
+                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0))
+                       AS dist_deg2
+                FROM pts p CROSS JOIN zon z),
+            ranked AS (
+                SELECT url, zone_id, dist_deg2,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY dist_deg2 ASC,
+                                                   zone_id ASC) AS rn
+                FROM scored)
+            SELECT url, zone_id, dist_deg2 FROM ranked WHERE rn = 1
+            ORDER BY url
         """,
         "grid_counts": f"""
             WITH {pts}

@@ -685,3 +685,47 @@ def spatial_join_bbox_sql(points_sql: str, zones_values_sql: str,
             f"JOIN ({zones_values_sql}) z "
             f"ON {lat_expr} >= z.miny AND {lat_expr} <= z.maxy "
             f"AND {lon_expr} >= z.minx AND {lon_expr} <= z.maxx")
+
+
+def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 keep_cols: tuple = ("url",)) -> DataFrame:
+    """Nearest-rectangle-zone assignment: each point gets the zone
+    minimizing planar squared distance to the zone's envelope
+    (dist_deg2 = 0 inside the zone), ties broken by zone_id asc — the
+    "assign every page to its closest market area even when outside
+    all of them" op (the reference's per-zone flows only classify
+    INSIDE a zone; Data.groovy:370-372 works in the zone's projected
+    UTM CRS, where planar distance is the norm — project via
+    crs.transform first when metric-unit distances matter).
+
+    100-TB plan: the zone list is a driver-literal dim (same stance
+    as the params vocabularies), folded into ONE whole-stage-codegen
+    projection — `array_min` over a per-zone (d2, zone_id) struct
+    array. Map-only: no join, no shuffle, no Python, perfectly linear
+    in the point count and immune to zone skew. For zone sets too
+    large to fold into an expression (>~10^3), use the cell-cover
+    kNN machinery instead (knn.knn_join on zone centroids +
+    spatial_join refinement).
+
+    Cross-engine determinism: d2 = dx*dx + dy*dy with
+    dx = greatest(minx - lon, lon - maxx, 0) uses only correctly-
+    rounded IEEE ops in a fixed association order, so the DuckDB
+    oracle twin reproduces it bit-for-bit and dist_deg2 itself is
+    hash-comparable.
+    """
+    if not zone_rects:
+        raise ValueError("nearest_zone: empty zone list")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    entries = []
+    for zid, minx, miny, maxx, maxy in zone_rects:
+        dx = F.greatest(F.lit(float(minx)) - lon,
+                        lon - F.lit(float(maxx)), F.lit(0.0))
+        dy = F.greatest(F.lit(float(miny)) - lat,
+                        lat - F.lit(float(maxy)), F.lit(0.0))
+        entries.append(F.struct((dx * dx + dy * dy).alias("d2"),
+                                F.lit(zid).alias("zone_id")))
+    m = F.array_min(F.array(*entries))
+    return points.select(*keep_cols,
+                         m["zone_id"].alias("zone_id"),
+                         m["d2"].alias("dist_deg2"))

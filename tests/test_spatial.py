@@ -405,6 +405,45 @@ def test_tessellate_zone(spark):
 
 # ---------------------------------------------------------------- kNN
 
+def test_nearest_zone_matches_bruteforce(spark, points_df):
+    """nearest_zone == numpy brute-force argmin of planar squared
+    envelope distance with (d2, zone_id) tie order; containment rows
+    come back with dist_deg2 == 0."""
+    from sparkspatial.join import nearest_zone
+    rects = [("za", -74.5, 40.0, -73.5, 41.0),
+             ("zb", 99.5, -11.0, 100.5, -9.0),
+             ("zc", -75.0, 39.0, -74.5, 40.0)]
+    out = {r.url: (r.zone_id, r.dist_deg2)
+           for r in nearest_zone(points_df, rects).collect()}
+    pdf = points_df.toPandas()
+    assert len(out) == len(pdf)
+    for _, row in pdf.iterrows():
+        best = None
+        for zid, minx, miny, maxx, maxy in rects:
+            dx = max(minx - row.lon, row.lon - maxx, 0.0)
+            dy = max(miny - row.lat, row.lat - maxy, 0.0)
+            cand = (dx * dx + dy * dy, zid)
+            best = cand if best is None or cand < best else best
+        assert out[row.url] == (best[1], best[0]), row.url
+    assert any(d == 0.0 for _, d in out.values())   # some contained
+    assert any(d > 0.0 for _, d in out.values())    # some outside all
+
+
+def test_nearest_zone_tie_breaks_by_zone_id(spark):
+    """Two zones exactly equidistant (symmetric about the point):
+    the lexicographically smaller zone_id wins, deterministically."""
+    from sparkspatial.join import nearest_zone
+    pts = spark.createDataFrame([("u", 0.0, 0.0)],
+                                "url string, lat double, lon double")
+    rects = [("zz", 1.0, -0.5, 2.0, 0.5),    # 1.0 east
+             ("aa", -2.0, -0.5, -1.0, 0.5)]  # 1.0 west — same d2
+    r = nearest_zone(pts, rects).collect()[0]
+    assert (r.zone_id, r.dist_deg2) == ("aa", 1.0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty zone list"):
+        nearest_zone(pts, [])
+
+
 def test_knn_matches_bruteforce(spark, points_df):
     queries = spark.createDataFrame(
         [("q0", 40.5, -74.0), ("q1", 40.9, -73.6), ("q2", -10.0, 100.0),
