@@ -300,8 +300,9 @@ def bench_r3_ops(spark, sf_dir: str) -> dict:
         return entry.q_trigram_familiarity(spark, sf_dir).count()
 
     def knng():
-        # r4 operator: exact corpus x corpus top-5 over 5k vectors
-        # (25M dot products, distributed block-pair path)
+        # r4 operator: exact corpus x corpus top-5 over the sf
+        # embeddings table (2k vectors / 4M dot products at sf0.1;
+        # distributed block-pair path)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return sim.knn_graph(emb, k=5).count()
 

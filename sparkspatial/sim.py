@@ -82,7 +82,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                             for v in pdf[vec_col]])
             norm = np.linalg.norm(mat, axis=1)
             norm[norm == 0] = 1.0
-            cos = (mat @ qmat_b.T) / norm[:, None] / qnorm_b[None, :]
+            # divide by the QUERY norm first — the one division order
+            # every exact path (cosine_topk_blocked, knn_graph) uses:
+            # (a/b)/c vs (a/c)/b differ by 1 ulp under double
+            # rounding, which could split a mathematical tie
+            # differently across paths the parity tests compare
+            # rank-for-rank (review-caught r4)
+            cos = (mat @ qmat_b.T) / qnorm_b[None, :] / norm[:, None]
             n, q = cos.shape
             # keep k+1 per query (self-match may occupy one slot);
             # lexsort applies the exact (cos desc, id asc) tie order

@@ -439,8 +439,13 @@ def test_nearest_zone_tie_breaks_by_zone_id(spark):
              ("aa", -2.0, -0.5, -1.0, 0.5)]  # 1.0 west — same d2
     r = nearest_zone(pts, rects).collect()[0]
     assert (r.zone_id, r.dist_deg2) == ("aa", 1.0)
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="empty zone list"):
+
+
+def test_nearest_zone_empty_list_rejected(spark):
+    from sparkspatial.join import nearest_zone
+    pts = spark.createDataFrame([("u", 0.0, 0.0)],
+                                "url string, lat double, lon double")
+    with pytest.raises(ValueError, match="empty zone list"):
         nearest_zone(pts, [])
 
 

@@ -367,8 +367,7 @@ def test_cosine_topk_blocked_randomized_vs_bruteforce(spark):
         queries = spark.createDataFrame(
             [(int(qids[i]), [float(x) for x in qmat[i]])
              for i in range(n_q)],
-            "qid long, qvec double_array".replace("double_array",
-                                                  "array<double>"))
+            "qid long, qvec array<double>")
         got = {(r.qid, r.rnk): r.vec_id
                for r in sim.cosine_topk_blocked(
                    corpus, queries, k, q_blocks=qb, c_blocks=cb).collect()}
@@ -377,7 +376,10 @@ def test_cosine_topk_blocked_randomized_vs_bruteforce(spark):
         want = {}
         for i in range(n_q):
             qn = np.linalg.norm(qmat[i]) or 1.0
-            cos = (cmat @ qmat[i]) / cn / qn
+            # SAME division order as the impl (query norm first):
+            # (a/b)/c vs (a/c)/b can differ by 1 ulp and split a
+            # discrete-vector tie differently (review-caught r4)
+            cos = (cmat @ qmat[i]) / qn / cn
             order = np.lexsort((cids, -cos))[:k]
             for rnk, j in enumerate(order, 1):
                 want[(int(qids[i]), rnk)] = int(cids[j])

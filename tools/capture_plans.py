@@ -30,9 +30,9 @@ Regenerate with `python tools/capture_plans.py > docs/PLANS.md`.
     pts = extract.geotag(pages, "domain", "url")
     zdf = zones.synthetic_zones(spark, n=48)
 
-    def show(title, df, note):
+    def show(title, df, note, maxlen=2600):
         print(f"## {title}\n\n{note}\n\n```")
-        print(df._jdf.queryExecution().executedPlan().toString()[:2600])
+        print(df._jdf.queryExecution().executedPlan().toString()[:maxlen])
         print("```\n")
 
     show("Broadcast spatial join (refine=jvm)",
@@ -105,6 +105,16 @@ Regenerate with `python tools/capture_plans.py > docs/PLANS.md`.
          "pair; the final window re-ranks <= n_blocks*k partial rows "
          "per id — no CartesianProduct anywhere.")
 
+    show("Nearest-zone assignment (map-only argmin)",
+         join.nearest_zone(pts, [("za", -74.5, 40.0, -73.5, 41.0),
+                                 ("zb", 99.5, -11.0, 100.5, -9.0),
+                                 ("zc", -75.0, 39.0, -74.5, 40.0)]),
+         "The whole operator is ONE Project over the scan: the zone "
+         "dim folds into an array_min over literal (d2, zone_id) "
+         "structs — no Exchange, no join, no Python anywhere in the "
+         "plan. Linear and skew-immune at any corpus size.",
+         maxlen=1800)
+
     qv = emb.where("vec_id % 40 = 0").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     show("Exact top-k, distributed query side",
@@ -113,7 +123,8 @@ Regenerate with `python tools/capture_plans.py > docs/PLANS.md`.
          "the sides meet in one FlatMapCoGroupsInPandas (cogroup, not "
          "a null-padded union — preserves int64 ids above 2^53); the "
          "per-qid window re-ranks <= c_blocks*(k+1) partials. Zero "
-         "driver state, no CartesianProduct.")
+         "driver state, no CartesianProduct.",
+         maxlen=4200)  # long enough to show the corpus-side explode
 
 
 if __name__ == "__main__":
