@@ -479,6 +479,19 @@ def q_nearest_zone(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_nearest_zone_poly(spark, sf_dir):
+    """Nearest POLYGON zone (join.nearest_zone_polygons): exact
+    planar squared boundary distance, 0 inside by even-odd raycast
+    (holes, multi-parts, and the raw bowtie edges included — same
+    raw-edge stance as the containment oracle). dist_deg2 is
+    hash-compared bit-for-bit: clamped-projection segment distance
+    and crossing parity use fixed-association correctly-rounded IEEE
+    ops, and MIN/parity add no accumulation rounding."""
+    pts = _points(spark, sf_dir)
+    return (join.nearest_zone_polygons(pts, _poly_zones_df(spark))
+            .orderBy("url"))
+
+
 def q_grid_counts(spark, sf_dir):
     """Grid aggregation: page counts per res-7 cell."""
     pts = _points(spark, sf_dir)
@@ -1772,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "building_overlay_counts": q_building_overlay_counts,
         "spatial_antijoin": q_spatial_antijoin,
         "nearest_zone": q_nearest_zone,
+        "nearest_zone_poly": q_nearest_zone_poly,
         "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
         "geohash_counts": q_geohash_counts,
@@ -1940,6 +1954,54 @@ def oracle_sql() -> dict[str, str]:
             WITH {pts}, {zon}
             SELECT p.url FROM pts p
             WHERE EXISTS (SELECT 1 FROM zon z WHERE {join_on})
+        """,
+        # polygon nearest-zone: per (point, edge) clamped-projection
+        # squared distance + even-odd crossing flag, aggregated to
+        # per-zone MIN and parity, then the same (dist, zone_id)
+        # argmin window as nearest_zone. Every float op has a fixed
+        # association order mirrored by the numpy side, and MIN /
+        # parity add no accumulation rounding, so dist_deg2 itself is
+        # hash-compared. t is written out twice (cx, cy) — identical
+        # expression, identical double.
+        "nearest_zone_poly": f"""
+            WITH {pts}, {_duck_poly_edges_cte()},
+            pe AS (
+                SELECT p.url, e.zone_id, p.lon AS px, p.lat AS py,
+                       e.x0 + least(greatest(
+                           ((p.lon - e.x0) * (e.x1 - e.x0)
+                            + (p.lat - e.y0) * (e.y1 - e.y0))
+                           / ((e.x1 - e.x0) * (e.x1 - e.x0)
+                              + (e.y1 - e.y0) * (e.y1 - e.y0)),
+                           0e0), 1e0) * (e.x1 - e.x0) AS cx,
+                       e.y0 + least(greatest(
+                           ((p.lon - e.x0) * (e.x1 - e.x0)
+                            + (p.lat - e.y0) * (e.y1 - e.y0))
+                           / ((e.x1 - e.x0) * (e.x1 - e.x0)
+                              + (e.y1 - e.y0) * (e.y1 - e.y0)),
+                           0e0), 1e0) * (e.y1 - e.y0) AS cy,
+                       CASE WHEN ((e.y0 > p.lat) != (e.y1 > p.lat))
+                             AND p.lon < e.x0 + (p.lat - e.y0)
+                                 / (e.y1 - e.y0) * (e.x1 - e.x0)
+                            THEN 1 ELSE 0 END AS crossed
+                FROM pts p CROSS JOIN edges e),
+            seg AS (
+                SELECT url, zone_id,
+                       MIN((px - cx) * (px - cx)
+                           + (py - cy) * (py - cy)) AS min_d2,
+                       SUM(crossed) AS ncross
+                FROM pe GROUP BY url, zone_id),
+            ranked AS (
+                SELECT url, zone_id,
+                       CASE WHEN ncross % 2 = 1 THEN 0e0
+                            ELSE min_d2 END AS dist_deg2,
+                       row_number() OVER (
+                           PARTITION BY url
+                           ORDER BY CASE WHEN ncross % 2 = 1 THEN 0e0
+                                         ELSE min_d2 END ASC,
+                                    zone_id ASC) AS rn
+                FROM seg)
+            SELECT url, zone_id, dist_deg2 FROM ranked WHERE rn = 1
+            ORDER BY url
         """,
         # dist_deg2 is hash-compared: dx*dx + dy*dy over greatest()/
         # sub/mul is correctly-rounded IEEE in a fixed association

@@ -729,3 +729,96 @@ def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
     return points.select(*keep_cols,
                          m["zone_id"].alias("zone_id"),
                          m["d2"].alias("dist_deg2"))
+
+
+def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
+                          poly_id: str = "zone_id",
+                          wkb_col: str = "the_geom_wkb",
+                          lat_col: str = "lat", lon_col: str = "lon",
+                          keep_cols: tuple = ("url",)) -> DataFrame:
+    """Nearest-POLYGON-zone assignment: each point gets the zone
+    minimizing exact planar squared distance to the zone boundary
+    (0 inside, even-odd with holes), ties by zone_id asc — the
+    general-geometry sibling of :func:`nearest_zone`.
+
+    The zone table is a broadcast-small dim by contract (same stance
+    as the params vocabularies / broadcast lookup): its WKBs collect
+    to the driver ONCE, decode into flat edge arrays (shells AND
+    holes, every sub-polygon — `_poly_edges`), and ship inside one
+    mapInPandas closure. Map-only: no join, no shuffle, linear in
+    the point count; zone sets beyond ~10^3 should route through the
+    cell-cover kNN machinery instead.
+
+    Cross-engine determinism (the DuckDB twin hash-compares
+    dist_deg2 itself): the clamped-projection segment distance and
+    the even-odd crossing test use only correctly-rounded IEEE ops
+    in the SAME association order as the oracle SQL; MIN over
+    segments and crossing-count parity involve no accumulation
+    rounding. Self-intersecting rings are measured against their RAW
+    edges — even-odd semantics match the repaired polygon (the
+    node-and-rebuild repair splits segments in place, preserving the
+    boundary's point set), exactly as the existing raycast oracle
+    proves for containment.
+    """
+    rows = zones.select(poly_id, wkb_col).collect()
+    if not rows:
+        raise ValueError("nearest_zone_polygons: empty zone table")
+    zone_edges = []
+    for r in sorted(rows, key=lambda r: r[0]):
+        edges = np.asarray(_poly_edges(geom.wkb_loads(bytes(r[1]))),
+                           dtype=np.float64)
+        if len(edges) == 0:
+            raise ValueError(f"nearest_zone_polygons: zone {r[0]} "
+                             "has no edges")
+        dx = edges[:, 2] - edges[:, 0]
+        dy = edges[:, 3] - edges[:, 1]
+        if np.any((dx == 0.0) & (dy == 0.0)):
+            raise ValueError(f"nearest_zone_polygons: zone {r[0]} "
+                             "has a zero-length edge")
+        zone_edges.append((str(r[0]), edges))
+
+    keep = list(keep_cols)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.schema.fields if f.name in keep
+    ) + ", zone_id string, dist_deg2 double"
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({**{k: pdf[k] for k in keep},
+                                    "zone_id": pd.Series([], dtype=str),
+                                    "dist_deg2": pd.Series([], dtype=float)})
+                continue
+            px = pdf[lon_col].to_numpy(np.float64)[:, None]
+            py = pdf[lat_col].to_numpy(np.float64)[:, None]
+            best_d2 = np.full(len(pdf), np.inf)
+            best_z = np.empty(len(pdf), dtype=object)
+            for zid, e in zone_edges:
+                x0, y0, x1, y1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+                dx, dy = x1 - x0, y1 - y0
+                len2 = dx * dx + dy * dy
+                # clamped projection — SAME association order as the
+                # oracle SQL (t duplicated there for cx/cy evaluates
+                # to the identical double)
+                t = ((px - x0) * dx + (py - y0) * dy) / len2
+                t = np.minimum(np.maximum(t, 0.0), 1.0)
+                ex = px - (x0 + t * dx)
+                ey = py - (y0 + t * dy)
+                d2 = np.min(ex * ex + ey * ey, axis=1)
+                # even-odd crossing parity — the pip_jvm_predicate /
+                # _DUCK_RAYCAST_PAIRS expression shape
+                cond = (y0 > py) != (y1 > py)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = x0 + (py - y0) / (y1 - y0) * (x1 - x0)
+                inside = ((cond & (px < xint)).sum(axis=1) % 2) == 1
+                d2 = np.where(inside, 0.0, d2)
+                upd = d2 < best_d2  # strict: ties keep the smaller zid
+                best_d2[upd] = d2[upd]
+                best_z[upd] = zid
+            out = pdf[keep].copy()
+            out["zone_id"] = best_z
+            out["dist_deg2"] = best_d2
+            yield out
+
+    return points.mapInPandas(_assign, schema=out_schema)

@@ -449,6 +449,107 @@ def test_nearest_zone_empty_list_rejected(spark):
         nearest_zone(pts, [])
 
 
+def _seg_d2_scalar(px, py, x0, y0, x1, y1):
+    """Independent scalar point-to-segment squared distance (endpoint
+    cases handled by explicit branches, not the clamp formulation the
+    operator uses)."""
+    dx, dy = x1 - x0, y1 - y0
+    dot = (px - x0) * dx + (py - y0) * dy
+    len2 = dx * dx + dy * dy
+    if dot <= 0.0:
+        return (px - x0) ** 2 + (py - y0) ** 2
+    if dot >= len2:
+        return (px - x1) ** 2 + (py - y1) ** 2
+    t = dot / len2
+    return (px - (x0 + t * dx)) ** 2 + (py - (y0 + t * dy)) ** 2
+
+
+def test_nearest_zone_polygons_matches_bruteforce(spark):
+    """nearest_zone_polygons == scalar brute force (different segment
+    formulation) over concave / holed / multi zones, incl. a point
+    INSIDE A HOLE (outside the polygon -> positive distance to the
+    hole ring) and a contained point (0)."""
+    from sparkspatial import geom
+    from sparkspatial.join import nearest_zone_polygons, _poly_edges
+    from sparkspatial import zones as zonesmod
+
+    def poly(shell, holes=()):
+        return ("Polygon", [list(shell)] + [list(h) for h in holes])
+
+    zdefs = [
+        ("conc", poly([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 1.5),
+                       (0.0, 4.0)])),
+        ("holed", poly([(6.0, 0.0), (10.0, 0.0), (10.0, 4.0), (6.0, 4.0)],
+                       [[(7.0, 1.0), (9.0, 1.0), (9.0, 3.0), (7.0, 3.0)]])),
+        ("multi", ("MultiPolygon",
+                   [poly([(-5.0, -5.0), (-4.0, -5.0), (-4.0, -4.0),
+                          (-5.0, -4.0)]),
+                    poly([(12.0, 12.0), (13.0, 12.0), (13.0, 13.0),
+                          (12.0, 13.0)])])),
+    ]
+    zdf = spark.createDataFrame(
+        [zonesmod.zone_row(zid, g) for zid, g in zdefs],
+        zonesmod.ZONE_SCHEMA)
+    pts_rows = [("in_conc", 1.0, 0.5), ("in_hole", 2.0, 8.0),
+                ("in_ring", 0.5, 6.5), ("far", 20.0, 20.0),
+                ("notch", 3.0, 2.0), ("near_multi", -6.0, -4.5),
+                ("on_edge", 0.0, 2.0)]
+    pts = spark.createDataFrame(pts_rows,
+                                "url string, lat double, lon double")
+    got = {r.url: (r.zone_id, r.dist_deg2)
+           for r in nearest_zone_polygons(pts, zdf).collect()}
+
+    # scalar reference: even-odd inside via geom.points_in_geom-free
+    # reimplementation (crossing count), distance via _seg_d2_scalar
+    edges_by_zone = {zid: _poly_edges(g) for zid, g in zdefs}
+    for url, lat, lon in pts_rows:
+        best = None
+        for zid in sorted(edges_by_zone):
+            edges = edges_by_zone[zid]
+            ncross = 0
+            for x0, y0, x1, y1 in edges:
+                if (y0 > lat) != (y1 > lat) and \
+                        lon < x0 + (lat - y0) / (y1 - y0) * (x1 - x0):
+                    ncross += 1
+            if ncross % 2 == 1:
+                d2 = 0.0
+            else:
+                d2 = min(_seg_d2_scalar(lon, lat, *e) for e in edges)
+            cand = (d2, zid)
+            best = cand if best is None or cand < best else best
+        gz, gd = got[url]
+        assert gz == best[1], url
+        assert abs(gd - best[0]) < 1e-12, url
+    assert got["in_conc"][1] == 0.0
+    assert got["in_hole"][0] == "holed" and got["in_hole"][1] > 0.0
+    assert got["in_ring"][1] == 0.0          # between shell and hole
+    assert got["notch"][0] == "conc" and got["notch"][1] > 0.0
+
+
+def test_nearest_zone_polygons_rect_equals_envelope_path(spark, points_df):
+    """For rectangle zones the polygon path must equal nearest_zone
+    (envelope distance == boundary distance outside, 0 inside),
+    zone-for-zone and bit-for-bit on dist_deg2."""
+    from sparkspatial import geom
+    from sparkspatial.join import nearest_zone, nearest_zone_polygons
+    from sparkspatial import zones as zonesmod
+    rects = [("za", -74.5, 40.0, -73.5, 41.0),
+             ("zb", 99.5, -11.0, 100.5, -9.0),
+             ("zc", -75.0, 39.0, -74.5, 40.0)]
+    zdf = spark.createDataFrame(
+        [zonesmod.zone_row(z, geom.wkb_loads(geom.box_wkb(a, b, c, d)))
+         for z, a, b, c, d in rects], zonesmod.ZONE_SCHEMA)
+    want = {r.url: (r.zone_id, r.dist_deg2)
+            for r in nearest_zone(points_df, rects).collect()}
+    got = {r.url: (r.zone_id, r.dist_deg2)
+           for r in nearest_zone_polygons(points_df, zdf).collect()}
+    assert set(got) == set(want)
+    for u, (wz, wd) in want.items():
+        gz, gd = got[u]
+        assert gz == wz, u
+        assert abs(gd - wd) < 1e-15, u
+
+
 def test_knn_matches_bruteforce(spark, points_df):
     queries = spark.createDataFrame(
         [("q0", 40.5, -74.0), ("q1", 40.9, -73.6), ("q2", -10.0, 100.0),
