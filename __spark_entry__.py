@@ -122,7 +122,7 @@ def _duck_points_cte() -> str:
     )
 
 
-def _poly_zone_geom(polys):
+def _poly_zone_geom(polys, valid: bool = True):
     import numpy as np
 
     from sparkspatial import geom as _g
@@ -133,8 +133,11 @@ def _poly_zone_geom(polys):
     g = ("Polygon", rings_of(polys[0])) if len(polys) == 1 else \
         ("MultiPolygon", [("Polygon", rings_of(rr)) for rr in polys])
     # ST_MAKEVALID on zone inputs: identity (bit-exact rings) for the
-    # valid zones, node-and-rebuild for poly_bowtie
-    return _g.make_valid(g)
+    # valid zones, node-and-rebuild for poly_bowtie. valid=False keeps
+    # the RAW rings — required wherever bit-exact parity with the
+    # oracle's raw-edge CTE matters (nearest_zone_poly distances:
+    # noded sub-segments round differently in the last ulps)
+    return _g.make_valid(g) if valid else g
 
 
 def _poly_zones_df(spark: SparkSession) -> DataFrame:
@@ -482,13 +485,20 @@ def q_nearest_zone(spark, sf_dir):
 def q_nearest_zone_poly(spark, sf_dir):
     """Nearest POLYGON zone (join.nearest_zone_polygons): exact
     planar squared boundary distance, 0 inside by even-odd raycast
-    (holes, multi-parts, and the raw bowtie edges included — same
-    raw-edge stance as the containment oracle). dist_deg2 is
-    hash-compared bit-for-bit: clamped-projection segment distance
-    and crossing parity use fixed-association correctly-rounded IEEE
-    ops, and MIN/parity add no accumulation rounding."""
+    (holes, multi-parts, and the raw bowtie edges included — RAW
+    rings on BOTH sides via valid=False, because bit-exact distance
+    parity needs the identical edge set: make_valid's noded
+    sub-segments agree in real arithmetic but can round apart in the
+    last ulps). dist_deg2 is hash-compared bit-for-bit:
+    clamped-projection segment distance and crossing parity use
+    fixed-association correctly-rounded IEEE ops, and least()-min /
+    parity add no accumulation rounding."""
+    from sparkspatial import zones as zonesmod
     pts = _points(spark, sf_dir)
-    return (join.nearest_zone_polygons(pts, _poly_zones_df(spark))
+    zdf = spark.createDataFrame(
+        [zonesmod.zone_row(zid, _poly_zone_geom(p, valid=False))
+         for zid, p in ORACLE_POLY_ZONES], zonesmod.ZONE_SCHEMA)
+    return (join.nearest_zone_polygons(pts, zdf)
             .orderBy("url"))
 
 

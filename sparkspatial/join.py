@@ -331,13 +331,9 @@ def pip_jvm_predicate(lat_col: str, lon_col: str,
     IEEE ops; a zero-length edge yields NULL -> false, matching the
     masked numpy division).
     """
-    cross = (
-        f"CASE WHEN ((e.y0 > {lat_col}) != (e.y1 > {lat_col})) "
-        f"AND ({lon_col} < e.x0 + ({lat_col} - e.y0) / (e.y1 - e.y0) "
-        f"* (e.x1 - e.x0)) THEN NOT acc ELSE acc END"
-    )
     return F.expr(
-        f"aggregate({edges_col}, false, (acc, e) -> {cross})")
+        f"aggregate({edges_col}, false, "
+        f"(acc, e) -> {_cross_flip_sql(lat_col, lon_col, 'acc')})")
 
 
 def spatial_join(points: DataFrame, polys: DataFrame, *,
@@ -731,6 +727,21 @@ def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
                          m["d2"].alias("dist_deg2"))
 
 
+def _cross_flip_sql(lat_col: str, lon_col: str, acc_expr: str) -> str:
+    """THE even-odd ray-crossing flip as SQL — the single JVM
+    definition of the half-open crossing test (numpy twin:
+    geom.points_in_rings). `acc_expr` is the boolean being XOR'd
+    (pip_jvm_predicate passes the fold accumulator; the nearest-zone
+    fold passes its struct field), so every JVM raycast shares one
+    expression shape and stays in lockstep with the DuckDB oracle's
+    raycast (review-caught r4 when a third inline copy appeared)."""
+    return (
+        f"CASE WHEN ((e.y0 > {lat_col}) != (e.y1 > {lat_col})) "
+        f"AND ({lon_col} < e.x0 + ({lat_col} - e.y0) / (e.y1 - e.y0) "
+        f"* (e.x1 - e.x0)) THEN NOT {acc_expr} ELSE {acc_expr} END"
+    )
+
+
 def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
                           poly_id: str = "zone_id",
                           wkb_col: str = "the_geom_wkb",
@@ -741,84 +752,80 @@ def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
     (0 inside, even-odd with holes), ties by zone_id asc — the
     general-geometry sibling of :func:`nearest_zone`.
 
-    The zone table is a broadcast-small dim by contract (same stance
-    as the params vocabularies / broadcast lookup): its WKBs collect
-    to the driver ONCE, decode into flat edge arrays (shells AND
-    holes, every sub-polygon — `_poly_edges`), and ship inside one
-    mapInPandas closure. Map-only: no join, no shuffle, linear in
-    the point count; zone sets beyond ~10^3 should route through the
-    cell-cover kNN machinery instead.
+    100-TB plan — pure JVM, same shape as nearest_zone: the zone
+    table is a broadcast-small dim by contract (params/broadcast-
+    lookup stance), its WKBs collect to the driver ONCE and decode
+    into LITERAL edge arrays (shells AND holes, every sub-polygon —
+    `_poly_edges`); per zone, one higher-order `aggregate` fold
+    carries struct(min segment d2, even-odd parity) over the edges,
+    and `array_min` picks the (d2, zone_id) argmin — the whole
+    operator is ONE whole-stage-codegen Project: no join, no
+    shuffle, no Python, constant memory per row (the fold streams
+    the edges; the first Arrow draft of this op materialized
+    points x edges temporaries — review-caught r4). Zone sets beyond
+    ~10^3 total edges outgrow a literal expression tree — route
+    those through the cell-cover kNN machinery instead.
 
     Cross-engine determinism (the DuckDB twin hash-compares
-    dist_deg2 itself): the clamped-projection segment distance and
-    the even-odd crossing test use only correctly-rounded IEEE ops
-    in the SAME association order as the oracle SQL; MIN over
-    segments and crossing-count parity involve no accumulation
-    rounding. Self-intersecting rings are measured against their RAW
-    edges — even-odd semantics match the repaired polygon (the
-    node-and-rebuild repair splits segments in place, preserving the
-    boundary's point set), exactly as the existing raycast oracle
-    proves for containment.
+    dist_deg2 itself): clamped-projection segment distance and the
+    shared `_cross_flip_sql` crossing test use correctly-rounded
+    IEEE ops in the SAME association order as the oracle SQL, and
+    least()-min / parity add no accumulation rounding. Bit-exactness
+    requires BOTH sides to measure the SAME edge set: feed raw
+    geometry when the oracle raycasts raw edges (the driver query
+    does). A make_valid-repaired self-intersecting ring covers the
+    identical boundary point set (node-and-rebuild splits segments
+    in place), so its distances agree in real arithmetic but may
+    differ in the last ulps on split segments.
     """
     rows = zones.select(poly_id, wkb_col).collect()
     if not rows:
         raise ValueError("nearest_zone_polygons: empty zone table")
-    zone_edges = []
-    for r in sorted(rows, key=lambda r: r[0]):
-        edges = np.asarray(_poly_edges(geom.wkb_loads(bytes(r[1]))),
-                           dtype=np.float64)
-        if len(edges) == 0:
-            raise ValueError(f"nearest_zone_polygons: zone {r[0]} "
+    missing = [c for c in keep_cols if c not in points.columns]
+    if missing:
+        raise ValueError(f"nearest_zone_polygons: keep_cols not in "
+                         f"points: {missing}")
+
+    lat, lon = lat_col, lon_col
+    # clamped projection, written ONCE here and mirrored verbatim by
+    # the oracle SQL (t duplicated per coordinate — identical
+    # expression, identical double)
+    t_sql = (f"least(greatest((({lon} - e.x0) * (e.x1 - e.x0) "
+             f"+ ({lat} - e.y0) * (e.y1 - e.y0)) "
+             f"/ ((e.x1 - e.x0) * (e.x1 - e.x0) "
+             f"+ (e.y1 - e.y0) * (e.y1 - e.y0)), 0e0), 1e0)")
+    cx = f"(e.x0 + {t_sql} * (e.x1 - e.x0))"
+    cy = f"(e.y0 + {t_sql} * (e.y1 - e.y0))"
+    seg_d2 = (f"(({lon} - {cx}) * ({lon} - {cx}) "
+              f"+ ({lat} - {cy}) * ({lat} - {cy}))")
+    flip = _cross_flip_sql(lat, lon, "acc.inside")
+
+    entries = []
+    for r in sorted(rows, key=lambda r: str(r[0])):
+        zid = str(r[0])
+        edges = _poly_edges(geom.wkb_loads(bytes(r[1])))
+        if not edges:
+            raise ValueError(f"nearest_zone_polygons: zone {zid} "
                              "has no edges")
-        dx = edges[:, 2] - edges[:, 0]
-        dy = edges[:, 3] - edges[:, 1]
-        if np.any((dx == 0.0) & (dy == 0.0)):
-            raise ValueError(f"nearest_zone_polygons: zone {r[0]} "
+        if any(x0 == x1 and y0 == y1 for x0, y0, x1, y1 in edges):
+            raise ValueError(f"nearest_zone_polygons: zone {zid} "
                              "has a zero-length edge")
-        zone_edges.append((str(r[0]), edges))
+        earr = "array(" + ", ".join(
+            f"named_struct('x0', {double_lit(x0)}, 'y0', {double_lit(y0)},"
+            f" 'x1', {double_lit(x1)}, 'y1', {double_lit(y1)})"
+            for x0, y0, x1, y1 in edges) + ")"
+        fold = (
+            f"aggregate({earr}, "
+            f"named_struct('d2', CAST('Infinity' AS DOUBLE), "
+            f"'inside', false), "
+            f"(acc, e) -> named_struct("
+            f"'d2', least(acc.d2, {seg_d2}), "
+            f"'inside', {flip}), "
+            f"acc -> CASE WHEN acc.inside THEN 0e0 ELSE acc.d2 END)")
+        zlit = zid.replace("'", "''")
+        entries.append(f"struct({fold} AS d2, '{zlit}' AS zone_id)")
 
-    keep = list(keep_cols)
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in points.schema.fields if f.name in keep
-    ) + ", zone_id string, dist_deg2 double"
-
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({**{k: pdf[k] for k in keep},
-                                    "zone_id": pd.Series([], dtype=str),
-                                    "dist_deg2": pd.Series([], dtype=float)})
-                continue
-            px = pdf[lon_col].to_numpy(np.float64)[:, None]
-            py = pdf[lat_col].to_numpy(np.float64)[:, None]
-            best_d2 = np.full(len(pdf), np.inf)
-            best_z = np.empty(len(pdf), dtype=object)
-            for zid, e in zone_edges:
-                x0, y0, x1, y1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
-                dx, dy = x1 - x0, y1 - y0
-                len2 = dx * dx + dy * dy
-                # clamped projection — SAME association order as the
-                # oracle SQL (t duplicated there for cx/cy evaluates
-                # to the identical double)
-                t = ((px - x0) * dx + (py - y0) * dy) / len2
-                t = np.minimum(np.maximum(t, 0.0), 1.0)
-                ex = px - (x0 + t * dx)
-                ey = py - (y0 + t * dy)
-                d2 = np.min(ex * ex + ey * ey, axis=1)
-                # even-odd crossing parity — the pip_jvm_predicate /
-                # _DUCK_RAYCAST_PAIRS expression shape
-                cond = (y0 > py) != (y1 > py)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    xint = x0 + (py - y0) / (y1 - y0) * (x1 - x0)
-                inside = ((cond & (px < xint)).sum(axis=1) % 2) == 1
-                d2 = np.where(inside, 0.0, d2)
-                upd = d2 < best_d2  # strict: ties keep the smaller zid
-                best_d2[upd] = d2[upd]
-                best_z[upd] = zid
-            out = pdf[keep].copy()
-            out["zone_id"] = best_z
-            out["dist_deg2"] = best_d2
-            yield out
-
-    return points.mapInPandas(_assign, schema=out_schema)
+    m = F.expr(f"array_min(array({', '.join(entries)}))")
+    return points.select(*keep_cols,
+                         m["zone_id"].alias("zone_id"),
+                         m["d2"].alias("dist_deg2"))

@@ -449,6 +449,26 @@ def test_nearest_zone_empty_list_rejected(spark):
         nearest_zone(pts, [])
 
 
+def test_nearest_zone_polygons_contracts(spark):
+    """Loud driver-side errors: empty zone table, keep_cols missing
+    from points (regression: the first draft KeyErrored inside the
+    executor); empty keep_cols works (zone_id/dist only)."""
+    from sparkspatial import geom
+    from sparkspatial.join import nearest_zone_polygons
+    from sparkspatial import zones as zonesmod
+    pts = spark.createDataFrame([("u", 0.5, 0.5)],
+                                "url string, lat double, lon double")
+    zdf = spark.createDataFrame(
+        [zonesmod.zone_row("z", geom.wkb_loads(
+            geom.box_wkb(0.0, 0.0, 1.0, 1.0)))], zonesmod.ZONE_SCHEMA)
+    with pytest.raises(ValueError, match="empty zone table"):
+        nearest_zone_polygons(pts, zdf.limit(0))
+    with pytest.raises(ValueError, match="keep_cols not in points"):
+        nearest_zone_polygons(pts, zdf, keep_cols=("doc_id",))
+    out = nearest_zone_polygons(pts, zdf, keep_cols=()).collect()
+    assert [(r.zone_id, r.dist_deg2) for r in out] == [("z", 0.0)]
+
+
 def _seg_d2_scalar(px, py, x0, y0, x1, y1):
     """Independent scalar point-to-segment squared distance (endpoint
     cases handled by explicit branches, not the clamp formulation the

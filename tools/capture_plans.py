@@ -105,6 +105,20 @@ Regenerate with `python tools/capture_plans.py > docs/PLANS.md`.
          "pair; the final window re-ranks <= n_blocks*k partial rows "
          "per id — no CartesianProduct anywhere.")
 
+    from sparkspatial import zones as zonesmod
+    hole = ("Polygon", [[(6.0, 0.0), (10.0, 0.0), (10.0, 4.0), (6.0, 4.0)],
+                        [(7.0, 1.0), (9.0, 1.0), (9.0, 3.0), (7.0, 3.0)]])
+    zpoly = spark.createDataFrame([zonesmod.zone_row("holed", hole)],
+                                  zonesmod.ZONE_SCHEMA)
+    show("Nearest POLYGON zone (codegen fold argmin)",
+         join.nearest_zone_polygons(pts, zpoly),
+         "The general-geometry sibling: per zone a higher-order "
+         "aggregate folds struct(min segment d2, even-odd parity) "
+         "over a LITERAL edge array, array_min picks the argmin — "
+         "still ONE Project, no Exchange, no Python; the fold "
+         "streams edges so memory per row is constant.",
+         maxlen=1400)
+
     show("Nearest-zone assignment (map-only argmin)",
          join.nearest_zone(pts, [("za", -74.5, 40.0, -73.5, 41.0),
                                  ("zb", 99.5, -11.0, 100.5, -9.0),
