@@ -502,6 +502,16 @@ def q_nearest_zone_poly(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_nearest_zones_topk(spark, sf_dir):
+    """Top-3 nearest zones per page (join.nearest_zones_topk):
+    array_sort over the literal (d2, zone_id) struct array + slice +
+    posexplode — still one codegen projection, no join/shuffle;
+    dist_deg2 hash-compared bit-for-bit like nearest_zone."""
+    pts = _points(spark, sf_dir)
+    return (join.nearest_zones_topk(pts, ORACLE_ZONES, 3)
+            .orderBy("url", "rnk"))
+
+
 def q_grid_counts(spark, sf_dir):
     """Grid aggregation: page counts per res-7 cell."""
     pts = _points(spark, sf_dir)
@@ -1796,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_antijoin": q_spatial_antijoin,
         "nearest_zone": q_nearest_zone,
         "nearest_zone_poly": q_nearest_zone_poly,
+        "nearest_zones_topk": q_nearest_zones_topk,
         "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
         "geohash_counts": q_geohash_counts,
@@ -2012,6 +2023,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM seg)
             SELECT url, zone_id, dist_deg2 FROM ranked WHERE rn = 1
             ORDER BY url
+        """,
+        "nearest_zones_topk": f"""
+            WITH {pts}, {zon}, scored AS (
+                SELECT p.url, z.zone_id,
+                       (greatest(CAST(z.minx AS DOUBLE) - p.lon,
+                                 p.lon - CAST(z.maxx AS DOUBLE), 0e0)
+                        * greatest(CAST(z.minx AS DOUBLE) - p.lon,
+                                   p.lon - CAST(z.maxx AS DOUBLE), 0e0)
+                        + greatest(CAST(z.miny AS DOUBLE) - p.lat,
+                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0)
+                        * greatest(CAST(z.miny AS DOUBLE) - p.lat,
+                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0))
+                       AS dist_deg2
+                FROM pts p CROSS JOIN zon z),
+            ranked AS (
+                SELECT url, zone_id, dist_deg2,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY dist_deg2 ASC,
+                                                   zone_id ASC) AS rn
+                FROM scored)
+            SELECT url, zone_id, dist_deg2, CAST(rn AS INT) AS rnk
+            FROM ranked WHERE rn <= 3 ORDER BY url, rnk
         """,
         # dist_deg2 is hash-compared: dx*dx + dy*dy over greatest()/
         # sub/mul is correctly-rounded IEEE in a fixed association

@@ -829,3 +829,38 @@ def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
     return points.select(*keep_cols,
                          m["zone_id"].alias("zone_id"),
                          m["d2"].alias("dist_deg2"))
+
+
+def nearest_zones_topk(points: DataFrame, zone_rects: list[tuple], k: int, *,
+                       lat_col: str = "lat", lon_col: str = "lon",
+                       keep_cols: tuple = ("url",)) -> DataFrame:
+    """Top-k nearest rectangle zones per point (rnk 1..k by
+    (dist_deg2 asc, zone_id asc)) — the k-ranked sibling of
+    :func:`nearest_zone`, still ONE whole-stage-codegen projection
+    plus a generator: `array_sort` over the literal (d2, zone_id)
+    struct array (struct ordering IS the tie order), `slice` to k,
+    `posexplode` for the rank. No join, no shuffle, no Python; the
+    same bit-exact d2 formula as nearest_zone, so the oracle twin
+    hash-compares the float distance.
+    """
+    if not zone_rects:
+        raise ValueError("nearest_zones_topk: empty zone list")
+    if not 1 <= k <= len(zone_rects):
+        raise ValueError("nearest_zones_topk: k must be in "
+                         f"[1, {len(zone_rects)}]")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    entries = []
+    for zid, minx, miny, maxx, maxy in zone_rects:
+        dx = F.greatest(F.lit(float(minx)) - lon,
+                        lon - F.lit(float(maxx)), F.lit(0.0))
+        dy = F.greatest(F.lit(float(miny)) - lat,
+                        lat - F.lit(float(maxy)), F.lit(0.0))
+        entries.append(F.struct((dx * dx + dy * dy).alias("d2"),
+                                F.lit(zid).alias("zone_id")))
+    top = F.slice(F.array_sort(F.array(*entries)), 1, k)
+    return (points
+            .select(*keep_cols, F.posexplode(top).alias("_pos", "_m"))
+            .select(*keep_cols,
+                    F.col("_m.zone_id").alias("zone_id"),
+                    F.col("_m.d2").alias("dist_deg2"),
+                    (F.col("_pos") + 1).cast("int").alias("rnk")))

@@ -449,6 +449,35 @@ def test_nearest_zone_empty_list_rejected(spark):
         nearest_zone(pts, [])
 
 
+def test_nearest_zones_topk_matches_bruteforce(spark, points_df):
+    """nearest_zones_topk == brute-force (d2, zone_id) sort per
+    point, rank-for-rank; rnk 1 row equals nearest_zone's pick; k
+    bounds validated."""
+    from sparkspatial.join import nearest_zone, nearest_zones_topk
+    rects = [("za", -74.5, 40.0, -73.5, 41.0),
+             ("zb", 99.5, -11.0, 100.5, -9.0),
+             ("zc", -75.0, 39.0, -74.5, 40.0),
+             ("zd", -76.0, 38.0, -75.5, 38.5)]
+    got: dict = {}
+    for r in nearest_zones_topk(points_df, rects, 3).collect():
+        got.setdefault(r.url, {})[r.rnk] = (r.zone_id, r.dist_deg2)
+    pdf = points_df.toPandas()
+    for _, row in pdf.iterrows():
+        cands = []
+        for zid, minx, miny, maxx, maxy in rects:
+            dx = max(minx - row.lon, row.lon - maxx, 0.0)
+            dy = max(miny - row.lat, row.lat - maxy, 0.0)
+            cands.append((dx * dx + dy * dy, zid))
+        cands.sort()
+        want = {i + 1: (z, d) for i, (d, z) in enumerate(cands[:3])}
+        assert got[row.url] == want, row.url
+    top1 = {r.url: r.zone_id
+            for r in nearest_zone(points_df, rects).collect()}
+    assert all(got[u][1][0] == z for u, z in top1.items())
+    with pytest.raises(ValueError, match="k must be in"):
+        nearest_zones_topk(points_df, rects, 5)
+
+
 def test_nearest_zone_polygons_contracts(spark):
     """Loud driver-side errors: empty zone table, keep_cols missing
     from points (regression: the first draft KeyErrored inside the
