@@ -1885,6 +1885,27 @@ def oracle_sql() -> dict[str, str]:
     cell9 = cellmod.cell_sql("lat", "lon", 9)
     parent95 = cellmod.parent_sql("cell", 9, 5, dialect="duckdb")
 
+    # shared ranked-envelope-distance fragment for the nearest_zone /
+    # nearest_zones_topk twins (see the comment at their entries)
+    nearest_ranked = """scored AS (
+                SELECT p.url, z.zone_id,
+                       (greatest(CAST(z.minx AS DOUBLE) - p.lon,
+                                 p.lon - CAST(z.maxx AS DOUBLE), 0e0)
+                        * greatest(CAST(z.minx AS DOUBLE) - p.lon,
+                                   p.lon - CAST(z.maxx AS DOUBLE), 0e0)
+                        + greatest(CAST(z.miny AS DOUBLE) - p.lat,
+                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0)
+                        * greatest(CAST(z.miny AS DOUBLE) - p.lat,
+                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0))
+                       AS dist_deg2
+                FROM pts p CROSS JOIN zon z),
+            ranked AS (
+                SELECT url, zone_id, dist_deg2,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY dist_deg2 ASC,
+                                                   zone_id ASC) AS rn
+                FROM scored)"""
+
     join_on = ("p.lat >= z.miny AND p.lat <= z.maxy "
                "AND p.lon >= z.minx AND p.lon <= z.maxx")
     pair_sql = f"""
@@ -2024,54 +2045,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, zone_id, dist_deg2 FROM ranked WHERE rn = 1
             ORDER BY url
         """,
-        "nearest_zones_topk": f"""
-            WITH {pts}, {zon}, scored AS (
-                SELECT p.url, z.zone_id,
-                       (greatest(CAST(z.minx AS DOUBLE) - p.lon,
-                                 p.lon - CAST(z.maxx AS DOUBLE), 0e0)
-                        * greatest(CAST(z.minx AS DOUBLE) - p.lon,
-                                   p.lon - CAST(z.maxx AS DOUBLE), 0e0)
-                        + greatest(CAST(z.miny AS DOUBLE) - p.lat,
-                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0)
-                        * greatest(CAST(z.miny AS DOUBLE) - p.lat,
-                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0))
-                       AS dist_deg2
-                FROM pts p CROSS JOIN zon z),
-            ranked AS (
-                SELECT url, zone_id, dist_deg2,
-                       row_number() OVER (PARTITION BY url
-                                          ORDER BY dist_deg2 ASC,
-                                                   zone_id ASC) AS rn
-                FROM scored)
-            SELECT url, zone_id, dist_deg2, CAST(rn AS INT) AS rnk
-            FROM ranked WHERE rn <= 3 ORDER BY url, rnk
-        """,
         # dist_deg2 is hash-compared: dx*dx + dy*dy over greatest()/
         # sub/mul is correctly-rounded IEEE in a fixed association
         # order, identical in both engines given the same lat/lon
-        # doubles. VALUES literals are DECIMAL in DuckDB -> CAST each
-        # bound to DOUBLE before arithmetic (verify-skill trap).
+        # doubles (Spark twin: join._rect_d2_entries, the one
+        # definition both rect queries share). VALUES literals are
+        # DECIMAL in DuckDB -> CAST each bound to DOUBLE before
+        # arithmetic (verify-skill trap). ONE ranked fragment serves
+        # both nearest_zone (rn = 1) and nearest_zones_topk (rn <= 3)
+        # so the twins can never desync.
         "nearest_zone": f"""
-            WITH {pts}, {zon}, scored AS (
-                SELECT p.url, z.zone_id,
-                       (greatest(CAST(z.minx AS DOUBLE) - p.lon,
-                                 p.lon - CAST(z.maxx AS DOUBLE), 0e0)
-                        * greatest(CAST(z.minx AS DOUBLE) - p.lon,
-                                   p.lon - CAST(z.maxx AS DOUBLE), 0e0)
-                        + greatest(CAST(z.miny AS DOUBLE) - p.lat,
-                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0)
-                        * greatest(CAST(z.miny AS DOUBLE) - p.lat,
-                                   p.lat - CAST(z.maxy AS DOUBLE), 0e0))
-                       AS dist_deg2
-                FROM pts p CROSS JOIN zon z),
-            ranked AS (
-                SELECT url, zone_id, dist_deg2,
-                       row_number() OVER (PARTITION BY url
-                                          ORDER BY dist_deg2 ASC,
-                                                   zone_id ASC) AS rn
-                FROM scored)
+            WITH {pts}, {zon}, {nearest_ranked}
             SELECT url, zone_id, dist_deg2 FROM ranked WHERE rn = 1
             ORDER BY url
+        """,
+        "nearest_zones_topk": f"""
+            WITH {pts}, {zon}, {nearest_ranked}
+            SELECT url, zone_id, dist_deg2, CAST(rn AS INT) AS rnk
+            FROM ranked WHERE rn <= 3 ORDER BY url, rnk
         """,
         "grid_counts": f"""
             WITH {pts}

@@ -683,6 +683,35 @@ def spatial_join_bbox_sql(points_sql: str, zones_values_sql: str,
             f"AND {lon_expr} >= z.minx AND {lon_expr} <= z.maxx")
 
 
+def _require_cols(points: DataFrame, keep_cols: tuple, op: str) -> None:
+    """Loud driver-side validation shared by the nearest-zone family
+    (a silently-wrong schema used to surface as an executor KeyError
+    / analysis exception — review-caught r4)."""
+    missing = [c for c in keep_cols if c not in points.columns]
+    if missing:
+        raise ValueError(f"{op}: keep_cols not in points: {missing}")
+
+
+def _rect_d2_entries(zone_rects: list[tuple],
+                     lat_col: str, lon_col: str) -> list:
+    """THE per-zone (d2, zone_id) struct builders for rectangle
+    zones — single definition of the bit-exact envelope distance
+    (dx*dx + dy*dy over greatest(min-edge, edge-max, 0), fixed IEEE
+    association mirrored character-for-character by the oracle SQL),
+    shared by nearest_zone and nearest_zones_topk so the two can
+    never desync (review-caught r4)."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    entries = []
+    for zid, minx, miny, maxx, maxy in zone_rects:
+        dx = F.greatest(F.lit(float(minx)) - lon,
+                        lon - F.lit(float(maxx)), F.lit(0.0))
+        dy = F.greatest(F.lit(float(miny)) - lat,
+                        lat - F.lit(float(maxy)), F.lit(0.0))
+        entries.append(F.struct((dx * dx + dy * dy).alias("d2"),
+                                F.lit(zid).alias("zone_id")))
+    return entries
+
+
 def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
                  lat_col: str = "lat", lon_col: str = "lon",
                  keep_cols: tuple = ("url",)) -> DataFrame:
@@ -712,16 +741,9 @@ def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
     """
     if not zone_rects:
         raise ValueError("nearest_zone: empty zone list")
-    lat, lon = F.col(lat_col), F.col(lon_col)
-    entries = []
-    for zid, minx, miny, maxx, maxy in zone_rects:
-        dx = F.greatest(F.lit(float(minx)) - lon,
-                        lon - F.lit(float(maxx)), F.lit(0.0))
-        dy = F.greatest(F.lit(float(miny)) - lat,
-                        lat - F.lit(float(maxy)), F.lit(0.0))
-        entries.append(F.struct((dx * dx + dy * dy).alias("d2"),
-                                F.lit(zid).alias("zone_id")))
-    m = F.array_min(F.array(*entries))
+    _require_cols(points, keep_cols, "nearest_zone")
+    m = F.array_min(F.array(
+        *_rect_d2_entries(zone_rects, lat_col, lon_col)))
     return points.select(*keep_cols,
                          m["zone_id"].alias("zone_id"),
                          m["d2"].alias("dist_deg2"))
@@ -781,10 +803,7 @@ def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
     rows = zones.select(poly_id, wkb_col).collect()
     if not rows:
         raise ValueError("nearest_zone_polygons: empty zone table")
-    missing = [c for c in keep_cols if c not in points.columns]
-    if missing:
-        raise ValueError(f"nearest_zone_polygons: keep_cols not in "
-                         f"points: {missing}")
+    _require_cols(points, keep_cols, "nearest_zone_polygons")
 
     lat, lon = lat_col, lon_col
     # clamped projection, written ONCE here and mirrored verbatim by
@@ -848,16 +867,9 @@ def nearest_zones_topk(points: DataFrame, zone_rects: list[tuple], k: int, *,
     if not 1 <= k <= len(zone_rects):
         raise ValueError("nearest_zones_topk: k must be in "
                          f"[1, {len(zone_rects)}]")
-    lat, lon = F.col(lat_col), F.col(lon_col)
-    entries = []
-    for zid, minx, miny, maxx, maxy in zone_rects:
-        dx = F.greatest(F.lit(float(minx)) - lon,
-                        lon - F.lit(float(maxx)), F.lit(0.0))
-        dy = F.greatest(F.lit(float(miny)) - lat,
-                        lat - F.lit(float(maxy)), F.lit(0.0))
-        entries.append(F.struct((dx * dx + dy * dy).alias("d2"),
-                                F.lit(zid).alias("zone_id")))
-    top = F.slice(F.array_sort(F.array(*entries)), 1, k)
+    _require_cols(points, keep_cols, "nearest_zones_topk")
+    top = F.slice(F.array_sort(F.array(
+        *_rect_d2_entries(zone_rects, lat_col, lon_col))), 1, k)
     return (points
             .select(*keep_cols, F.posexplode(top).alias("_pos", "_m"))
             .select(*keep_cols,
