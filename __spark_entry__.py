@@ -512,6 +512,26 @@ def q_nearest_zones_topk(spark, sf_dir):
             .orderBy("url", "rnk"))
 
 
+def q_cell_stratified_sample(spark, sf_dir):
+    """Geo-stratified sample: exactly min(n, 5) pages per res-5 grid
+    cell by h32(url) order — the spatially-balanced corpus draw (a
+    hotspot cell contributes the same count as a sparse one), the
+    geo twin of stratified_sample and the same cross-engine
+    determinism stance (h32 order, never rand()). Same
+    window-per-stratum scale shape as stratified_sample: the res-5
+    cell bounds a stratum geographically; a pathological single-cell
+    hotspot serializes that stratum's window into one task, which the
+    salted-join machinery (skew.py) would shard if it ever surfaced
+    in practice."""
+    pts = _points(spark, sf_dir)
+    g = tiles.assign_cells(pts, res=5)
+    h = F.expr(h32_spark_sql("url"))
+    w = Window.partitionBy("cell").orderBy(h.asc(), F.col("url").asc())
+    return (g.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("url", "cell", "rnk").orderBy("url"))
+
+
 def q_grid_counts(spark, sf_dir):
     """Grid aggregation: page counts per res-7 cell."""
     pts = _points(spark, sf_dir)
@@ -1807,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_zone": q_nearest_zone,
         "nearest_zone_poly": q_nearest_zone_poly,
         "nearest_zones_topk": q_nearest_zones_topk,
+        "cell_stratified_sample": q_cell_stratified_sample,
         "spatial_semijoin": q_spatial_semijoin,
         "grid_counts": q_grid_counts,
         "geohash_counts": q_geohash_counts,
@@ -2063,6 +2084,17 @@ def oracle_sql() -> dict[str, str]:
             WITH {pts}, {zon}, {nearest_ranked}
             SELECT url, zone_id, dist_deg2, CAST(rn AS INT) AS rnk
             FROM ranked WHERE rn <= 3 ORDER BY url, rnk
+        """,
+        "cell_stratified_sample": f"""
+            WITH {pts}
+            SELECT url, cell, rnk FROM (
+                SELECT url, {cellmod.cell_sql("lat", "lon", 5)} AS cell,
+                       CAST(row_number() OVER (
+                           PARTITION BY {cellmod.cell_sql("lat", "lon", 5)}
+                           ORDER BY {h32_duckdb_sql("url")} ASC,
+                                    url ASC) AS INT) AS rnk
+                FROM pts)
+            WHERE rnk <= 5 ORDER BY url
         """,
         "grid_counts": f"""
             WITH {pts}

@@ -282,6 +282,42 @@ def test_streaming_cosine_topk_equals_batch(spark, tmp_path):
         corpus.unpersist()
 
 
+def test_streaming_nearest_zone_inline(spark, tmp_path):
+    """nearest_zone runs INLINE in a streaming query — unlike kNN or
+    top-k re-ranks it is a stateless codegen projection (no window,
+    no loop), so the operator composes into readStream->writeStream
+    directly with no foreachBatch wrapper. Stream == batch pinned."""
+    from sparkspatial.join import nearest_zone
+
+    rects = [("za", -74.5, 40.0, -73.5, 41.0),
+             ("zb", 99.5, -11.0, 100.5, -9.0)]
+    rows = [(f"u{i}", float(i % 7) * 10.0 - 30.0,
+             float(i % 11) * 20.0 - 100.0) for i in range(40)]
+    src = str(tmp_path / "nz_stream_src")
+    batch_pts = spark.createDataFrame(
+        rows, "url string, lat double, lon double")
+    batch_pts.repartition(3).write.parquet(src)
+    q = None
+    try:
+        stream = (spark.readStream
+                  .schema("url string, lat double, lon double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        got = []
+        q = (nearest_zone(stream, rects)
+             .writeStream.foreachBatch(
+                 lambda b, e: got.extend(
+                     (r.url, r.zone_id, r.dist_deg2) for r in b.collect()))
+             .option("checkpointLocation", str(tmp_path / "nz_ckpt"))
+             .start())
+        q.processAllAvailable()
+        want = {(r.url, r.zone_id, r.dist_deg2)
+                for r in nearest_zone(batch_pts, rects).collect()}
+        assert set(got) == want and len(got) == 40
+    finally:
+        if q is not None:
+            q.stop()
+
+
 def test_transform_with_state_boundary(spark, tmp_path):
     """transformWithStateInPandas is the documented custom-state path
     (OPERATORS.md §2.10), but its streaming Python runner imports
