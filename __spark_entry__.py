@@ -512,6 +512,19 @@ def q_nearest_zones_topk(spark, sf_dir):
             .orderBy("url", "rnk"))
 
 
+def _stratified_quota(df: DataFrame, part_col: str, hash_sql: str,
+                      tiebreak_col: str, n: int) -> DataFrame:
+    """THE deterministic per-stratum quota draw (h32 order then
+    tiebreak asc, never rand()), shared by stratified_sample and
+    cell_stratified_sample so the twins can never desync
+    (review-caught r4 when the pattern reached its second copy)."""
+    h = F.expr(hash_sql)
+    w = Window.partitionBy(part_col).orderBy(
+        h.asc(), F.col(tiebreak_col).asc())
+    return (df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= n))
+
+
 def q_cell_stratified_sample(spark, sf_dir):
     """Geo-stratified sample: exactly min(n, 5) pages per res-5 grid
     cell by h32(url) order — the spatially-balanced corpus draw (a
@@ -525,10 +538,7 @@ def q_cell_stratified_sample(spark, sf_dir):
     in practice."""
     pts = _points(spark, sf_dir)
     g = tiles.assign_cells(pts, res=5)
-    h = F.expr(h32_spark_sql("url"))
-    w = Window.partitionBy("cell").orderBy(h.asc(), F.col("url").asc())
-    return (g.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 5)
+    return (_stratified_quota(g, "cell", h32_spark_sql("url"), "url", 5)
             .select("url", "cell", "rnk").orderBy("url"))
 
 
@@ -1640,10 +1650,9 @@ def q_stratified_sample(spark, sf_dir):
     draw of a training-data pipeline, reproducible across engines,
     runs and partitionings (vs rand() stratification)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    h = F.expr(h32_spark_sql("CAST(doc_id AS STRING)"))
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    return (docs.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 10)
+    return (_stratified_quota(docs, "source",
+                              h32_spark_sql("CAST(doc_id AS STRING)"),
+                              "doc_id", 10)
             .select("doc_id", "source", "rnk").orderBy("doc_id"))
 
 
