@@ -1408,6 +1408,27 @@ def q_decontaminate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_contamination_report(spark, sf_dir):
+    """Per-eval-doc contamination report (text.contamination_report):
+    same eval/leak fixture as q_decontaminate, opposite direction —
+    for each benchmark doc, its distinct 5-shingle count and how many
+    appear in the corpus. Integer-only columns, hash-compared
+    unconditionally; the leaked docs drive their eval neighbours'
+    n_matched to n_shingles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    ev = docs.where("doc_id % 10 = 0")
+    leaked = (docs.where("doc_id % 10 = 3").alias("c")
+              .join(ev.selectExpr("doc_id AS eid", "text AS etext"),
+                    F.col("c.doc_id") - 3 == F.col("eid"))
+              .select("c.doc_id",
+                      F.concat("c.text", F.lit(" "), "etext")
+                      .alias("text")))
+    corpus = docs.where("doc_id % 10 NOT IN (0, 3)").unionByName(leaked)
+    return (text.contamination_report(corpus, ev, shingle_k=5)
+            .orderBy("doc_id"))
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing: emails/phones/IPv4s replaced by typed tokens +
     per-category counts (codegen regexp chain — a pure map stage at
@@ -1854,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
+        "contamination_report": q_contamination_report,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "url_host_stats": q_url_host_stats,
@@ -2269,6 +2291,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id,
                    c.doc_id IN (SELECT doc_id FROM hit) AS contaminated
             FROM corpus c ORDER BY doc_id
+        """,
+        "contamination_report": f"""
+            WITH ev AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+            leaked AS (
+                SELECT c.doc_id, c.text || ' ' || e.text AS text
+                FROM documents c JOIN ev e ON c.doc_id - 3 = e.doc_id
+                WHERE c.doc_id % 10 = 3),
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 NOT IN (0, 3)
+                UNION ALL SELECT doc_id, text FROM leaked),
+            evsh AS (SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest({shh5_duck}) AS sh FROM ev)),
+            csh AS (SELECT DISTINCT sh FROM (
+                SELECT unnest({shh5_duck}) AS sh FROM corpus))
+            SELECT e.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(COUNT(c.sh) AS BIGINT) AS n_matched
+            FROM evsh e LEFT JOIN csh c USING (sh)
+            GROUP BY e.doc_id ORDER BY e.doc_id
         """,
         "pii_scrub": f"""
             WITH aug AS (

@@ -854,6 +854,39 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
                     .alias("contaminated")))
 
 
+def contamination_report(corpus: DataFrame, eval_docs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         shingle_k: int = 5) -> DataFrame:
+    """Per-eval-doc contamination report — the read-only sibling of
+    :func:`decontaminate`: for each EVALUATION document, how many of
+    its distinct k-token shingles appear anywhere in the corpus (the
+    per-benchmark-item overlap tables model cards report; GPT-3
+    appendix C / PaLM appendix styles). Returns (id, n_shingles,
+    n_matched) — integer-only, so the cross-engine oracle
+    hash-compares unconditionally (verify-skill rule).
+
+    Scale shape: the corpus side reduces to DISTINCT shingle hashes
+    (ONE exchange on the 8-byte hash with map-side combine — the
+    exact-dedup cost class; boilerplate shingles collapse before the
+    wire); the eval side is small by contract, and the overlap is a
+    left-semi equi-join of eval (doc, shingle) rows against that
+    distinct hash set. No text ever crosses the wire.
+    """
+    ev = (shingle_hash_rows(eval_docs, text_col, id_col, shingle_k)
+          .select(id_col, "sh").distinct())
+    ch = (shingle_hash_rows(corpus, text_col, id_col, shingle_k)
+          .select("sh").distinct())
+    matched = (ev.join(ch, "sh", "left_semi")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_matched")))
+    totals = ev.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    return (totals.join(matched, id_col, "left")
+            .select(id_col, "n_shingles",
+                    F.coalesce("n_matched", F.lit(0))
+                    .cast("long").alias("n_matched")))
+
+
 # ----------------------------------------------------------------- PII scrub
 
 # Shared-syntax regexes: Java (Spark) and RE2 (DuckDB) agree on these

@@ -100,6 +100,47 @@ def test_decontaminate_shared_shingle_substrate(docs):
     assert {r.doc_id for r in ev.collect()} <= flagged
 
 
+def test_contamination_report_counts(spark):
+    """Per-eval-doc overlap counts: a fully-leaked eval doc reports
+    n_matched == n_shingles, a partial 5-gram hit reports exactly the
+    shared shingles, an untouched doc reports 0; n_shingles equals
+    the doc's distinct shingle count."""
+    evald = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),   # leaked
+         (200, "pack my box with five dozen liquor jugs"),       # clean
+         (300, "one two three four five six")],                  # partial
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "copy: the quick brown fox jumps over the lazy dog"),
+         (2, "prefix one two three four five then diverge")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_matched)
+           for r in text.contamination_report(
+               corpus, evald, shingle_k=5).collect()}
+    # doc 100: 9 tokens -> 5 shingles, all present in corpus doc 1
+    assert got[100] == (5, 5)
+    # doc 200: 8 tokens -> 4 shingles, none present
+    assert got[200] == (4, 0)
+    # doc 300: 6 tokens -> 2 shingles; corpus doc 2 contains only
+    # "one two three four five"
+    assert got[300] == (2, 1)
+
+
+def test_contamination_report_agrees_with_decontaminate(docs):
+    """Direction consistency on the real table: an eval doc has
+    n_matched > 0 iff decontaminate (corpus==docs) would flag SOME
+    corpus doc for it... at minimum, eval docs drawn FROM the corpus
+    report full overlap (the self-containment twin of the
+    decontaminate substrate test)."""
+    ev = docs.where("doc_id % 50 = 0").select("doc_id", "text")
+    got = text.contamination_report(docs.select("doc_id", "text"), ev,
+                                    shingle_k=5)
+    rows = got.collect()
+    assert len(rows) == ev.count()
+    assert all(r.n_matched == r.n_shingles and r.n_shingles > 0
+               for r in rows)
+
+
 # ----------------------------------------------------------------- PII
 
 def test_pii_scrub_cross_engine(spark):
