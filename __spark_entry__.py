@@ -1387,13 +1387,13 @@ def q_line_dedup(spark, sf_dir):
     return text.line_dedup(_lined_corpus(spark, sf_dir)).orderBy("doc_id")
 
 
-def q_decontaminate(spark, sf_dir):
-    """Eval-set decontamination (GPT-3-style n-gram overlap): docs
+def _decontam_fixture(spark, sf_dir):
+    """THE eval/leak fixture shared by q_decontaminate and
+    q_contamination_report (one definition so the two directions can
+    never drift apart — review-caught r4 at the second copy): docs
     with doc_id % 10 = 0 form the benchmark; the corpus is the rest,
-    with the % 10 = 3 docs 'leaking' their benchmark neighbour's full
-    text. Flags every corpus doc sharing a 5-token shingle with the
-    benchmark — only hashes travel, the eval side reduces to a
-    broadcastable DISTINCT hash set."""
+    with the % 10 = 3 docs 'leaking' their benchmark neighbour's
+    full text. Returns (corpus, ev)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     ev = docs.where("doc_id % 10 = 0")
@@ -1404,6 +1404,15 @@ def q_decontaminate(spark, sf_dir):
                       F.concat("c.text", F.lit(" "), "etext")
                       .alias("text")))
     corpus = docs.where("doc_id % 10 NOT IN (0, 3)").unionByName(leaked)
+    return corpus, ev
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (GPT-3-style n-gram overlap) over
+    `_decontam_fixture`. Flags every corpus doc sharing a 5-token
+    shingle with the benchmark — only hashes travel, the eval side
+    reduces to a broadcastable DISTINCT hash set."""
+    corpus, ev = _decontam_fixture(spark, sf_dir)
     return (text.decontaminate(corpus, ev, shingle_k=5)
             .orderBy("doc_id"))
 
@@ -1415,16 +1424,7 @@ def q_contamination_report(spark, sf_dir):
     appear in the corpus. Integer-only columns, hash-compared
     unconditionally; the leaked docs drive their eval neighbours'
     n_matched to n_shingles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
-    ev = docs.where("doc_id % 10 = 0")
-    leaked = (docs.where("doc_id % 10 = 3").alias("c")
-              .join(ev.selectExpr("doc_id AS eid", "text AS etext"),
-                    F.col("c.doc_id") - 3 == F.col("eid"))
-              .select("c.doc_id",
-                      F.concat("c.text", F.lit(" "), "etext")
-                      .alias("text")))
-    corpus = docs.where("doc_id % 10 NOT IN (0, 3)").unionByName(leaked)
+    corpus, ev = _decontam_fixture(spark, sf_dir)
     return (text.contamination_report(corpus, ev, shingle_k=5)
             .orderBy("doc_id"))
 
@@ -1994,6 +1994,20 @@ def oracle_sql() -> dict[str, str]:
     sh_duck = text.shingles_sql("text", 3, "duckdb")
     shh_duck = text.shingle_hashes_duckdb_sql("text", 3)
     shh5_duck = text.shingle_hashes_duckdb_sql("text", 5)
+
+    # shared eval/leak fixture CTEs — the SQL twin of
+    # _decontam_fixture, one definition for both decontaminate and
+    # contamination_report (review-caught r4 at the second copy)
+    decontam_ctes = """ev AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+            leaked AS (
+                SELECT c.doc_id, c.text || ' ' || e.text AS text
+                FROM documents c JOIN ev e ON c.doc_id - 3 = e.doc_id
+                WHERE c.doc_id % 10 = 3),
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 NOT IN (0, 3)
+                UNION ALL SELECT doc_id, text FROM leaked)"""
     pii_duck = text.pii_count_sqls("text", "duckdb")
     url_duck = text.url_parts_sqls("url", "duckdb")
     h32_sh = h32_duckdb_sql("shingle")
@@ -2275,16 +2289,7 @@ def oracle_sql() -> dict[str, str]:
             + text.line_dedup_duckdb_sql("corpus")
             + " ORDER BY doc_id"),
         "decontaminate": f"""
-            WITH ev AS (
-                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-            leaked AS (
-                SELECT c.doc_id, c.text || ' ' || e.text AS text
-                FROM documents c JOIN ev e ON c.doc_id - 3 = e.doc_id
-                WHERE c.doc_id % 10 = 3),
-            corpus AS (
-                SELECT doc_id, text FROM documents
-                WHERE doc_id % 10 NOT IN (0, 3)
-                UNION ALL SELECT doc_id, text FROM leaked),
+            WITH {decontam_ctes},
             evsh AS (SELECT DISTINCT unnest({shh5_duck}) AS sh FROM ev),
             csh AS (SELECT doc_id, unnest({shh5_duck}) AS sh FROM corpus),
             hit AS (SELECT DISTINCT doc_id FROM csh JOIN evsh USING (sh))
@@ -2293,16 +2298,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c ORDER BY doc_id
         """,
         "contamination_report": f"""
-            WITH ev AS (
-                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-            leaked AS (
-                SELECT c.doc_id, c.text || ' ' || e.text AS text
-                FROM documents c JOIN ev e ON c.doc_id - 3 = e.doc_id
-                WHERE c.doc_id % 10 = 3),
-            corpus AS (
-                SELECT doc_id, text FROM documents
-                WHERE doc_id % 10 NOT IN (0, 3)
-                UNION ALL SELECT doc_id, text FROM leaked),
+            WITH {decontam_ctes},
             evsh AS (SELECT DISTINCT doc_id, sh FROM (
                 SELECT doc_id, unnest({shh5_duck}) AS sh FROM ev)),
             csh AS (SELECT DISTINCT sh FROM (

@@ -868,23 +868,28 @@ def contamination_report(corpus: DataFrame, eval_docs: DataFrame,
     Scale shape: the corpus side reduces to DISTINCT shingle hashes
     (ONE exchange on the 8-byte hash with map-side combine — the
     exact-dedup cost class; boilerplate shingles collapse before the
-    wire); the eval side is small by contract, and the overlap is a
-    left-semi equi-join of eval (doc, shingle) rows against that
-    distinct hash set. No text ever crosses the wire.
+    wire); the eval side is small by contract and LEFT-joins against
+    that distinct set ONCE — one join, one aggregation (count never
+    returns NULL, so no fill-in branch; the eval shingle derivation
+    is not recomputed along a second lineage). No text ever crosses
+    the wire.
+
+    NULL-text eval docs are absent from the output (their shingle
+    hash is NULL — dropped, matching the DuckDB twin, whose unnest of
+    a NULL list emits zero rows; review-caught r4: the Spark side
+    used to count the NULL hash as a phantom shingle).
     """
     ev = (shingle_hash_rows(eval_docs, text_col, id_col, shingle_k)
+          .where(F.col("sh").isNotNull())
           .select(id_col, "sh").distinct())
     ch = (shingle_hash_rows(corpus, text_col, id_col, shingle_k)
-          .select("sh").distinct())
-    matched = (ev.join(ch, "sh", "left_semi")
-               .groupBy(id_col)
-               .agg(F.count(F.lit(1)).alias("n_matched")))
-    totals = ev.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles"))
-    return (totals.join(matched, id_col, "left")
-            .select(id_col, "n_shingles",
-                    F.coalesce("n_matched", F.lit(0))
-                    .cast("long").alias("n_matched")))
+          .where(F.col("sh").isNotNull())
+          .select("sh").distinct()
+          .withColumn("_hit", F.lit(1)))
+    return (ev.join(ch, "sh", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.count("_hit").alias("n_matched")))
 
 
 # ----------------------------------------------------------------- PII scrub

@@ -126,6 +126,23 @@ def test_contamination_report_counts(spark):
     assert got[300] == (2, 1)
 
 
+def test_contamination_report_null_text_dropped(spark):
+    """A NULL-text eval doc is ABSENT from the report (regression:
+    Spark used to count its NULL shingle hash as a phantom
+    n_shingles=1 row while the DuckDB twin — unnest of a NULL list —
+    emits zero rows; the gate would mismatch on the first NULL-text
+    table)."""
+    evald = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"), (2, None)],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over it again")],
+        "doc_id long, text string")
+    rows = text.contamination_report(corpus, evald, shingle_k=5).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert all(r.n_shingles > 0 for r in rows)
+
+
 def test_contamination_report_agrees_with_decontaminate(docs):
     """Direction consistency on the real table: an eval doc has
     n_matched > 0 iff decontaminate (corpus==docs) would flag SOME
