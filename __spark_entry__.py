@@ -1845,7 +1845,48 @@ def q_extract_roundtrip(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is evidence-bearing: the driver's CORRECTNESS sampling takes
+    # the FIRST 50 entries, so entries that have never appeared hash-green in
+    # a CORRECTNESS_r*.json lead (r4 verdict item 1), followed by the rest of
+    # the previously-unsampled tail, then the long-green head. Every entry
+    # keeps its oracle twin regardless of position (tools/oracle_check.py
+    # runs all 80).
     return {
+        # --- 9 entries with no driver-side evidence through r4 ---
+        "building_type_full": q_building_type_full,
+        "road_classify_full": q_road_classify_full,
+        "rail_classify": q_rail_classify,
+        "ann_cosine_blocked": q_ann_cosine_blocked,
+        "knn_graph": q_knn_graph,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
+        "semdedup_survivors": q_semdedup_survivors,
+        "bpe_merge_rules": q_bpe_merge_rules,
+        # --- rest of the formerly-unsampled tail (driver evidence r05) ---
+        "trigram_familiarity": q_trigram_familiarity,
+        "hash_sample": q_hash_sample,
+        "pricing_summary": q_pricing_summary,
+        "top_parts": q_top_parts,
+        "tag_filter": q_tag_filter,
+        "tag_pivot": q_tag_pivot,
+        "union_align": q_union_align,
+        "broadcast_lookup": q_broadcast_lookup,
+        "speed_parse": q_speed_parse,
+        "traffic_wgaen": q_traffic_wgaen,
+        "building_heights": q_building_heights,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "minhash": q_minhash,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_pairs": q_lsh_pairs,
+        "near_dedup_survivors": q_near_dedup_survivors,
+        "ann_cosine": q_ann_cosine,
+        "extract_roundtrip": q_extract_roundtrip,
+        # --- long-green head (hash evidence in CORRECTNESS_r01–r04) ---
         "spatial_join_counts": q_spatial_join_counts,
         "spatial_join_pairs": q_spatial_join_pairs,
         "spatial_join_shuffle_salted": q_spatial_join_shuffle_salted,
@@ -1882,7 +1923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_components": q_near_dedup_components,
         "gopher_filter": q_gopher_filter,
         "corpus_stats": q_corpus_stats,
-        "semdedup_survivors": q_semdedup_survivors,
         "token_count_bpe": q_token_count_bpe,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
@@ -1894,38 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "duplicated_spans": q_duplicated_spans,
         "dedup_substrings": q_dedup_substrings,
-        "bpe_merge_rules": q_bpe_merge_rules,
         "repetition": q_repetition,
-        "trigram_familiarity": q_trigram_familiarity,
-        "hash_sample": q_hash_sample,
-        "pricing_summary": q_pricing_summary,
-        "top_parts": q_top_parts,
-        "tag_filter": q_tag_filter,
-        "tag_pivot": q_tag_pivot,
-        "union_align": q_union_align,
-        "broadcast_lookup": q_broadcast_lookup,
-        "speed_parse": q_speed_parse,
-        "traffic_wgaen": q_traffic_wgaen,
-        "building_heights": q_building_heights,
-        "building_type_full": q_building_type_full,
-        "road_classify_full": q_road_classify_full,
-        "rail_classify": q_rail_classify,
-        "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "minhash": q_minhash,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lsh_pairs": q_lsh_pairs,
-        "near_dedup_survivors": q_near_dedup_survivors,
-        "ann_cosine": q_ann_cosine,
-        "ann_cosine_blocked": q_ann_cosine_blocked,
-        "knn_graph": q_knn_graph,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_dedup_survivors": q_embedding_dedup_survivors,
-        "extract_roundtrip": q_extract_roundtrip,
     }
 
 
