@@ -146,6 +146,30 @@ def _poly_zones_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, zones.ZONE_SCHEMA)
 
 
+def _session_cached(cache: dict, key: tuple, build):
+    """Session-scoped build-once cache (the reference's P2/P3 RTREE
+    stance: index the small dimension once per job, not once per
+    query). Keys are tuples whose FIRST element is the owning
+    applicationId; on a miss, entries from other applications are
+    evicted first (r4 ADVICE: a long-lived process cycling
+    SparkSessions must not accumulate persisted plans whose contexts
+    are dead). Values may be a DataFrame or a tuple of DataFrames."""
+    val = cache.get(key)
+    if val is None:
+        for stale_key in [k for k in cache if k[0] != key[0]]:
+            stale = cache.pop(stale_key)
+            for obj in (stale if isinstance(stale, tuple) else (stale,)):
+                fn = getattr(obj, "release", None) \
+                    or getattr(obj, "unpersist", None)
+                try:
+                    fn()
+                except Exception:
+                    pass  # owning context already stopped
+        val = build()
+        cache[key] = val
+    return val
+
+
 # session-scoped cache of the poly-zone cover index: ORACLE_POLY_ZONES
 # is a module constant, so the index is a pure function of the session
 # — the reference's build-once RTREE stance (P2/P3, CreateSpatialIndex)
@@ -157,15 +181,13 @@ _POLY_IDX_CACHE: dict = {}
 
 
 def _poly_zone_index(spark: SparkSession):
-    key = spark.sparkContext.applicationId
-    idx = _POLY_IDX_CACHE.get(key)
-    if idx is None:
-        # persist() pins the exploded cover — without it every query
-        # re-runs the cover's Python stage and only the stats jobs
-        # are saved (r4 self-review finding)
-        idx = join.build_poly_zone_index(_poly_zones_df(spark)).persist()
-        _POLY_IDX_CACHE[key] = idx
-    return idx
+    # persist() pins the exploded cover — without it every query
+    # re-runs the cover's Python stage and only the stats jobs
+    # are saved (r4 self-review finding)
+    return _session_cached(
+        _POLY_IDX_CACHE, (spark.sparkContext.applicationId,),
+        lambda: join.build_poly_zone_index(_poly_zones_df(spark))
+        .persist())
 
 
 def _duck_poly_edges_cte() -> str:
@@ -637,12 +659,11 @@ _KNN_IDX_CACHE: dict = {}
 
 def _knn_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir, KNN_RES, KNN_KMAX)
-    idx = _KNN_IDX_CACHE.get(key)
-    if idx is None:
-        idx = knn.build_knn_index(
-            _points(spark, sf_dir), res=KNN_RES, k_max=KNN_KMAX).persist()
-        _KNN_IDX_CACHE[key] = idx
-    return idx
+    return _session_cached(
+        _KNN_IDX_CACHE, key,
+        lambda: knn.build_knn_index(
+            _points(spark, sf_dir), res=KNN_RES, k_max=KNN_KMAX)
+        .persist())
 
 
 def q_knn(spark, sf_dir):
@@ -1387,24 +1408,40 @@ def q_line_dedup(spark, sf_dir):
     return text.line_dedup(_lined_corpus(spark, sf_dir)).orderBy("doc_id")
 
 
+# session-scoped cache of the decontamination fixture — the r4 judge
+# measured a 3x in-suite swing on decontaminate driven by rebuilding
+# this fixture (scan + self-join) inside every call; like the zone/kNN
+# indexes it is a pure function of (session, sf_dir), so build it once
+# and pin it (verdict item 3: "give it the ZoneIndex treatment").
+_DECONTAM_CACHE: dict = {}
+
+
 def _decontam_fixture(spark, sf_dir):
     """THE eval/leak fixture shared by q_decontaminate and
     q_contamination_report (one definition so the two directions can
     never drift apart — review-caught r4 at the second copy): docs
     with doc_id % 10 = 0 form the benchmark; the corpus is the rest,
     with the % 10 = 3 docs 'leaking' their benchmark neighbour's
-    full text. Returns (corpus, ev)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
-    ev = docs.where("doc_id % 10 = 0")
-    leaked = (docs.where("doc_id % 10 = 3").alias("c")
-              .join(ev.selectExpr("doc_id AS eid", "text AS etext"),
-                    F.col("c.doc_id") - 3 == F.col("eid"))
-              .select("c.doc_id",
-                      F.concat("c.text", F.lit(" "), "etext")
-                      .alias("text")))
-    corpus = docs.where("doc_id % 10 NOT IN (0, 3)").unionByName(leaked)
-    return corpus, ev
+    full text. Returns (corpus, ev), session-cached and persisted."""
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text")
+        ev = docs.where("doc_id % 10 = 0")
+        leaked = (docs.where("doc_id % 10 = 3").alias("c")
+                  .join(ev.selectExpr("doc_id AS eid", "text AS etext"),
+                        F.col("c.doc_id") - 3 == F.col("eid"))
+                  .select("c.doc_id",
+                          F.concat("c.text", F.lit(" "), "etext")
+                          .alias("text")))
+        corpus = docs.where("doc_id % 10 NOT IN (0, 3)") \
+            .unionByName(leaked).persist()
+        corpus.count()
+        ev = ev.persist()
+        ev.count()
+        return corpus, ev
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _session_cached(_DECONTAM_CACHE, key, build)
 
 
 def q_decontaminate(spark, sf_dir):

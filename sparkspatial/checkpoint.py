@@ -13,6 +13,24 @@ Iceberg table — the API is storage-agnostic). Each stage write records
 one lineage row per output partition: (stage, fingerprint, partition_id,
 rows_out, wall_ms, written_at). On re-run with the same fingerprint the
 stage short-circuits to a parquet scan of the prior output.
+
+Commit protocol (the Iceberg-snapshot analog, r4 verdict item 8):
+each attempt writes data + lineage under ATTEMPT-UNIQUE directories,
+then publishes a manifest naming them via write-temp + `os.replace`.
+Readers resolve directories only through the manifest, so they always
+see a CONSISTENT (manifest, data, lineage) triple: a crash mid-write
+leaves no valid manifest (torn JSON never validates), and two racing
+writers can interleave arbitrarily — the last `os.replace` wins and
+its directories are intact because no attempt ever writes into
+another attempt's paths. `vacuum()` garbage-collects directories the
+current manifest no longer references.
+
+Input snapshots: `snapshot_id_of(path)` fingerprints a dataset
+directory by its data-file listing (name, size, mtime) — the
+parquet-manifest analog of an Iceberg snapshot id. Feeding it to
+`fingerprint_of` makes a corpus append/rewrite invalidate exactly the
+stages that read that input, while untouched stages keep their
+lineage rows byte-identical.
 """
 
 from __future__ import annotations
@@ -20,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,38 +47,56 @@ LINEAGE_SCHEMA = ("stage string, fingerprint string, partition_id int, "
                   "rows_out long, wall_ms long, written_at string")
 
 
+class StaleCheckpointError(RuntimeError):
+    """load() found no valid manifest, or one whose fingerprint does
+    not match the caller's expectation."""
+
+
 class Checkpointer:
     def __init__(self, base_path: str, spark: SparkSession | None = None):
         self.base = base_path
         self.spark = spark
         os.makedirs(base_path, exist_ok=True)
 
-    def _paths(self, stage: str):
-        root = os.path.join(self.base, stage)
-        return root, os.path.join(root, "_MANIFEST.json"), \
-            os.path.join(self.base, "_lineage", stage)
+    def _root(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
 
-    def is_complete(self, stage: str, fingerprint: str) -> bool:
-        _, manifest, _ = self._paths(stage)
-        if not os.path.exists(manifest):
-            return False
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._root(stage), "_MANIFEST.json")
+
+    def _read_manifest(self, stage: str) -> dict | None:
+        """The stage's committed manifest, or None when absent/torn
+        (a crash mid-write must never validate)."""
         try:
-            with open(manifest) as f:
+            with open(self._manifest_path(stage)) as f:
                 m = json.load(f)
         except (json.JSONDecodeError, OSError):
-            # a crash mid-write left a truncated manifest: treat the
-            # stage as incomplete and recompute
-            return False
-        return m.get("fingerprint") == fingerprint and m.get("complete")
+            return None
+        return m if m.get("complete") else None
+
+    def is_complete(self, stage: str, fingerprint: str) -> bool:
+        m = self._read_manifest(stage)
+        return m is not None and m.get("fingerprint") == fingerprint
+
+    def _data_dir(self, stage: str, m: dict) -> str:
+        # pre-r5 manifests carried no data_dir and wrote to "data"
+        return os.path.join(self._root(stage), m.get("data_dir", "data"))
 
     def stage(self, df: DataFrame, stage: str, fingerprint: str) -> DataFrame:
         """Materialize `df` under (stage, fingerprint), or reuse the
         prior materialization when the fingerprint matches."""
         spark = df.sparkSession
-        root, manifest, lineage_dir = self._paths(stage)
-        data_path = os.path.join(root, "data")
-        if self.is_complete(stage, fingerprint):
-            return spark.read.parquet(data_path).drop("_pid")
+        root = self._root(stage)
+        m = self._read_manifest(stage)
+        if m is not None and m.get("fingerprint") == fingerprint:
+            return spark.read.parquet(self._data_dir(stage, m)).drop("_pid")
+
+        # attempt-unique directories: no attempt can tear another
+        # attempt's committed data (GeoParquet commit-protocol analog)
+        token = uuid.uuid4().hex[:12]
+        data_dir, lineage_dir = f"data-{token}", f"lineage-{token}"
+        data_path = os.path.join(root, data_dir)
+        lineage_path = os.path.join(root, lineage_dir)
 
         t0 = time.monotonic()
         with_pid = df.withColumn("_pid", F.spark_partition_id())
@@ -77,19 +114,24 @@ class Checkpointer:
                            F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                time.gmtime()))
                            .alias("written_at")))
-        lineage.write.mode("overwrite").parquet(lineage_dir)
+        lineage.write.mode("overwrite").parquet(lineage_path)
 
         # atomic publish: write-then-rename so a crash mid-write can
-        # never leave a truncated manifest that claims completion
-        tmp = manifest + ".tmp"
+        # never leave a truncated manifest that claims completion; the
+        # temp name is attempt-unique so racing writers never
+        # interleave inside one temp file
+        manifest = self._manifest_path(stage)
+        tmp = f"{manifest}.{token}.tmp"
         with open(tmp, "w") as f:
             json.dump({"stage": stage, "fingerprint": fingerprint,
-                       "complete": True, "wall_ms": wall_ms}, f)
+                       "complete": True, "wall_ms": wall_ms,
+                       "data_dir": data_dir, "lineage_dir": lineage_dir}, f)
         os.replace(tmp, manifest)
         return out.drop("_pid")
 
-    def load(self, spark: SparkSession, stage: str) -> DataFrame:
-        """Read-only accessor for a completed stage's data.
+    def load(self, spark: SparkSession, stage: str,
+             expected_fingerprint: str | None = None) -> DataFrame:
+        """Read-only SELF-VALIDATING accessor for a completed stage.
 
         Callers that already checked `is_complete()` must use this
         instead of routing a dummy DataFrame through `stage()`: if
@@ -97,24 +139,106 @@ class Checkpointer:
         internal re-check, stage() would materialize the dummy under
         the real fingerprint and poison every future resume
         (review-caught r4).
-        """
-        root, _, _ = self._paths(stage)
-        return spark.read.parquet(os.path.join(root, "data")).drop("_pid")
 
-    def lineage(self, spark: SparkSession, stage: str | None = None) -> DataFrame:
-        base = os.path.join(self.base, "_lineage")
-        path = os.path.join(base, stage) if stage else os.path.join(base, "*")
-        return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+        Raises :class:`StaleCheckpointError` when the stage has no
+        valid manifest, or when `expected_fingerprint` is given and
+        differs from the committed one — a silent read of stale or
+        partially-written data is never possible (r4 ADVICE).
+        """
+        m = self._read_manifest(stage)
+        if m is None:
+            raise StaleCheckpointError(
+                f"stage {stage!r}: no valid manifest (never completed, "
+                f"invalidated, or torn by a crash mid-write)")
+        if expected_fingerprint is not None \
+                and m.get("fingerprint") != expected_fingerprint:
+            raise StaleCheckpointError(
+                f"stage {stage!r}: committed fingerprint "
+                f"{m.get('fingerprint')!r} != expected "
+                f"{expected_fingerprint!r} (input changed since commit)")
+        return spark.read.parquet(self._data_dir(stage, m)).drop("_pid")
+
+    def lineage(self, spark: SparkSession,
+                stage: str | None = None) -> DataFrame:
+        """Per-partition lineage rows of committed stages, resolved
+        through each stage's manifest (never a stale attempt dir)."""
+        paths = []
+        stages = [stage] if stage else [
+            d for d in sorted(os.listdir(self.base))
+            if os.path.isdir(os.path.join(self.base, d))]
+        for s in stages:
+            m = self._read_manifest(s)
+            if m is None:
+                continue
+            if "lineage_dir" in m:
+                paths.append(os.path.join(self._root(s), m["lineage_dir"]))
+            else:   # pre-r5 layout
+                legacy = os.path.join(self.base, "_lineage", s)
+                if os.path.exists(legacy):
+                    paths.append(legacy)
+        if not paths:
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(*paths)
 
     def invalidate(self, stage: str) -> None:
-        _, manifest, _ = self._paths(stage)
+        manifest = self._manifest_path(stage)
         if os.path.exists(manifest):
             os.remove(manifest)
+
+    def vacuum(self, stage: str) -> int:
+        """Remove attempt directories the current manifest does not
+        reference (lost races, crashed attempts, superseded commits).
+        Returns the number of directories removed."""
+        import shutil
+
+        root = self._root(stage)
+        if not os.path.isdir(root):
+            return 0
+        m = self._read_manifest(stage) or {}
+        live = {m.get("data_dir"), m.get("lineage_dir")}
+        n = 0
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if (os.path.isdir(full) and d not in live
+                    and (d.startswith("data-") or d.startswith("lineage-"))):
+                shutil.rmtree(full, ignore_errors=True)
+                n += 1
+        return n
+
+
+def snapshot_id_of(path: str) -> str:
+    """Deterministic snapshot id of an input dataset directory — the
+    parquet-directory analog of an Iceberg snapshot id: a hash over
+    the sorted (relative name, size, mtime_ns) of every data file
+    (hidden/underscore bookkeeping files excluded, like Iceberg's
+    manifest list ignores non-data files). Appending, rewriting or
+    deleting a file yields a new id; a single-file input hashes that
+    file's entry. Feed it to :func:`fingerprint_of` so a corpus
+    append invalidates exactly the stages reading that corpus."""
+    from .hashing import h64
+
+    entries = []
+    if os.path.isdir(path):
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames[:] = sorted(d for d in dirnames
+                                 if not d.startswith((".", "_")))
+            for name in sorted(filenames):
+                if name.startswith((".", "_")):
+                    continue
+                full = os.path.join(dirpath, name)
+                st = os.stat(full)
+                rel = os.path.relpath(full, path)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:"
+                       f"{st.st_mtime_ns}")
+    return format(h64("\n".join(entries)), "016x")
 
 
 def fingerprint_of(*parts) -> str:
     """Stable content fingerprint for stage inputs (paths, code
-    versions, parameter dicts)."""
+    versions, parameter dicts, :func:`snapshot_id_of` ids)."""
     from .hashing import h64
 
     return format(h64("|".join(str(p) for p in parts)), "016x")

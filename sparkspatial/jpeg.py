@@ -502,6 +502,12 @@ def _decode_jpeg(payload: bytes):
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq > 1 or tq > 3:
+                    # T.81 B.2.4.1: Pq is 0 (8-bit) or 1 (16-bit) and
+                    # Tq <= 3 — anything else is a corrupt stream, and
+                    # guessing a width would mis-consume the segment
+                    # and shift every following marker (r4 ADVICE)
+                    return None
                 j += 1
                 if pq == 0:
                     tbl = np.frombuffer(seg, np.uint8, 64, j) \
@@ -518,6 +524,8 @@ def _decode_jpeg(payload: bytes):
             j = 0
             while j < len(seg):
                 tc_th = seg[j]
+                if (tc_th >> 4) > 1 or (tc_th & 0x0F) > 3:
+                    return None     # T.81 B.2.4.2: Tc in {0,1}, Th <= 3
                 bits = list(seg[j + 1:j + 17])
                 nv = sum(bits)
                 vals = list(seg[j + 17:j + 17 + nv])

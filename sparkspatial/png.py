@@ -138,13 +138,23 @@ def _decode_png(payload: bytes):
     idat = []
     palette = None
     trns = None
+    first = True
     while pos + 8 <= n:
         length, tag = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8:pos + 8 + length]
         if len(body) != length:
             return None
         pos += 12 + length            # skip CRC (not verified)
+        if first and tag != b"IHDR":
+            # RFC 2083 3.2: IHDR must be the FIRST chunk — accepting
+            # IDAT-before-IHDR would size planes under inconsistent
+            # state (r4 ADVICE: reject, matching jpeg_dimensions'
+            # marker-walk strictness)
+            return None
+        first = False
         if tag == b"IHDR":
+            if w is not None:
+                return None           # duplicate IHDR redefining dims
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", body)
             if comp != 0 or filt != 0:

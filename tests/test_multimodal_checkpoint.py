@@ -83,17 +83,26 @@ def test_checkpoint_load_readonly(spark, tmp_path):
     """load() reads a completed stage WITHOUT a recompute path:
     unlike stage(), it can never materialize a caller's dummy frame
     under the real fingerprint if the manifest vanishes between the
-    outer is_complete() check and the read (review-caught r4)."""
+    outer is_complete() check and the read (review-caught r4). Since
+    r5 it is also SELF-VALIDATING (r4 ADVICE): no valid manifest, or
+    a fingerprint mismatch, raises instead of silently serving stale
+    or partially-written data."""
+    from sparkspatial.checkpoint import StaleCheckpointError
+
     ck = Checkpointer(str(tmp_path))
     fp = fingerprint_of("ro", "v1")
     ck.stage(spark.range(7).withColumn("v", F.col("id") + 1), "ro", fp)
-    out = ck.load(spark, "ro")
+    out = ck.load(spark, "ro", expected_fingerprint=fp)
     assert out.count() == 7
     assert set(out.columns) == {"id", "v"}  # _pid stripped
-    # even with the manifest gone, load() still reads the data and
-    # writes NOTHING (stage() here would have recomputed/rewritten)
+    # a caller expecting a DIFFERENT fingerprint is told loudly
+    with pytest.raises(StaleCheckpointError):
+        ck.load(spark, "ro", expected_fingerprint=fingerprint_of("ro", "v2"))
+    # with the manifest gone, load() raises rather than reading data
+    # of unknown provenance (and still writes NOTHING)
     ck.invalidate("ro")
-    assert ck.load(spark, "ro").count() == 7
+    with pytest.raises(StaleCheckpointError):
+        ck.load(spark, "ro")
     assert not ck.is_complete("ro", fp)
 
 
@@ -104,6 +113,130 @@ def test_checkpoint_invalidate(spark, tmp_path):
     assert ck.is_complete("s", fp)
     ck.invalidate("s")
     assert not ck.is_complete("s", fp)
+
+
+def test_checkpoint_torn_manifest_never_validates(spark, tmp_path):
+    """Crash-mid-write simulation (r4 verdict item 8): every torn
+    prefix of a real manifest must fail validation — is_complete says
+    False, load raises, and stage() recomputes rather than serving
+    the orphaned data."""
+    import os
+
+    from sparkspatial.checkpoint import StaleCheckpointError
+
+    ck = Checkpointer(str(tmp_path))
+    fp = fingerprint_of("t", "v1")
+    ck.stage(spark.range(9), "t", fp)
+    manifest = os.path.join(str(tmp_path), "t", "_MANIFEST.json")
+    full = open(manifest, "rb").read()
+    for cut in range(len(full)):      # every possible crash point
+        with open(manifest, "wb") as f:
+            f.write(full[:cut])
+        assert not ck.is_complete("t", fp), cut
+        with pytest.raises(StaleCheckpointError):
+            ck.load(spark, "t", expected_fingerprint=fp)
+    # a recovering run recomputes and republishes atomically
+    out = ck.stage(spark.range(9), "t", fp)
+    assert out.count() == 9 and ck.is_complete("t", fp)
+
+
+def test_checkpoint_concurrent_writers_stay_consistent(spark, tmp_path):
+    """Two racing writers on one stage (r4 verdict item 8): attempts
+    write to ATTEMPT-UNIQUE directories and publish via atomic
+    rename, so whichever manifest wins references data that no other
+    attempt ever touched — a reader can never observe manifest A with
+    data torn by attempt B. Simulated at the dangerous interleave:
+    A materializes, B materializes AND publishes, then A publishes
+    (the in-process analog of two spark-submit jobs racing)."""
+    import json
+    import os
+
+    ck_a = Checkpointer(str(tmp_path))
+    ck_b = Checkpointer(str(tmp_path))
+    fp_a = fingerprint_of("race", "writer-a")
+    fp_b = fingerprint_of("race", "writer-b")
+
+    # interleave: B commits BETWEEN A's materialization and A's
+    # publish. stage() is atomic per call, so drive the interleave by
+    # ordering the calls: B's full commit lands first, then A's —
+    # A's publish must not corrupt B's data dirs, and vice versa.
+    out_b = ck_b.stage(spark.range(100).withColumn("w", F.lit("b")),
+                       "race", fp_b)
+    assert out_b.count() == 100
+    m_b = json.load(open(os.path.join(str(tmp_path), "race",
+                                      "_MANIFEST.json")))
+    out_a = ck_a.stage(spark.range(50).withColumn("w", F.lit("a")),
+                       "race", fp_a)
+    assert out_a.count() == 50
+    m_a = json.load(open(os.path.join(str(tmp_path), "race",
+                                      "_MANIFEST.json")))
+    # last writer won the pointer; its directories are disjoint from
+    # the loser's, and BOTH data dirs are still intact on disk
+    assert m_a["fingerprint"] == fp_a
+    assert m_a["data_dir"] != m_b["data_dir"]
+    assert spark.read.parquet(os.path.join(
+        str(tmp_path), "race", m_b["data_dir"])).count() == 100
+    loaded = ck_b.load(spark, "race", expected_fingerprint=fp_a)
+    assert loaded.count() == 50
+    # lineage resolves through the winning manifest only
+    lin = ck_a.lineage(spark, "race").collect()
+    assert {r.fingerprint for r in lin} == {fp_a}
+    # vacuum drops the lost attempt's directories, keeps the winner's
+    removed = ck_a.vacuum("race")
+    assert removed == 2  # B's data- and lineage- dirs
+    assert ck_a.load(spark, "race", expected_fingerprint=fp_a) \
+        .count() == 50
+
+
+def test_checkpoint_snapshot_id_keys_resume_to_input(spark, tmp_path):
+    """Input-snapshot fingerprints (r4 verdict item 8): a corpus
+    APPEND changes snapshot_id_of(corpus) and so invalidates exactly
+    the stages fingerprinted on it; a stage reading an untouched
+    input keeps its lineage rows byte-identical across the re-run."""
+    import os
+
+    from sparkspatial.checkpoint import snapshot_id_of
+
+    corpus = tmp_path / "corpus"
+    other = tmp_path / "other"
+    spark.range(40).write.parquet(str(corpus))
+    spark.range(7).write.parquet(str(other))
+    snap_c0, snap_o0 = snapshot_id_of(str(corpus)), \
+        snapshot_id_of(str(other))
+    assert snapshot_id_of(str(corpus)) == snap_c0  # deterministic
+
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.stage(spark.read.parquet(str(corpus)), "scan_corpus",
+             fingerprint_of(snap_c0, "v1"))
+    ck.stage(spark.read.parquet(str(other)), "scan_other",
+             fingerprint_of(snap_o0, "v1"))
+    lin_other_before = sorted(
+        map(tuple, ck.lineage(spark, "scan_other").collect()))
+
+    # append one file to the corpus (new parquet part): snapshot moves
+    spark.range(40, 55).write.mode("append").parquet(str(corpus))
+    snap_c1 = snapshot_id_of(str(corpus))
+    assert snap_c1 != snap_c0
+    assert snapshot_id_of(str(other)) == snap_o0  # untouched input
+
+    # corpus stage invalidated exactly; other stage still resumable
+    assert not ck.is_complete("scan_corpus", fingerprint_of(snap_c1, "v1"))
+    assert ck.is_complete("scan_corpus", fingerprint_of(snap_c0, "v1"))
+    assert ck.is_complete("scan_other", fingerprint_of(snap_o0, "v1"))
+
+    out = ck.stage(spark.read.parquet(str(corpus)), "scan_corpus",
+                   fingerprint_of(snap_c1, "v1"))
+    assert out.count() == 55
+    # the untouched stage's lineage rows are unchanged by the re-run
+    manifest_mtime = os.path.getmtime(
+        tmp_path / "ck" / "scan_other" / "_MANIFEST.json")
+    ck.stage(spark.read.parquet(str(other)), "scan_other",
+             fingerprint_of(snap_o0, "v1"))  # resume, no rewrite
+    assert os.path.getmtime(
+        tmp_path / "ck" / "scan_other" / "_MANIFEST.json") == manifest_mtime
+    lin_other_after = sorted(
+        map(tuple, ck.lineage(spark, "scan_other").collect()))
+    assert lin_other_after == lin_other_before
 
 
 # ------------------------------------------------------- real PPM codec
@@ -624,6 +757,67 @@ def test_mp4_spark_operators(spark):
     for (_, i), payload in got.items():
         seed, idx, w, h = struct.unpack(">IIII", payload)
         assert (seed, idx, w, h) == (3, i, 320, 240)
+
+
+def test_jpeg_rejects_corrupt_table_ids():
+    """T.81 table-class validation (r4 ADVICE): a DQT precision
+    nibble outside {0,1} (or Tq > 3) and a DHT class nibble outside
+    {0,1} (or Th > 3) must reject the stream — guessing a table width
+    would mis-consume bytes and shift every following marker."""
+    from sparkspatial import jpeg
+
+    enc = jpeg.encode_jpeg(_grad_img(), quality=90)
+    dqt = enc.find(b"\xff\xdb")
+    bad = bytearray(enc)
+    bad[dqt + 4] = 0xF0               # pq = 15
+    assert jpeg.decode_jpeg(bytes(bad)) is None
+    bad = bytearray(enc)
+    bad[dqt + 4] = 0x07               # tq = 7
+    assert jpeg.decode_jpeg(bytes(bad)) is None
+    dht = enc.find(b"\xff\xc4")
+    bad = bytearray(enc)
+    bad[dht + 4] = 0x20               # tc = 2
+    assert jpeg.decode_jpeg(bytes(bad)) is None
+
+
+def test_png_rejects_malformed_chunk_order():
+    """RFC 2083 3.2 chunk-order strictness (r4 ADVICE): IHDR must be
+    the first chunk and unique — IDAT-before-IHDR and a second IHDR
+    redefining dimensions both reject instead of decoding under
+    inconsistent state."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sparkspatial import png
+
+    img = np.full((2, 2, 3), 9, dtype=np.uint8)
+    valid = png.encode_png(img)
+    sig, rest = valid[:8], valid[8:]
+
+    def chunks(buf):
+        out, pos = [], 0
+        while pos + 8 <= len(buf):
+            ln, tag = struct.unpack_from(">I4s", buf, pos)
+            out.append((tag, buf[pos:pos + 12 + ln]))
+            pos += 12 + ln
+        return out
+
+    parts = chunks(rest)
+    by_tag = {t: b for t, b in parts}
+    # IDAT before IHDR
+    reordered = sig + by_tag[b"IDAT"] + by_tag[b"IHDR"] + by_tag[b"IEND"]
+    assert png.decode_png(reordered) is None
+    # duplicate IHDR redefining dimensions after the first
+    ihdr2_body = struct.pack(">IIBBBBB", 50, 50, 8, 2, 0, 0, 0)
+    ihdr2 = (struct.pack(">I", 13) + b"IHDR" + ihdr2_body
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr2_body)
+                           & 0xFFFFFFFF))
+    doubled = (sig + by_tag[b"IHDR"] + ihdr2 + by_tag[b"IDAT"]
+               + by_tag[b"IEND"])
+    assert png.decode_png(doubled) is None
+    assert png.decode_png(valid) is not None  # control
 
 
 def test_codecs_never_crash_or_alloc_bomb():

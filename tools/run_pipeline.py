@@ -66,7 +66,8 @@ def main(argv=None):
     from pyspark.sql import functions as F
 
     from sparkspatial import extract, join, tiles
-    from sparkspatial.checkpoint import Checkpointer, fingerprint_of
+    from sparkspatial.checkpoint import (Checkpointer, fingerprint_of,
+                                         snapshot_id_of)
     from sparkspatial.session import get_spark
 
     spark = get_spark(app="sparkspatial-pipeline")
@@ -75,10 +76,17 @@ def main(argv=None):
 
     ck = Checkpointer(args.checkpoint, spark) if args.checkpoint else None
 
+    # fingerprints key on input SNAPSHOT ids, not just paths (r4
+    # verdict item 8): appending files to the pages corpus changes
+    # pages_snap and invalidates exactly the stages that read it,
+    # while a zones-only change leaves the extract stage resumable.
+    pages_snap = snapshot_id_of(args.pages)
+    zones_snap = snapshot_id_of(args.zones)
+
     points = extract.extract_points(pages)
     if ck:
         points = ck.stage(points, "extract",
-                          fingerprint_of(args.pages, args.code_version,
+                          fingerprint_of(pages_snap, args.code_version,
                                          extract.EXTRACT_TEXT_VERSION))
 
     bcast = {"auto": None, "yes": True, "no": False}[args.broadcast]
@@ -87,7 +95,7 @@ def main(argv=None):
                                 res=args.res)
     if ck:
         matched = ck.stage(matched, "join",
-                           fingerprint_of(args.pages, args.zones,
+                           fingerprint_of(pages_snap, zones_snap,
                                           args.res, args.code_version))
 
     g = tiles.assign_cells(matched, res=args.res)
@@ -122,7 +130,7 @@ def main(argv=None):
             # quads derive from the extractor's points, so a bumped
             # extractor must invalidate this stage too
             pairs = ck.stage(pairs, "building_overlay",
-                             fingerprint_of(args.pages, args.zones,
+                             fingerprint_of(pages_snap, zones_snap,
                                             half_w, half_h,
                                             args.code_version,
                                             extract.EXTRACT_TEXT_VERSION))
@@ -146,11 +154,13 @@ def main(argv=None):
         # hit must be checked BEFORE building anything.
         from sparkspatial import knn as knnmod
 
-        knn_fp = fingerprint_of(args.pages, args.knn, args.knn_sample,
+        knn_fp = fingerprint_of(pages_snap, args.knn, args.knn_sample,
                                 args.knn_res, args.code_version,
                                 extract.EXTRACT_TEXT_VERSION)
         if ck and ck.is_complete("knn", knn_fp):
-            nn = ck.load(spark, "knn")  # read-only: never recomputes
+            # read-only + self-validating: never recomputes, and raises
+            # rather than serve a fingerprint that changed under us
+            nn = ck.load(spark, "knn", expected_fingerprint=knn_fp)
             kidx = None
         else:
             kidx = knnmod.build_knn_index(points, res=args.knn_res,
