@@ -524,6 +524,34 @@ def q_nearest_zone_poly(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_nearest_zone_routed(spark, sf_dir):
+    """q_nearest_zone's contract forced down the big-zone-set CELL
+    route (r5, r4 verdict item 2: route='cells' — one Arrow candidate
+    pruning pass over the distinct-cell dim, broadcast join back to
+    the pages, the IDENTICAL bit-exact d2 argmin via min-struct agg).
+    Shares q_nearest_zone's oracle twin verbatim: the two routes are
+    bit-equal (parity pytests in tests/test_nearest_route.py), so
+    the driver hash-compares the routed PLAN against the same SQL."""
+    pts = _points(spark, sf_dir)
+    return (join.nearest_zone(pts, ORACLE_ZONES, route="cells")
+            .orderBy("url"))
+
+
+def q_nearest_zone_poly_routed(spark, sf_dir):
+    """q_nearest_zone_poly's contract on the cell route: edges as a
+    broadcast TABLE (not a literal fold), same clamped-projection /
+    even-odd expressions, min aggregate + min-struct argmin — the
+    plan that survives 10^4+ zones. Same oracle twin as
+    nearest_zone_poly (bit-equal routes)."""
+    from sparkspatial import zones as zonesmod
+    pts = _points(spark, sf_dir)
+    zdf = spark.createDataFrame(
+        [zonesmod.zone_row(zid, _poly_zone_geom(p, valid=False))
+         for zid, p in ORACLE_POLY_ZONES], zonesmod.ZONE_SCHEMA)
+    return (join.nearest_zone_polygons(pts, zdf, route="cells")
+            .orderBy("url"))
+
+
 def q_nearest_zones_topk(spark, sf_dir):
     """Top-3 nearest zones per page (join.nearest_zones_topk):
     array_sort over the literal (d2, zone_id) struct array + slice +
@@ -1899,6 +1927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "semdedup_survivors": q_semdedup_survivors,
         "bpe_merge_rules": q_bpe_merge_rules,
+        # --- NEW r5 operators (driver evidence r05) ---
+        "nearest_zone_routed": q_nearest_zone_routed,
+        "nearest_zone_poly_routed": q_nearest_zone_poly_routed,
         # --- rest of the formerly-unsampled tail (driver evidence r05) ---
         "trigram_familiarity": q_trigram_familiarity,
         "hash_sample": q_hash_sample,
@@ -2070,7 +2101,7 @@ def oracle_sql() -> dict[str, str]:
     midlat = math.radians((48.81 + 48.90) / 2.0)
     dlon = dlat / math.cos(midlat)
 
-    return {
+    out = {
         "spatial_join_counts": f"""
             WITH {pts}, {zon}
             SELECT z.zone_id, COUNT(*) AS page_count,
@@ -2167,6 +2198,13 @@ def oracle_sql() -> dict[str, str]:
         # both nearest_zone (rn = 1) and nearest_zones_topk (rn <= 3)
         # so the twins can never desync.
         "nearest_zone": f"""
+            WITH {pts}, {zon}, {nearest_ranked}
+            SELECT url, zone_id, dist_deg2 FROM ranked WHERE rn = 1
+            ORDER BY url
+        """,
+        # the routed (cell-cover) twin answers the IDENTICAL contract
+        # — same oracle SQL; only the Spark physical plan differs
+        "nearest_zone_routed": f"""
             WITH {pts}, {zon}, {nearest_ranked}
             SELECT url, zone_id, dist_deg2 FROM ranked WHERE rn = 1
             ORDER BY url
@@ -2798,6 +2836,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # the routed (cell-cover) poly twin answers the IDENTICAL contract
+    # as nearest_zone_poly — same oracle SQL; only the Spark physical
+    # plan differs (edges as a broadcast table instead of a literal
+    # fold; bit-equal by construction, tests/test_nearest_route.py)
+    out["nearest_zone_poly_routed"] = out["nearest_zone_poly"]
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -712,9 +712,19 @@ def _rect_d2_entries(zone_rects: list[tuple],
     return entries
 
 
+# Literal-expression budget for the nearest-zone family: beyond this
+# many folded entries (rect zones, or polygon edges in total) the
+# expression tree stops being the right plan — codegen limits, plan
+# size, analyzer time all degrade — and `route="cells"` takes over
+# (r4 verdict item 3 made the docstring's "use the kNN machinery"
+# promise a real code path).
+NEAREST_LITERAL_MAX = 1000
+
+
 def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
                  lat_col: str = "lat", lon_col: str = "lon",
-                 keep_cols: tuple = ("url",)) -> DataFrame:
+                 keep_cols: tuple = ("url",), route: str = "auto",
+                 res: int | None = None) -> DataFrame:
     """Nearest-rectangle-zone assignment: each point gets the zone
     minimizing planar squared distance to the zone's envelope
     (dist_deg2 = 0 inside the zone), ties broken by zone_id asc — the
@@ -728,12 +738,15 @@ def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
     as the params vocabularies), folded into ONE whole-stage-codegen
     projection — `array_min` over a per-zone (d2, zone_id) struct
     array. Map-only: no join, no shuffle, no Python, perfectly linear
-    in the point count and immune to zone skew. For zone sets too
-    large to fold into an expression (>~10^3), use the cell-cover
-    kNN machinery instead (knn.knn_join on zone centroids +
-    spatial_join refinement).
+    in the point count and immune to zone skew. Zone sets beyond
+    NEAREST_LITERAL_MAX entries auto-route (`route="auto"`) to the
+    cell-cover candidate path (`route="cells"`,
+    :func:`_nearest_rect_routed`): same bit-exact d2, candidate
+    pruning per DISTINCT point-cell instead of a literal fold.
+    `route="literal"` forces the fold; `res` overrides the routed
+    path's cell resolution.
 
-    Cross-engine determinism: d2 = dx*dx + dy*dy with
+    Cross-engine determinism (BOTH routes): d2 = dx*dx + dy*dy with
     dx = greatest(minx - lon, lon - maxx, 0) uses only correctly-
     rounded IEEE ops in a fixed association order, so the DuckDB
     oracle twin reproduces it bit-for-bit and dist_deg2 itself is
@@ -742,6 +755,13 @@ def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
     if not zone_rects:
         raise ValueError("nearest_zone: empty zone list")
     _require_cols(points, keep_cols, "nearest_zone")
+    if route not in ("auto", "literal", "cells"):
+        raise ValueError(f"nearest_zone: unknown route {route!r}")
+    if route == "cells" or (route == "auto"
+                            and len(zone_rects) > NEAREST_LITERAL_MAX):
+        return _nearest_rect_routed(points, zone_rects, 1, res=res,
+                                    lat_col=lat_col, lon_col=lon_col,
+                                    keep_cols=keep_cols)
     m = F.array_min(F.array(
         *_rect_d2_entries(zone_rects, lat_col, lon_col)))
     return points.select(*keep_cols,
@@ -764,11 +784,29 @@ def _cross_flip_sql(lat_col: str, lon_col: str, acc_expr: str) -> str:
     )
 
 
+def _zone_edge_lists(rows, op: str) -> list[tuple[str, list]]:
+    """Sorted (zone_id, edges) lists with the validation shared by
+    BOTH nearest_zone_polygons routes (one definition so literal and
+    routed paths can never diverge on what an edge set is)."""
+    out = []
+    for r in sorted(rows, key=lambda r: str(r[0])):
+        zid = str(r[0])
+        edges = _poly_edges(geom.wkb_loads(bytes(r[1])))
+        if not edges:
+            raise ValueError(f"{op}: zone {zid} has no edges")
+        if any(x0 == x1 and y0 == y1 for x0, y0, x1, y1 in edges):
+            raise ValueError(f"{op}: zone {zid} has a zero-length edge")
+        out.append((zid, edges))
+    return out
+
+
 def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
                           poly_id: str = "zone_id",
                           wkb_col: str = "the_geom_wkb",
                           lat_col: str = "lat", lon_col: str = "lon",
-                          keep_cols: tuple = ("url",)) -> DataFrame:
+                          keep_cols: tuple = ("url",),
+                          route: str = "auto",
+                          res: int | None = None) -> DataFrame:
     """Nearest-POLYGON-zone assignment: each point gets the zone
     minimizing exact planar squared distance to the zone boundary
     (0 inside, even-odd with holes), ties by zone_id asc — the
@@ -785,8 +823,11 @@ def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
     shuffle, no Python, constant memory per row (the fold streams
     the edges; the first Arrow draft of this op materialized
     points x edges temporaries — review-caught r4). Zone sets beyond
-    ~10^3 total edges outgrow a literal expression tree — route
-    those through the cell-cover kNN machinery instead.
+    NEAREST_LITERAL_MAX total edges outgrow a literal expression
+    tree and auto-route to the cell-cover candidate path
+    (:func:`_nearest_poly_routed`), where the edges become a
+    broadcast TABLE and the identical seg-d2/crossing expressions
+    run data-driven.
 
     Cross-engine determinism (the DuckDB twin hash-compares
     dist_deg2 itself): clamped-projection segment distance and the
@@ -804,6 +845,16 @@ def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
     if not rows:
         raise ValueError("nearest_zone_polygons: empty zone table")
     _require_cols(points, keep_cols, "nearest_zone_polygons")
+    if route not in ("auto", "literal", "cells"):
+        raise ValueError(
+            f"nearest_zone_polygons: unknown route {route!r}")
+    zone_edges = _zone_edge_lists(rows, "nearest_zone_polygons")
+    n_edges = sum(len(e) for _, e in zone_edges)
+    if route == "cells" or (route == "auto"
+                            and n_edges > NEAREST_LITERAL_MAX):
+        return _nearest_poly_routed(points, zone_edges, res=res,
+                                    lat_col=lat_col, lon_col=lon_col,
+                                    keep_cols=keep_cols)
 
     lat, lon = lat_col, lon_col
     # clamped projection, written ONCE here and mirrored verbatim by
@@ -820,15 +871,7 @@ def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
     flip = _cross_flip_sql(lat, lon, "acc.inside")
 
     entries = []
-    for r in sorted(rows, key=lambda r: str(r[0])):
-        zid = str(r[0])
-        edges = _poly_edges(geom.wkb_loads(bytes(r[1])))
-        if not edges:
-            raise ValueError(f"nearest_zone_polygons: zone {zid} "
-                             "has no edges")
-        if any(x0 == x1 and y0 == y1 for x0, y0, x1, y1 in edges):
-            raise ValueError(f"nearest_zone_polygons: zone {zid} "
-                             "has a zero-length edge")
+    for zid, edges in zone_edges:
         earr = "array(" + ", ".join(
             f"named_struct('x0', {double_lit(x0)}, 'y0', {double_lit(y0)},"
             f" 'x1', {double_lit(x1)}, 'y1', {double_lit(y1)})"
@@ -852,7 +895,8 @@ def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
 
 def nearest_zones_topk(points: DataFrame, zone_rects: list[tuple], k: int, *,
                        lat_col: str = "lat", lon_col: str = "lon",
-                       keep_cols: tuple = ("url",)) -> DataFrame:
+                       keep_cols: tuple = ("url",), route: str = "auto",
+                       res: int | None = None) -> DataFrame:
     """Top-k nearest rectangle zones per point (rnk 1..k by
     (dist_deg2 asc, zone_id asc)) — the k-ranked sibling of
     :func:`nearest_zone`, still ONE whole-stage-codegen projection
@@ -860,7 +904,10 @@ def nearest_zones_topk(points: DataFrame, zone_rects: list[tuple], k: int, *,
     struct array (struct ordering IS the tie order), `slice` to k,
     `posexplode` for the rank. No join, no shuffle, no Python; the
     same bit-exact d2 formula as nearest_zone, so the oracle twin
-    hash-compares the float distance.
+    hash-compares the float distance. Zone sets beyond
+    NEAREST_LITERAL_MAX entries auto-route to the cell-cover
+    candidate path (see :func:`nearest_zone`), whose pruning bound is
+    the k-th smallest per-cell max-distance.
     """
     if not zone_rects:
         raise ValueError("nearest_zones_topk: empty zone list")
@@ -868,6 +915,13 @@ def nearest_zones_topk(points: DataFrame, zone_rects: list[tuple], k: int, *,
         raise ValueError("nearest_zones_topk: k must be in "
                          f"[1, {len(zone_rects)}]")
     _require_cols(points, keep_cols, "nearest_zones_topk")
+    if route not in ("auto", "literal", "cells"):
+        raise ValueError(f"nearest_zones_topk: unknown route {route!r}")
+    if route == "cells" or (route == "auto"
+                            and len(zone_rects) > NEAREST_LITERAL_MAX):
+        return _nearest_rect_routed(points, zone_rects, k, res=res,
+                                    lat_col=lat_col, lon_col=lon_col,
+                                    keep_cols=keep_cols, with_rnk=True)
     top = F.slice(F.array_sort(F.array(
         *_rect_d2_entries(zone_rects, lat_col, lon_col))), 1, k)
     return (points
@@ -876,3 +930,242 @@ def nearest_zones_topk(points: DataFrame, zone_rects: list[tuple], k: int, *,
                     F.col("_m.zone_id").alias("zone_id"),
                     F.col("_m.d2").alias("dist_deg2"),
                     (F.col("_pos") + 1).cast("int").alias("rnk")))
+
+
+def _nearest_pick_res(zone_rects) -> int:
+    """Routed-path resolution heuristic: cell width ~ mean zone
+    spacing (extent / sqrt(n)), so the per-cell candidate list stays
+    O(1) on average. Correctness never depends on this — the pruning
+    bound certifies any resolution — only the join fan-out does."""
+    minx = min(float(r[1]) for r in zone_rects)
+    maxx = max(float(r[3]) for r in zone_rects)
+    miny = min(float(r[2]) for r in zone_rects)
+    maxy = max(float(r[4]) for r in zone_rects)
+    extent = max(maxx - minx, 2.0 * (maxy - miny), 1e-9)
+    target = max(extent / max(np.sqrt(len(zone_rects)), 1.0), 1e-7)
+    return min(max(cells.pick_resolution(target), 2), 16)
+
+
+def _nearest_rect_candidates(pcells: DataFrame, zone_rects, k: int
+                             ) -> DataFrame:
+    """EXACT candidate pruning per distinct point-cell (one Arrow
+    stage over the cell dim, never the points): keep zone z for cell
+    c iff mind2(c, z) <= B_k(c), where B_k(c) is the k-th smallest
+    over zones of maxd2(c, z).
+
+    Exactness: for any p in c, d2(p, z) <= maxd2(c, z), so at least
+    k zones satisfy d2(p, .) <= B_k(c); a pruned zone has
+    d2(p, z) >= mind2(c, z) > B_k(c) — strictly worse than k
+    survivors, so it can never enter the top-k under (d2, zone_id)
+    order. The FP comparisons inherit this because correctly-rounded
+    subtraction/max/square/add are monotone, so the computed mind2
+    lower-bounds and maxd2 upper-bounds every in-cell point's
+    computed d2 (clamp distances are convex per axis — endpoint max).
+
+    Cost: O(|distinct cells| x |zones|) vectorized numpy, constant in
+    the corpus size (web points are heavily co-located, so distinct
+    cells << points); output is the near-linear candidate list."""
+    zid = np.array([str(z[0]) for z in zone_rects], dtype=object)
+    zminx = np.array([float(z[1]) for z in zone_rects])
+    zminy = np.array([float(z[2]) for z in zone_rects])
+    zmaxx = np.array([float(z[3]) for z in zone_rects])
+    zmaxy = np.array([float(z[4]) for z in zone_rects])
+    kk = min(int(k), len(zid))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cs = pdf["cell"].to_numpy(np.int64)
+            minlon, minlat, maxlon, maxlat = cells.cell_bounds(cs)
+            chunk = max(1, 2_000_000 // max(len(zid), 1))
+            for s in range(0, len(cs), chunk):
+                sl = slice(s, s + chunk)
+                ax, bx = minlon[sl][:, None], maxlon[sl][:, None]
+                ay, by = minlat[sl][:, None], maxlat[sl][:, None]
+                mindx = np.maximum(np.maximum(zminx - bx, ax - zmaxx), 0.0)
+                mindy = np.maximum(np.maximum(zminy - by, ay - zmaxy), 0.0)
+                mind2 = mindx * mindx + mindy * mindy
+                dxa = np.maximum(np.maximum(zminx - ax, ax - zmaxx), 0.0)
+                dxb = np.maximum(np.maximum(zminx - bx, bx - zmaxx), 0.0)
+                dya = np.maximum(np.maximum(zminy - ay, ay - zmaxy), 0.0)
+                dyb = np.maximum(np.maximum(zminy - by, by - zmaxy), 0.0)
+                maxdx = np.maximum(dxa, dxb)
+                maxdy = np.maximum(dya, dyb)
+                maxd2 = maxdx * maxdx + maxdy * maxdy
+                bound = np.partition(maxd2, kk - 1, axis=1)[:, kk - 1:kk]
+                ci, zi = np.nonzero(mind2 <= bound)
+                yield pd.DataFrame({
+                    "cell": cs[sl][ci], "zone_id": zid[zi],
+                    "minx": zminx[zi], "miny": zminy[zi],
+                    "maxx": zmaxx[zi], "maxy": zmaxy[zi]})
+
+    return pcells.mapInPandas(
+        gen, "cell long, zone_id string, minx double, miny double, "
+             "maxx double, maxy double")
+
+
+def _nearest_rect_routed(points: DataFrame, zone_rects, k: int, *,
+                         res: int | None, lat_col: str, lon_col: str,
+                         keep_cols: tuple,
+                         with_rnk: bool = False) -> DataFrame:
+    """Cell-cover route for the nearest-zone family (rect zones too
+    numerous for a literal fold). Plan: distinct point-cells ->
+    :func:`_nearest_rect_candidates` (the only Python stage, on the
+    cell DIM) -> broadcast equi-join back to the points on cell
+    (map-only over the fact table) -> the IDENTICAL bit-exact d2
+    expression as the literal fold, argmin per input row (min-struct
+    agg for k=1: one exchange with map-side combine; row_number
+    window for k>1 — _rid partitions are tiny and perfectly even).
+    No cartesian, no kilobyte literals, one Arrow stage total; rows
+    with NULL coordinates are dropped (their cell is NULL; the
+    literal route instead emits NULL distances for them)."""
+    from pyspark.sql.window import Window
+
+    if res is None:
+        res = _nearest_pick_res(zone_rects)
+    pts = (points
+           .withColumn("_rid", F.monotonically_increasing_id())
+           .withColumn("_cell",
+                       F.expr(cells.cell_sql(lat_col, lon_col, res))))
+    pcells = pts.select(F.col("_cell").alias("cell")).distinct()
+    cand_cells = _nearest_rect_candidates(pcells, zone_rects, k)
+
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    dx = F.greatest(F.col("minx") - lon, lon - F.col("maxx"), F.lit(0.0))
+    dy = F.greatest(F.col("miny") - lat, lat - F.col("maxy"), F.lit(0.0))
+    cand = (pts.join(F.broadcast(cand_cells),
+                     pts["_cell"] == cand_cells["cell"])
+            .withColumn("_d2", dx * dx + dy * dy))
+    if k == 1:
+        m = F.min(F.struct(F.col("_d2").alias("d2"),
+                           F.col("zone_id").alias("zone_id")))
+        agg = cand.groupBy("_rid").agg(
+            m.alias("_m"), *[F.first(c).alias(c) for c in keep_cols])
+        out = agg.select(*keep_cols,
+                         F.col("_m.zone_id").alias("zone_id"),
+                         F.col("_m.d2").alias("dist_deg2"))
+        return out.withColumn("rnk", F.lit(1).cast("int")) \
+            if with_rnk else out
+    w = Window.partitionBy("_rid").orderBy(F.col("_d2").asc(),
+                                           F.col("zone_id").asc())
+    return (cand.withColumn("_rnk", F.row_number().over(w))
+            .where(F.col("_rnk") <= k)
+            .select(*keep_cols, "zone_id",
+                    F.col("_d2").alias("dist_deg2"),
+                    F.col("_rnk").cast("int").alias("rnk")))
+
+
+def _nearest_poly_candidates(pcells: DataFrame, zid, env, vx, vy
+                             ) -> DataFrame:
+    """Candidate pruning for the polygon route (k=1): keep zone z for
+    cell c iff mind2(c, env(z)) <= min over zones of maxd2(c, v_z),
+    where v_z is one boundary vertex of z.
+
+    Bounds: the envelope clamp distance lower-bounds the polygon
+    distance (poly inside env; 0 inside matches 0 inside), and the
+    distance to a boundary vertex upper-bounds it (0-inside included).
+    Unlike the rect route, the lower and upper bounds come from
+    DIFFERENT formulas than the re-rank's segment projection, so a
+    1e-9 RELATIVE margin on each side absorbs last-ulp rounding skew
+    — candidates can only grow, never lose the true argmin."""
+    eminx, eminy, emaxx, emaxy = env
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cs = pdf["cell"].to_numpy(np.int64)
+            minlon, minlat, maxlon, maxlat = cells.cell_bounds(cs)
+            chunk = max(1, 2_000_000 // max(len(zid), 1))
+            for s in range(0, len(cs), chunk):
+                sl = slice(s, s + chunk)
+                ax, bx = minlon[sl][:, None], maxlon[sl][:, None]
+                ay, by = minlat[sl][:, None], maxlat[sl][:, None]
+                mindx = np.maximum(np.maximum(eminx - bx, ax - emaxx), 0.0)
+                mindy = np.maximum(np.maximum(eminy - by, ay - emaxy), 0.0)
+                mind2 = (mindx * mindx + mindy * mindy) * (1.0 - 1e-9)
+                maxdx = np.maximum(np.abs(ax - vx), np.abs(bx - vx))
+                maxdy = np.maximum(np.abs(ay - vy), np.abs(by - vy))
+                maxd2 = maxdx * maxdx + maxdy * maxdy
+                bound = maxd2.min(axis=1, keepdims=True) * (1.0 + 1e-9)
+                ci, zi = np.nonzero(mind2 <= bound)
+                yield pd.DataFrame({"cell": cs[sl][ci], "zone_id": zid[zi]})
+
+    return pcells.mapInPandas(gen, "cell long, zone_id string")
+
+
+def _nearest_poly_routed(points: DataFrame, zone_edges, *,
+                         res: int | None, lat_col: str, lon_col: str,
+                         keep_cols: tuple) -> DataFrame:
+    """Cell-cover route for nearest_zone_polygons (zone sets whose
+    total edges outgrow a literal fold). Plan: distinct point-cells
+    -> :func:`_nearest_poly_candidates` (the only Python stage, on
+    the cell DIM) -> broadcast join back to the points on cell ->
+    broadcast join to the EDGES TABLE on zone_id -> per (row, zone)
+    aggregate of the IDENTICAL clamped-projection seg-d2 and
+    even-odd crossing expressions the literal fold uses (min is
+    exact, parity adds no rounding, so the two routes are bit-equal)
+    -> min-struct argmin per input row. All JVM after the cell dim;
+    two hash exchanges on candidate rows, no cartesian, no kilobyte
+    literals."""
+    spark = points.sparkSession
+    zid = np.array([z for z, _ in zone_edges], dtype=object)
+    edge_rows = []
+    eminx, eminy, emaxx, emaxy = [], [], [], []
+    vx, vy = [], []
+    for z, edges in zone_edges:
+        xs = [e[0] for e in edges] + [e[2] for e in edges]
+        ys = [e[1] for e in edges] + [e[3] for e in edges]
+        eminx.append(min(xs)), eminy.append(min(ys))
+        emaxx.append(max(xs)), emaxy.append(max(ys))
+        vx.append(edges[0][0]), vy.append(edges[0][1])
+        edge_rows += [(z, x0, y0, x1, y1) for x0, y0, x1, y1 in edges]
+    env = tuple(np.array(a, dtype=np.float64)
+                for a in (eminx, eminy, emaxx, emaxy))
+    if res is None:
+        res = _nearest_pick_res(
+            [(z, env[0][i], env[1][i], env[2][i], env[3][i])
+             for i, (z, _) in enumerate(zone_edges)])
+    edges_df = spark.createDataFrame(
+        edge_rows,
+        "zone_id string, x0 double, y0 double, x1 double, y1 double")
+
+    pts = (points
+           .withColumn("_rid", F.monotonically_increasing_id())
+           .withColumn("_cell",
+                       F.expr(cells.cell_sql(lat_col, lon_col, res))))
+    pcells = pts.select(F.col("_cell").alias("cell")).distinct()
+    cand_cells = _nearest_poly_candidates(
+        pcells, zid, env, np.array(vx, dtype=np.float64),
+        np.array(vy, dtype=np.float64))
+    cand = pts.join(F.broadcast(cand_cells),
+                    pts["_cell"] == cand_cells["cell"])
+
+    # the SAME IEEE expression shapes as the literal fold's t_sql /
+    # seg_d2 / _cross_flip_sql, with column refs instead of literals
+    # (identical op order => identical doubles)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    x0, y0 = F.col("x0"), F.col("y0")
+    x1, y1 = F.col("x1"), F.col("y1")
+    t = F.least(F.greatest(
+        ((lon - x0) * (x1 - x0) + (lat - y0) * (y1 - y0))
+        / ((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)),
+        F.lit(0.0)), F.lit(1.0))
+    cx = x0 + t * (x1 - x0)
+    cy = y0 + t * (y1 - y0)
+    seg_d2 = (lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)
+    cross = (((y0 > lat) != (y1 > lat))
+             & (lon < x0 + (lat - y0) / (y1 - y0) * (x1 - x0)))
+
+    per_zone = (cand.join(F.broadcast(edges_df), "zone_id")
+                .groupBy("_rid", "zone_id")
+                .agg(F.min(seg_d2).alias("_d2min"),
+                     F.sum(cross.cast("long")).alias("_nx"),
+                     *[F.first(c).alias(c) for c in keep_cols])
+                .withColumn("_d2",
+                            F.when(F.col("_nx") % 2 == 1, F.lit(0.0))
+                            .otherwise(F.col("_d2min"))))
+    m = F.min(F.struct(F.col("_d2").alias("d2"),
+                       F.col("zone_id").alias("zone_id")))
+    agg = per_zone.groupBy("_rid").agg(
+        m.alias("_m"), *[F.first(c).alias(c) for c in keep_cols])
+    return agg.select(*keep_cols,
+                      F.col("_m.zone_id").alias("zone_id"),
+                      F.col("_m.d2").alias("dist_deg2"))

@@ -1,0 +1,189 @@
+"""Routed (cell-cover) nearest-zone family vs the literal-fold path:
+bit-exact parity on small zone sets, green at 10^4 zones (where the
+literal expression tree is off the table), and plan shape guarantees
+(r4 verdict item: the docstring's "route through the kNN machinery"
+is now code)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkspatial import join
+
+
+def _mk_points(spark, n=400, seed=7, with_ties=True):
+    rng = np.random.RandomState(seed)
+    lats = rng.uniform(40.0, 52.0, n).round(4)
+    lons = rng.uniform(-5.0, 9.0, n).round(4)
+    rows = [(f"u{i}", float(lats[i]), float(lons[i])) for i in range(n)]
+    if with_ties:
+        # exact duplicates of one location: the routed path must keep
+        # one output row per INPUT row, like the literal projection
+        rows += [(f"dup{j}", float(lats[0]), float(lons[0]))
+                 for j in range(3)]
+    return spark.createDataFrame(rows, "url string, lat double, lon double")
+
+
+def _mk_zone_rects(n, seed=3, lat0=40.0, lat1=52.0, lon0=-5.0, lon1=9.0):
+    rng = np.random.RandomState(seed)
+    out = []
+    for i in range(n):
+        cx = rng.uniform(lon0, lon1)
+        cy = rng.uniform(lat0, lat1)
+        w = rng.uniform(0.005, 0.2)
+        h = rng.uniform(0.005, 0.2)
+        out.append((f"z{i:05d}", cx - w, cy - h, cx + w, cy + h))
+    return out
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_nearest_zone_routed_bit_equals_literal(spark):
+    pts = _mk_points(spark)
+    zr = _mk_zone_rects(60)
+    lit = join.nearest_zone(pts, zr, route="literal")
+    routed = join.nearest_zone(pts, zr, route="cells")
+    assert _rows(lit) == _rows(routed)  # incl. the float d2 bits
+    # several resolutions: pruning certifies any of them
+    for res in (4, 7, 10):
+        assert _rows(join.nearest_zone(pts, zr, route="cells",
+                                       res=res)) == _rows(lit)
+
+
+def test_nearest_zones_topk_routed_bit_equals_literal(spark):
+    pts = _mk_points(spark)
+    zr = _mk_zone_rects(60)
+    for k in (1, 3, 7):
+        lit = join.nearest_zones_topk(pts, zr, k, route="literal")
+        routed = join.nearest_zones_topk(pts, zr, k, route="cells")
+        assert _rows(lit) == _rows(routed), k
+
+
+def test_nearest_zone_auto_routes_past_literal_budget(spark):
+    """10^4 zones: auto picks the cell route, result matches a numpy
+    brute force exactly, and the plan carries no literal fold (the
+    r4 'Done =' bar: no kilobyte-scale literal arrays)."""
+    pts = _mk_points(spark, n=250, with_ties=False)
+    zr = _mk_zone_rects(10_000)
+    assert len(zr) > join.NEAREST_LITERAL_MAX
+    out = join.nearest_zone(pts, zr)          # route="auto"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan            # literal fold absent
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {r.url: (r.zone_id, r.dist_deg2) for r in out.collect()}
+    prows = pts.collect()
+    zid = np.array([z[0] for z in zr], dtype=object)
+    minx, miny, maxx, maxy = (np.array([z[i] for z in zr])
+                              for i in (1, 2, 3, 4))
+    assert len(got) == len(prows)
+    for p in prows:
+        dx = np.maximum(np.maximum(minx - p.lon, p.lon - maxx), 0.0)
+        dy = np.maximum(np.maximum(miny - p.lat, p.lat - maxy), 0.0)
+        d2 = dx * dx + dy * dy
+        best = np.lexsort((zid, d2))[0]       # (d2, zone_id) tie order
+        assert got[p.url] == (zid[best], d2[best]), p.url
+
+
+def test_nearest_zones_topk_bruteforce_at_10k_zones(spark):
+    pts = _mk_points(spark, n=60, with_ties=False)
+    zr = _mk_zone_rects(10_000)
+    k = 4
+    out = join.nearest_zones_topk(pts, zr, k)  # auto -> cells
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.url, []).append((r.rnk, r.zone_id, r.dist_deg2))
+    zid = np.array([z[0] for z in zr], dtype=object)
+    minx, miny, maxx, maxy = (np.array([z[i] for z in zr])
+                              for i in (1, 2, 3, 4))
+    for p in pts.collect():
+        dx = np.maximum(np.maximum(minx - p.lon, p.lon - maxx), 0.0)
+        dy = np.maximum(np.maximum(miny - p.lat, p.lat - maxy), 0.0)
+        d2 = dx * dx + dy * dy
+        order = np.lexsort((zid, d2))[:k]
+        want = [(i + 1, zid[j], d2[j]) for i, j in enumerate(order)]
+        assert sorted(got[p.url]) == want, p.url
+
+
+def _poly_zones_df(spark, n, seed=5):
+    """n small polygon zones (triangles/quads, a few with holes)."""
+    from sparkspatial import geom, zones
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        cx = rng.uniform(-5.0, 9.0)
+        cy = rng.uniform(40.0, 52.0)
+        r = rng.uniform(0.01, 0.1)
+        if i % 7 == 0:
+            rings = [[(cx - r, cy - r), (cx + r, cy - r), (cx + r, cy + r),
+                      (cx - r, cy + r)],
+                     [(cx - r / 3, cy - r / 3), (cx + r / 3, cy - r / 3),
+                      (cx + r / 3, cy + r / 3), (cx - r / 3, cy + r / 3)]]
+        else:
+            rings = [[(cx - r, cy - r), (cx + r, cy - r), (cx, cy + r)]]
+        g = ("Polygon",
+             [geom.ensure_closed(np.asarray(ring, dtype=np.float64))
+              for ring in rings])
+        rows.append(zones.zone_row(f"p{i:05d}", g))
+    return spark.createDataFrame(rows, zones.ZONE_SCHEMA)
+
+
+def test_nearest_zone_polygons_routed_bit_equals_literal(spark):
+    pts = _mk_points(spark, n=300)
+    zdf = _poly_zones_df(spark, 25)
+    lit = join.nearest_zone_polygons(pts, zdf, route="literal")
+    routed = join.nearest_zone_polygons(pts, zdf, route="cells")
+    assert _rows(lit) == _rows(routed)
+    for res in (4, 8):
+        assert _rows(join.nearest_zone_polygons(
+            pts, zdf, route="cells", res=res)) == _rows(lit)
+
+
+def test_nearest_zone_polygons_auto_routes_big_sets(spark):
+    """2,000 triangle zones (6,000+ edges >> the literal budget):
+    auto picks the cell route; exact vs a per-point numpy brute force
+    (segment distance + even-odd), and inside-a-hole points score
+    their distance to the hole ring, not zero."""
+    from sparkspatial import geom
+
+    pts = _mk_points(spark, n=80, with_ties=False)
+    zdf = _poly_zones_df(spark, 2000)
+    out = join.nearest_zone_polygons(pts, zdf)   # auto -> cells
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan and "aggregate(" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = zdf.select("zone_id", "the_geom_wkb").collect()
+    zone_edges = join._zone_edge_lists(rows, "t")
+    got = {r.url: (r.zone_id, r.dist_deg2) for r in out.collect()}
+    assert len(got) == 80
+
+    def seg_d2(px, py, e):
+        x0, y0, x1, y1 = (np.array([q[i] for q in e]) for i in range(4))
+        t = np.clip(((px - x0) * (x1 - x0) + (py - y0) * (y1 - y0))
+                    / ((x1 - x0) ** 2 + (y1 - y0) ** 2), 0.0, 1.0)
+        cx, cy = x0 + t * (x1 - x0), y0 + t * (y1 - y0)
+        return ((px - cx) ** 2 + (py - cy) ** 2).min()
+
+    def inside(px, py, e):
+        x0, y0, x1, y1 = (np.array([q[i] for q in e]) for i in range(4))
+        c = ((y0 > py) != (y1 > py)) & (px < x0 + (py - y0)
+                                        / (y1 - y0) * (x1 - x0))
+        return int(c.sum()) % 2 == 1
+
+    for p in pts.collect():
+        best = None
+        for zidv, e in zone_edges:
+            d2 = 0.0 if inside(p.lon, p.lat, e) else seg_d2(p.lon, p.lat, e)
+            cand = (d2, zidv)
+            if best is None or cand < best:
+                best = cand
+        assert got[p.url][0] == best[1], p.url
+        assert got[p.url][1] == pytest.approx(best[0], abs=1e-15), p.url
