@@ -463,6 +463,31 @@ def test_ivf_topk_recall_and_exactness(emb):
     assert recall >= 0.5, recall
 
 
+def test_ivf_topk_query_side_is_distributed(emb):
+    """r4 verdict item 7: ivf_topk's query side must never collect to
+    the driver (the cosine_topk_blocked cogroup pattern scoped to
+    probed clusters), and block-partitioned runs are row-identical to
+    the 1x1 run (the cogroup partials are exact partials)."""
+    import inspect
+
+    src = inspect.getsource(sim.ivf_topk)
+    assert "toPandas" not in src
+    assert ".collect(" not in src
+    assert "createDataFrame" not in src
+
+    queries = emb.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    base = {(r.qid, r.vec_id, r.rnk) for r in
+            sim.ivf_topk(emb, queries, k=5, n_clusters=8,
+                         n_probe=3).collect()}
+    for qb, cb in ((2, 3), (4, 2)):
+        blocked = {(r.qid, r.vec_id, r.rnk) for r in
+                   sim.ivf_topk(emb, queries, k=5, n_clusters=8,
+                                n_probe=3, q_blocks=qb,
+                                c_blocks=cb).collect()}
+        assert blocked == base, (qb, cb)
+
+
 def test_lsh_topk_recall(emb):
     queries = emb.where("vec_id % 100 = 0").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
