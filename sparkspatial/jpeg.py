@@ -1,17 +1,23 @@
-"""Baseline JPEG (ITU-T T.81) codec, dependency-free (r3 verdict
-item 5: "real JPEG decode for image_features" — no PIL in this
-environment, so the baseline sequential DCT process is implemented
-from the public spec directly).
+"""Baseline + progressive JPEG (ITU-T T.81) codec, dependency-free
+(r3 verdict item 5: "real JPEG decode for image_features" — no PIL in
+this environment, so the DCT processes are implemented from the
+public spec directly; progressive added r5, r4 verdict item 4: it is
+the most common real-crawl format the family still rejected).
 
-Decoder scope — what real Common-Crawl-ish baseline JPEGs use:
+Decoder scope — what real Common-Crawl-ish JPEGs use:
 - SOF0 (baseline sequential DCT, 8-bit), 1 or 3 components,
+- SOF2 (progressive DCT, 8-bit): spectral selection + successive
+  approximation, DC/AC first and refinement scans, EOB runs,
+  interleaved DC scans and single-component scans with their
+  non-interleaved block geometry (T.81 G.1/G.2, Annex A.2.2-A.2.4),
 - arbitrary sampling factors 1..2 per axis (4:4:4, 4:2:2, 4:2:0),
-- multiple DQT/DHT segments, 8/16-bit quant tables,
+- multiple DQT/DHT segments (between progressive scans too),
+  8/16-bit quant tables,
 - byte stuffing (FF 00) and DRI/RSTn restart markers,
 - APPn/COM segments skipped.
-Progressive (SOF2), arithmetic coding, and 12-bit precision are
-rejected by returning None (same "invalid, never a crash" contract as
-the other codecs in multimodal.py).
+Arithmetic coding, hierarchical (SOF3/5-7/9-15) and 12-bit precision
+are rejected by returning None (same "invalid, never a crash"
+contract as the other codecs in multimodal.py).
 
 Encoder scope (fixture generator + round-trip witness): quality-scaled
 Annex K quantization, Annex K Huffman tables, 4:4:4 or 4:2:0.
@@ -248,12 +254,11 @@ def _encode_block(bw: _BitWriter, q: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
-    """uint8 (h, w, 3) RGB (or (h, w) gray) -> baseline JFIF bytes.
-
-    `subsample=True` writes 4:2:0 chroma (box-averaged), else 4:4:4.
-    """
+def _component_qblocks(arr: np.ndarray, quality: int, subsample: bool):
+    """Shared forward path of the baseline and progressive encoders:
+    color transform, MCU-grid padding, per-block DCT + quantization.
+    Returns (qblocks [(bh, bw, 64) int64 zigzag per comp], samp, qts,
+    comp_qt, h, w, gray, mcus_x, mcus_y)."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -285,44 +290,55 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     qts = [_quality_scale(QT_LUMA, quality),
            _quality_scale(QT_CHROMA, quality)]
     comp_qt = [0] if gray else [0, 1, 1]
-    dc_tables = [dict(zip(DC_LUMA_VALS, _canonical_codes(DC_LUMA_BITS))),
-                 dict(zip(DC_CHROMA_VALS, _canonical_codes(DC_CHROMA_BITS)))]
-    ac_tables = [dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS))),
-                 dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))]
-
     max_h = max(s[0] for s in samp)
     max_v = max(s[1] for s in samp)
-    mcu_w, mcu_h = 8 * max_h, 8 * max_v
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
 
-    # pad planes to whole blocks-per-MCU-grid (edge replicate)
-    padded = []
-    for p, (sh, sv) in zip(planes, samp):
+    qblocks = []
+    for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
         ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
         pp = np.empty((ph, pw), dtype=np.float64)
         ah, aw = p.shape
         pp[:ah, :aw] = p
         pp[ah:, :aw] = p[ah - 1:ah, :]
         pp[:, aw:] = pp[:, aw - 1:aw]
-        padded.append(pp)
+        qt = qts[comp_qt[ci]]
+        bh, bwid = mcus_y * sv, mcus_x * sh
+        qb = np.empty((bh, bwid, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bwid):
+                blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                f = _A @ blk @ _A.T
+                qb[by, bx] = np.round(f.reshape(64)[ZIGZAG]
+                                      / qt[ZIGZAG]).astype(np.int64)
+        qblocks.append(qb)
+    return qblocks, samp, qts, comp_qt, h, w, gray, mcus_x, mcus_y
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False) -> bytes:
+    """uint8 (h, w, 3) RGB (or (h, w) gray) -> baseline JFIF bytes.
+
+    `subsample=True` writes 4:2:0 chroma (box-averaged), else 4:4:4.
+    """
+    (qblocks, samp, qts, comp_qt, h, w, gray,
+     mcus_x, mcus_y) = _component_qblocks(arr, quality, subsample)
+    dc_tables = [dict(zip(DC_LUMA_VALS, _canonical_codes(DC_LUMA_BITS))),
+                 dict(zip(DC_CHROMA_VALS, _canonical_codes(DC_CHROMA_BITS)))]
+    ac_tables = [dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS))),
+                 dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))]
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(qblocks)
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
-                qt = qts[comp_qt[ci]]
+            for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
                 dct = dc_tables[0 if ci == 0 else 1]
                 act = ac_tables[0 if ci == 0 else 1]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        blk = p[y0:y0 + 8, x0:x0 + 8]
-                        f = _A @ blk @ _A.T
-                        q = np.round(f.reshape(64)[ZIGZAG]
-                                     / qt[ZIGZAG]).astype(np.int64)
+                        q = qb[my * sv + by, mx * sh + bx]
                         preds[ci] = _encode_block(bw, q, preds[ci],
                                                   dct, act)
     bw.flush()
@@ -354,6 +370,208 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.buf
     out += b"\xFF\xD9"                                  # EOI
+    return bytes(out)
+
+
+def _enc_ac_first_block(bw, band, al, ac_codes):
+    """AC first scan, one block's band at point transform Al
+    (T.81 G.1.2.2, EOB0-only variant: every block ends its own EOB
+    run — spec-legal; multi-block EOBn decode is exercised by the
+    real-file fixtures)."""
+    vals = [int(v) for v in band]
+    t = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in vals]
+    last_nz = -1
+    for i, v in enumerate(t):
+        if v:
+            last_nz = i
+    run = 0
+    for i in range(last_nz + 1):
+        v = t[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        size, bits = _mag_bits(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(bits, size)
+        run = 0
+    if last_nz != len(t) - 1:
+        c, ln = ac_codes[0x00]                   # EOB0
+        bw.write(c, ln)
+
+
+def _enc_ac_refine_block(bw, band, al, ac_codes):
+    """AC refinement scan, one block's band, Ah = Al+1 (T.81 G.1.2.3
+    inverse): newly-significant coefficients ((|v| >> Al) == 1) emit
+    (run, 1) codes + a sign bit; history coefficients buffer their
+    correction bit, flushed after each emitted code in position order
+    — exactly the interleave the decoder's advance loop reads."""
+    vals = [int(v) for v in band]
+    t = [abs(v) >> al for v in vals]
+    pending: list[int] = []
+
+    def flush():
+        for bit in pending:
+            bw.write(bit, 1)
+        pending.clear()
+
+    # last newly-significant index: pending ZRLs past it fold into the
+    # EOB (and, critically, ZRLs must be emitted on ARRIVAL at any
+    # nonzero position — history positions are flush barriers, else a
+    # buffered correction bit from beyond a ZRL's 16-zero window would
+    # desync the decoder's positional-interleave read)
+    eob_idx = -1
+    for i, mag in enumerate(t):
+        if mag == 1:
+            eob_idx = i
+    run = 0
+    for i, mag in enumerate(t):
+        if mag == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_idx:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            flush()
+            run -= 16
+        if mag > 1:            # history: correction bit
+            pending.append(t[i] & 1)
+            continue
+        c, ln = ac_codes[(run << 4) | 1]       # newly significant
+        bw.write(c, ln)
+        bw.write(1 if vals[i] > 0 else 0, 1)
+        flush()
+        run = 0
+    if run or pending:
+        c, ln = ac_codes[0x00]                   # EOB0
+        bw.write(c, ln)
+        flush()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsample: bool = False,
+                            al_chain: tuple = (1,)) -> bytes:
+    """uint8 RGB/gray -> PROGRESSIVE (SOF2) JFIF bytes — the fixture
+    generator + round-trip witness for the r5 progressive decoder.
+
+    Scan script: interleaved DC first at Al = al_chain[0], then per
+    component AC first (1..63) at al_chain[0] and one AC refinement
+    scan per further level down to 0, then an interleaved DC
+    refinement per level. Decoding the result must be PIXEL-IDENTICAL
+    to decoding encode_jpeg(arr, ...) — both paths transmit the same
+    quantized coefficients (shared `_component_qblocks`), and the
+    reconstruction tail is shared too.
+    """
+    (qblocks, samp, qts, comp_qt, h, w, gray,
+     mcus_x, mcus_y) = _component_qblocks(arr, quality, subsample)
+    ncomp = len(qblocks)
+    dc_tables = [dict(zip(DC_LUMA_VALS, _canonical_codes(DC_LUMA_BITS))),
+                 dict(zip(DC_CHROMA_VALS, _canonical_codes(DC_CHROMA_BITS)))]
+    ac_tables = [dict(zip(AC_LUMA_VALS, _canonical_codes(AC_LUMA_BITS))),
+                 dict(zip(AC_CHROMA_VALS, _canonical_codes(AC_CHROMA_BITS)))]
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts[:1 if gray else 2]):
+        zz = qt[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + zz
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, comp_qt[ci])
+    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
+    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+           (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        hts += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals in hts:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos_header(comp_ids, tds, tas, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    al0 = al_chain[0]
+    levels = list(al_chain) + [0] if al0 else [0]
+    # scan 1: interleaved DC first at al0
+    out += sos_header(list(range(1, ncomp + 1)),
+                      [0 if c == 0 else 1 for c in range(ncomp)],
+                      [0] * ncomp, 0, 0, 0, al0)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
+                dct = dc_tables[0 if ci == 0 else 1]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(qb[my * sv + by, mx * sh + bx, 0]) >> al0
+                        size, bits = _mag_bits(dc - preds[ci])
+                        c, ln = dct[size]
+                        bw.write(c, ln)
+                        if size:
+                            bw.write(bits, size)
+                        preds[ci] = dc
+    bw.flush()
+    out += bw.buf
+
+    # per component: AC first at al0, then refinements down the chain
+    for ci in range(ncomp):
+        qb, (sh, sv) = qblocks[ci], samp[ci]
+        act = ac_tables[0 if ci == 0 else 1]
+        ta = 0 if ci == 0 else 1
+        cw = (w * sh + max_h - 1) // max_h
+        ch = (h * sv + max_v - 1) // max_v
+        nbw, nbh = (cw + 7) // 8, (ch + 7) // 8
+        out += sos_header([ci + 1], [0], [ta], 1, 63, 0, al0)
+        bw = _BitWriter()
+        for by in range(nbh):
+            for bx in range(nbw):
+                _enc_ac_first_block(bw, qb[by, bx, 1:64], al0, act)
+        bw.flush()
+        out += bw.buf
+        for lvl in range(len(levels) - 1):
+            ah, al = levels[lvl], levels[lvl + 1]
+            if ah != al + 1:
+                raise ValueError("al_chain must step by 1")
+            out += sos_header([ci + 1], [0], [ta], 1, 63, ah, al)
+            bw = _BitWriter()
+            for by in range(nbh):
+                for bx in range(nbw):
+                    _enc_ac_refine_block(bw, qb[by, bx, 1:64], al, act)
+            bw.flush()
+            out += bw.buf
+
+    # interleaved DC refinement per level (raw bits, no Huffman)
+    for lvl in range(len(levels) - 1):
+        ah, al = levels[lvl], levels[lvl + 1]
+        out += sos_header(list(range(1, ncomp + 1)), [0] * ncomp,
+                          [0] * ncomp, 0, 0, ah, al)
+        bw = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(qb[my * sv + by, mx * sh + bx, 0])
+                            bw.write((dc >> al) & 1, 1)
+                    # (bits only — no tables in a DC refinement scan)
+        bw.flush()
+        out += bw.buf
+
+    out += b"\xFF\xD9"
     return bytes(out)
 
 
@@ -442,17 +660,17 @@ def jpeg_dimensions(payload: bytes):
             if marker == 0xD9:
                 return None
             seg_len = struct.unpack_from(">H", payload, i)[0]
-            if marker == 0xC0:
+            if marker in (0xC0, 0xC2):          # SOF0 / SOF2 (r5)
                 prec, h, w, nc = struct.unpack_from(">BHHB",
                                                     payload, i + 2)
                 if prec != 8 or nc not in (1, 3) or not (h and w):
                     return None
                 return w, h
-            if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None
             if marker == 0xDA:
-                return None          # scan before any SOF0
+                return None          # scan before any frame header
             i += seg_len
         return None
     except (struct.error, IndexError):
@@ -477,6 +695,8 @@ def _decode_jpeg(payload: bytes):
     qts: dict = {}
     huffs: dict = {}
     comps = None
+    progressive = False
+    n_scans = 0
     h = w = 0
     restart_interval = 0
     i = 2
@@ -494,8 +714,14 @@ def _decode_jpeg(payload: bytes):
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:                      # EOI before SOS
-            return None
+        if marker == 0xD9:                      # EOI
+            if progressive and n_scans:
+                # progressive frame complete: reconstruct from the
+                # accumulated coefficients
+                return _idct_to_rgb(comps, h, w,
+                                    max(c["h"] for c in comps),
+                                    max(c["v"] for c in comps))
+            return None                         # EOI before any scan
         seg_len = struct.unpack_from(">H", payload, i)[0]
         seg = payload[i + 2:i + seg_len]
         if marker == 0xDB:                      # DQT
@@ -534,7 +760,10 @@ def _decode_jpeg(payload: bytes):
                     table[(ln, code)] = v
                 huffs[tc_th] = table
                 j += 17 + nv
-        elif marker == 0xC0:                    # SOF0 baseline
+        elif marker in (0xC0, 0xC2):            # SOF0 / SOF2
+            if comps is not None:
+                return None                      # duplicate frame header
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -549,23 +778,267 @@ def _decode_jpeg(payload: bytes):
                     ">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if progressive and not _init_progressive_frame(comps, h, w):
+                return None
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None                          # non-baseline process
+            return None        # non-baseline/-progressive process
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:                    # SOS
             if comps is None:
                 return None
             ns = seg[0]
-            sel = {}
-            for c in range(ns):
-                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(payload, i + seg_len, comps, sel, qts,
-                                huffs, h, w, restart_interval)
+            if not progressive:
+                sel = {}
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    sel[cs] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(payload, i + seg_len, comps, sel,
+                                    qts, huffs, h, w, restart_interval)
+            nxt = _decode_progressive_scan(
+                payload, i + seg_len, comps, seg, qts, huffs,
+                restart_interval)
+            if nxt is None:
+                return None
+            n_scans += 1
+            i = nxt
+            continue
         i += seg_len
     return None
+
+
+def _init_progressive_frame(comps, h, w) -> bool:
+    """Per-component geometry + int64 coefficient planes for a SOF2
+    frame (coefficients ACCUMULATE across scans; dequant + IDCT run
+    once at EOI). Returns False on bad sampling factors."""
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if not (1 <= max_h <= 4 and 1 <= max_v <= 4):
+        return False
+    if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+        return False
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        # non-interleaved scans iterate the component's TRUE block
+        # grid (T.81 A.2.2), not the MCU-padded one
+        cw = (w * c["h"] + max_h - 1) // max_h
+        ch = (h * c["v"] + max_v - 1) // max_v
+        c["nbw"] = (cw + 7) // 8
+        c["nbh"] = (ch + 7) // 8
+        c["pred"] = 0
+    comps_meta = {"mcus_x": mcus_x, "mcus_y": mcus_y}
+    comps[0]["_frame"] = comps_meta
+    return True
+
+
+def _refine_nonzero(br, coef, k, p1, m1):
+    """One AC refinement correction bit for an existing nonzero
+    coefficient (T.81 G.1.2.3): append the bit to the magnitude if
+    not already present."""
+    if br.read_bit():
+        if (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+
+def _decode_progressive_scan(data, pos, comps, seg, qts, huffs,
+                             restart_interval):
+    """Decode ONE progressive scan (T.81 G.2) into the frame's
+    coefficient planes; returns the payload offset of the next marker
+    (the byte holding its 0xFF), or None on a corrupt scan.
+
+    Covers all four scan kinds: DC first (diff << Al, interleaved or
+    single-component), DC refinement (one bit per block), AC first
+    (spectral band [Ss..Se] with EOB runs), AC refinement (correction
+    bits + EOB-run refinement). RSTn resets DC predictors and the EOB
+    run every `restart_interval` MCUs."""
+    ns = seg[0]
+    if not 1 <= ns <= len(comps):
+        return None
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+    by_id = {c["id"]: c for c in comps}
+    scan_comps = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        comp = by_id.get(cs)
+        if comp is None:
+            return None
+        td, ta = tt >> 4, tt & 0x0F
+        scan_comps.append((comp, td, ta))
+    # spectral-selection legality (G.1.1.1.1)
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        return None
+    if not dc_scan and (ns != 1 or se > 63 or ss > se):
+        return None
+    if ah and ah != al + 1:
+        return None                # refinements peel one bit at a time
+    for comp, td, ta in scan_comps:
+        if comp["tq"] not in qts:
+            return None
+        comp.setdefault("q", qts[comp["tq"]].astype(np.float64))
+        if dc_scan and ah == 0:
+            comp["dc_t"] = huffs.get(0x00 | td)
+            if comp["dc_t"] is None:
+                return None
+        if not dc_scan and ah == 0:
+            comp["ac_t"] = huffs.get(0x10 | ta)
+            if comp["ac_t"] is None:
+                return None
+        if not dc_scan and ah > 0:
+            comp["ac_t"] = huffs.get(0x10 | ta)
+            if comp["ac_t"] is None:
+                return None
+        if dc_scan and ah == 0:
+            comp["pred"] = 0
+
+    frame = comps[0]["_frame"]
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+
+    def handle_restart(mcu_count):
+        if restart_interval and mcu_count \
+                and mcu_count % restart_interval == 0:
+            br.align()
+            p = br.pos
+            if p + 1 < len(data) and data[p] == 0xFF \
+                    and 0xD0 <= data[p + 1] <= 0xD7:
+                br.pos = p + 2
+            for comp, _, _ in scan_comps:
+                comp["pred"] = 0
+            state["eobrun"] = 0
+
+    def decode_dc(comp, row):
+        if ah == 0:
+            t = _decode_huff(br, comp["dc_t"])
+            if t is None or t > 11:
+                # F.1.2.1.1: DC SSSS is 0..11 for 8-bit — a corrupt
+                # table value would make receive() build an unbounded
+                # int (fuzz-caught r5)
+                return False
+            comp["pred"] += _extend(br.receive(t), t)
+            comp["coef"][row, 0] = comp["pred"] << al
+        else:
+            if br.read_bit():
+                comp["coef"][row, 0] |= (1 << al)
+        return True
+
+    def decode_ac(comp, row):
+        coef = comp["coef"][row]
+        p1, m1 = 1 << al, -(1 << al)
+        if ah == 0:                                # AC first scan
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return True
+            k = ss
+            while k <= se:
+                rs = _decode_huff(br, comp["ac_t"])
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:                    # ZRL
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.receive(r)
+                    break                          # EOBn
+                k += r
+                if k > se:
+                    return False
+                coef[k] = _extend(br.receive(s), s) << al
+                k += 1
+            return True
+        # AC refinement scan (G.1.2.3)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_huff(br, comp["ac_t"])
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        # EOBn: unlike the first-scan path, NO -1 here
+                        # — the shared tail below refines the current
+                        # block's remainder and decrements for it
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.receive(r)
+                        break                      # fall through
+                    # r == 15: ZRL — skip 16 zero-HISTORY coefficients
+                else:
+                    if s != 1:
+                        return False
+                    newval = p1 if br.read_bit() else m1
+                while k <= se:
+                    if coef[k] != 0:
+                        _refine_nonzero(br, coef, k, p1, m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        return False
+                    coef[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(br, coef, k, p1, m1)
+                k += 1
+            state["eobrun"] -= 1
+        return True
+
+    if ns > 1:
+        # interleaved (DC scans only per the legality check above):
+        # MCU order over the padded grid, v x h blocks per component
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                handle_restart(my * frame["mcus_x"] + mx)
+                for comp, _, _ in scan_comps:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            row = (my * comp["v"] + by) * comp["bw"] \
+                                + (mx * comp["h"] + bx)
+                            if not decode_dc(comp, row):
+                                return None
+    else:
+        comp = scan_comps[0][0]
+        # non-interleaved: raster over the component's true block
+        # grid; one block per "MCU" for restart purposes (A.2.2)
+        count = 0
+        for by in range(comp["nbh"]):
+            for bx in range(comp["nbw"]):
+                handle_restart(count)
+                count += 1
+                row = by * comp["bw"] + bx
+                ok = decode_dc(comp, row) if dc_scan \
+                    else decode_ac(comp, row)
+                if not ok:
+                    return None
+
+    # entropy data consumed: return the offset of the next marker
+    p = max(br.pos, pos)
+    while p + 1 < len(data):
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
+            p += 2 if nxt != 0xFF else 1
+            continue
+        return p
+    return None                                   # ran off the end
 
 
 def _decode_scan(data, pos, comps, sel, qts, huffs, h, w,
@@ -606,8 +1079,8 @@ def _decode_scan(data, pos, comps, sel, qts, huffs, h, w,
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         t = _decode_huff(br, c["dc_t"])
-                        if t is None:
-                            return None
+                        if t is None or t > 11:
+                            return None    # F.1.2.1.1: DC SSSS <= 11
                         diff = _extend(br.receive(t), t)
                         c["pred"] += diff
                         zz = np.zeros(64, dtype=np.float64)
@@ -633,6 +1106,14 @@ def _decode_scan(data, pos, comps, sel, qts, huffs, h, w,
                         c["coef"][row] = zz
             mcu_count += 1
 
+    return _idct_to_rgb(comps, h, w, max_h, max_v)
+
+
+def _idct_to_rgb(comps, h, w, max_h, max_v):
+    """Dequantize + batched IDCT + upsample + color convert — the
+    shared tail of the baseline and progressive decode paths (the
+    coefficient ACCUMULATION differs between processes, the sample
+    reconstruction does not; T.81 A.3.3)."""
     planes = []
     for c in comps:
         nat = np.zeros((len(c["coef"]), 64), dtype=np.float64)

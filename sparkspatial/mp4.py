@@ -18,9 +18,14 @@ container is pure struct parsing:
 - :func:`encode_mp4_stub` — a spec-conformant minimal writer (ftyp +
   moov with mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl + mdat) whose sample
   payloads are deterministic fake bytes: the box structure is real
-  (any ISO-BMFF parser reads it), the codec content is not — which
-  is exactly the declared boundary. Pixel decode of AVC samples
-  remains the one NotImplementedError in multimodal.py.
+  (any ISO-BMFF parser reads it), the codec content is not.
+- :func:`encode_mp4_mjpeg` (r5) — the same writer with REAL motion-
+  JPEG content: every mdat sample is a complete baseline JFIF image
+  ('jpeg' sample entry), so sample extraction + the in-repo JPEG
+  decoder give end-to-end compressed-video PIXEL decode
+  (multimodal.sample_frames_mjpeg). The declared boundary shrinks to
+  inter-frame codecs (AVC/HEVC) — the one remaining
+  NotImplementedError in multimodal.py.
 
 All functions return None for anything that does not parse — the
 "invalid, never a crash" contract of the other codecs.
@@ -30,7 +35,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["mp4_meta", "mp4_sample_ranges", "encode_mp4_stub"]
+__all__ = ["mp4_meta", "mp4_sample_ranges", "encode_mp4_stub",
+           "encode_mp4_mjpeg"]
 
 
 def _boxes(buf: bytes, start: int, end: int):
@@ -269,6 +275,40 @@ def encode_mp4_stub(width: int, height: int, n_samples: int,
     payload is not (declared boundary). Samples group into chunks of
     `samples_per_chunk` so the stsc run logic is actually exercised.
     """
+    samples = [struct.pack(">IIII", seed & 0xFFFFFFFF, i,
+                           width, height)
+               for i in range(n_samples)]
+    return _encode_mp4_samples(width, height, samples, fps,
+                               samples_per_chunk, b"avc1")
+
+
+def encode_mp4_mjpeg(frames, fps: int = 25, quality: int = 85,
+                     samples_per_chunk: int = 3) -> bytes:
+    """uint8 (n, h, w, 3) RGB frames -> REAL motion-JPEG MP4 ('jpeg'
+    sample entry, each mdat sample a complete baseline JFIF image) —
+    r5, r4 verdict item 5: with the progressive/baseline JPEG decoder
+    in place, MJPEG gives end-to-end compressed-video PIXEL decode
+    with zero new entropy-coding machinery, shrinking the declared
+    AVC stub to its true remainder (inter-frame codecs)."""
+    import numpy as np
+
+    from . import jpeg as _jpeg
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    samples = [_jpeg.encode_jpeg(frames[i], quality=quality)
+               for i in range(n)]
+    return _encode_mp4_samples(w, h, samples, fps,
+                               samples_per_chunk, b"jpeg")
+
+
+def _encode_mp4_samples(width: int, height: int, samples: list,
+                        fps: int, samples_per_chunk: int,
+                        fourcc: bytes) -> bytes:
+    """Shared ISO-BMFF writer: one 'vide' track whose stsd sample
+    entry is `fourcc` and whose mdat holds `samples` verbatim."""
+    n_samples = len(samples)
+
     def box(tag: bytes, body: bytes) -> bytes:
         return struct.pack(">I4s", 8 + len(body), tag) + body
 
@@ -279,9 +319,6 @@ def encode_mp4_stub(width: int, height: int, n_samples: int,
 
     timescale = 1000
     duration = int(n_samples * timescale / fps)
-    samples = [struct.pack(">IIII", seed & 0xFFFFFFFF, i,
-                           width, height)
-               for i in range(n_samples)]
     sizes = [len(s) for s in samples]
 
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512)
@@ -318,14 +355,14 @@ def encode_mp4_stub(width: int, height: int, n_samples: int,
             ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
         hdlr = full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide"
                     + b"\x00" * 12 + b"sparkspatial\x00")
-        avc1 = box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1)
-                   + b"\x00" * 16
-                   + struct.pack(">HH", width, height)
-                   + struct.pack(">II", 0x00480000, 0x00480000)
-                   + b"\x00" * 4 + struct.pack(">H", 1)
-                   + b"\x00" * 32
-                   + struct.pack(">Hh", 0x0018, -1))
-        stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+        entry = box(fourcc, b"\x00" * 6 + struct.pack(">H", 1)
+                    + b"\x00" * 16
+                    + struct.pack(">HH", width, height)
+                    + struct.pack(">II", 0x00480000, 0x00480000)
+                    + b"\x00" * 4 + struct.pack(">H", 1)
+                    + b"\x00" * 32
+                    + struct.pack(">Hh", 0x0018, -1))
+        stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
         stts = full(b"stts", 0, 0, struct.pack(
             ">III", 1, n_samples, timescale // fps))
         # stsc must agree with the real chunk contents, including a

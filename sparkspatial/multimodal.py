@@ -198,14 +198,16 @@ def sample_frames(media: DataFrame, every_n: int,
     exact bytes are sliced out of mdat via the stsz/stsc/stco
     sample-table join (mp4.mp4_sample_ranges) — the sharding
     primitive of a video curation pipeline. The emitted bytes are the
-    stored (compressed) sample payloads; decoding them to pixels is
-    the one remaining stub ('real'), which needs an AVC codec.
+    stored (compressed) sample payloads; for motion-JPEG tracks,
+    :func:`sample_frames_mjpeg` decodes them to real pixels (r5).
+    The remaining stub ('real') is inter-frame codecs (AVC/HEVC).
     """
     if codec == "real":
         raise NotImplementedError(
-            "compressed-sample PIXEL decode needs an AVC codec "
-            "(ffmpeg) — codec='mp4' gives real container-level sample "
-            "extraction, sample_frames_y4m real raw-frame decode")
+            "inter-frame (AVC/HEVC) PIXEL decode needs ffmpeg — "
+            "codec='mp4' gives real container-level sample "
+            "extraction, sample_frames_mjpeg real motion-JPEG pixel "
+            "decode, sample_frames_y4m real raw-frame decode")
 
     schema = f"{id_col} string, frame_idx int, frame binary"
 
@@ -483,6 +485,54 @@ def decode_y4m(payload: bytes):
     if not frames:
         return None
     return np.stack(frames), (fps or 25)
+
+
+def sample_frames_mjpeg(media: DataFrame, every_n: int,
+                        id_col: str = "url",
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL compressed-video pixel decode (r5, r4 verdict item 5):
+    motion-JPEG MP4s — sample-table extraction (mp4.mp4_sample_ranges)
+    feeding the in-repo baseline/progressive JPEG decoder — emit every
+    n-th frame as decoded RGB (PPM payload) with mean luma. Same UDTF
+    explode shape and schema as sample_frames_y4m, so downstream
+    per-frame featurizers are codec-agnostic.
+
+    Non-MJPEG tracks (e.g. AVC) and undecodable samples are skipped,
+    never crash: the 'jpeg'/'mjpa'/'mjpb' stsd fourccs gate the
+    decode, everything else remains container-only (sample_frames
+    codec='mp4')."""
+    schema = (f"{id_col} string, frame_idx int, width int, height int, "
+              "mean_luma double, frame binary")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import jpeg as _jpeg
+        from . import mp4 as _mp4
+
+        for pdf in batches:
+            rows = []
+            for rid, p in zip(pdf[id_col].values, pdf[payload_col].values):
+                b = bytes(p)
+                meta = _mp4.mp4_meta(b)
+                if meta is None or meta["video_codec"] not in (
+                        "jpeg", "mjpa", "mjpb"):
+                    continue
+                rng = _mp4.mp4_sample_ranges(b)
+                if rng is None:
+                    continue
+                for i, off, sz in rng[::every_n]:
+                    rgb = _jpeg.decode_jpeg(b[off:off + sz])
+                    if rgb is None:
+                        continue        # corrupt sample: skip, no crash
+                    luma = (0.299 * rgb[..., 0].astype(np.float64)
+                            + 0.587 * rgb[..., 1]
+                            + 0.114 * rgb[..., 2])
+                    rows.append((rid, i, rgb.shape[1], rgb.shape[0],
+                                 float(luma.mean()), encode_ppm(rgb)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "width", "height", "mean_luma",
+                "frame"])
+
+    return media.mapInPandas(_frames, schema=schema)
 
 
 def sample_frames_y4m(media: DataFrame, every_n: int,
