@@ -77,6 +77,28 @@ def proc_stat():
     return {{"total": sum(vals), "sys": vals[2], "steal": vals[7]}}
 
 
+# Per-rep memory-bandwidth probe (r4 verdict item 6): one process
+# stream-copying a 50 MB buffer for 0.3 s measures the bandwidth the
+# box can give a single stream IN THAT WINDOW — user-space co-tenant
+# pressure (which the steal/sys filter cannot see: it shows in
+# NEITHER counter) depresses this reading. Each timed rep is
+# bracketed by a probe so the report can show the ceiling the rep
+# actually ran under instead of re-rolling dice on 4->16.
+import numpy as _np
+_bwa = _np.ones(50_000_000 // 8, dtype=_np.int64)
+_bwb = _np.empty_like(_bwa)
+_np.copyto(_bwb, _bwa); _np.copyto(_bwb, _bwa)   # fault pages in
+
+
+def membw_gbps(sec=0.3):
+    n = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < sec:
+        _np.copyto(_bwb, _bwa)
+        n += 1
+    return round(n * 0.1 / (time.monotonic() - t0), 2)
+
+
 def run_once():
     pts = extract.extract_points(pages)
     matched = join.spatial_join(pts, zdf, how="inner", broadcast=True,
@@ -97,13 +119,16 @@ target_reps = {reps}
 max_attempts = target_reps * 2 + 2
 clean, dirty = [], []
 for _ in range(max_attempts):
+    bw_pre = membw_gbps()
     s0 = proc_stat(); t0 = time.monotonic()
     run_once()
     dt = time.monotonic() - t0; s1 = proc_stat()
+    bw_post = membw_gbps()
     d_total = max(s1["total"] - s0["total"], 1)
     rep = {{"sec": dt,
             "steal_pct": 100.0 * (s1["steal"] - s0["steal"]) / d_total,
-            "sys_pct": 100.0 * (s1["sys"] - s0["sys"]) / d_total}}
+            "sys_pct": 100.0 * (s1["sys"] - s0["sys"]) / d_total,
+            "membw_pre_gbps": bw_pre, "membw_post_gbps": bw_post}}
     if rep["steal_pct"] <= {steal_max} and rep["sys_pct"] <= {sys_max}:
         clean.append(rep)
     else:
@@ -190,6 +215,25 @@ def main():
             "clean" if not any(r[c]["all_dirty"] for c in levels)
             else "had dirty levels")
         for i, r in enumerate(all_runs))
+
+    # per-rep detail incl. the bracketing bandwidth probes (r4 verdict
+    # item 6): the co-tenant signature the steal filter misses shows
+    # as a depressed membw reading in the rep's own window
+    def fmt_rep(x):
+        return (f"| {x['sec']:.2f} | {x['steal_pct']:.2f} "
+                f"| {x['sys_pct']:.1f} "
+                f"| {x.get('membw_pre_gbps', '—')} "
+                f"| {x.get('membw_post_gbps', '—')} |")
+
+    rep_detail = []
+    for i, r in enumerate(all_runs):
+        for c in levels:
+            rep_detail.append(f"\n### run {i + 1}, local[{c}]\n")
+            rep_detail.append("| rep sec | steal% | sys% | membw pre "
+                              "GB/s | membw post GB/s |")
+            rep_detail.append("|---|---|---|---|---|")
+            rep_detail.extend(fmt_rep(x) for x in r[c]["reps"])
+    rep_detail_md = "\n".join(rep_detail)
     consec = all(eff(r, n_lo, n_hi) >= 0.8 for r in all_runs)
     consec_4_16 = all(eff(r, 4, 16) >= 0.8 for r in all_runs)
 
@@ -237,6 +281,16 @@ reps (not best-of), so the table is reproducible, not opportunistic.
 
 {"**Both consecutive runs meet eff(N->4N) >= 0.8 on the brief's " + f"{n_lo}->{n_hi} pair.**" if consec and len(all_runs) >= 2 else "Target: two consecutive clean runs >= 0.8."}
 {"Both runs also >= 0.8 on 4->16." if consec_4_16 and len(all_runs) >= 2 else ""}
+
+The N->4N criterion rests on the in-envelope pairs (1->4, 2->8 —
+see BENCH/BASELINE.md); 4->16 is measured and DISCLOSED with its
+per-rep bandwidth probes below, never re-rolled: local[16] occupies
+all 16 physical cores, so a depressed membw reading in a rep's
+window is the co-tenant/bandwidth signature the steal filter cannot
+see (r4 verdict item 6).
+
+## Per-rep detail (steal/sys filter inputs + bracketing membw probes)
+{rep_detail_md}
 
 Raw (latest run): {raw}
 """
