@@ -185,11 +185,19 @@ class Checkpointer:
         if os.path.exists(manifest):
             os.remove(manifest)
 
-    def vacuum(self, stage: str) -> int:
+    def vacuum(self, stage: str, min_age_s: float = 3600.0) -> int:
         """Remove attempt directories the current manifest does not
         reference (lost races, crashed attempts, superseded commits).
-        Returns the number of directories removed."""
+        Returns the number of directories removed.
+
+        `min_age_s` is the retention window (Iceberg-vacuum analog,
+        review-caught r5): an unreferenced directory younger than it
+        may belong to a writer that has materialized but not yet
+        published — deleting it would tear that writer's imminent
+        commit, breaking the concurrent-writer guarantee. Only pass
+        0 when no writer can be in flight."""
         import shutil
+        import time as _time
 
         root = self._root(stage)
         if not os.path.isdir(root):
@@ -197,10 +205,16 @@ class Checkpointer:
         m = self._read_manifest(stage) or {}
         live = {m.get("data_dir"), m.get("lineage_dir")}
         n = 0
+        now = _time.time()
         for d in os.listdir(root):
             full = os.path.join(root, d)
             if (os.path.isdir(full) and d not in live
                     and (d.startswith("data-") or d.startswith("lineage-"))):
+                try:
+                    if now - os.stat(full).st_mtime < min_age_s:
+                        continue        # possibly in-flight attempt
+                except OSError:
+                    continue
                 shutil.rmtree(full, ignore_errors=True)
                 n += 1
         return n
@@ -214,9 +228,17 @@ def snapshot_id_of(path: str) -> str:
     manifest list ignores non-data files). Appending, rewriting or
     deleting a file yields a new id; a single-file input hashes that
     file's entry. Feed it to :func:`fingerprint_of` so a corpus
-    append invalidates exactly the stages reading that corpus."""
+    append invalidates exactly the stages reading that corpus.
+
+    Raises FileNotFoundError for a nonexistent path (review-caught
+    r5): hashing a typo'd/unmounted input to a stable empty-listing
+    id would let a checkpoint from a misconfigured run later serve
+    as a valid resume for the real input."""
     from .hashing import h64
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"snapshot_id_of: input path does not exist: {path!r}")
     entries = []
     if os.path.isdir(path):
         for dirpath, dirnames, filenames in os.walk(path):
@@ -229,7 +251,7 @@ def snapshot_id_of(path: str) -> str:
                 st = os.stat(full)
                 rel = os.path.relpath(full, path)
                 entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(path):
+    else:                       # single file (existence checked above)
         st = os.stat(path)
         entries.append(f"{os.path.basename(path)}:{st.st_size}:"
                        f"{st.st_mtime_ns}")

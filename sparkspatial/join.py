@@ -764,9 +764,15 @@ def nearest_zone(points: DataFrame, zone_rects: list[tuple], *,
                                     keep_cols=keep_cols)
     m = F.array_min(F.array(
         *_rect_d2_entries(zone_rects, lat_col, lon_col)))
+    # NULL-coordinate contract (review-caught r5, BOTH routes agree):
+    # one output row per input row, zone_id/dist_deg2 NULL. Without
+    # the guard, greatest() SKIPS the NULL operands and a NULL-lat
+    # point silently scored "inside every zone's y-range" — a wrong
+    # answer, not a NULL one.
+    valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
     return points.select(*keep_cols,
-                         m["zone_id"].alias("zone_id"),
-                         m["d2"].alias("dist_deg2"))
+                         F.when(valid, m["zone_id"]).alias("zone_id"),
+                         F.when(valid, m["d2"]).alias("dist_deg2"))
 
 
 def _cross_flip_sql(lat_col: str, lon_col: str, acc_expr: str) -> str:
@@ -888,9 +894,14 @@ def nearest_zone_polygons(points: DataFrame, zones: DataFrame, *,
         entries.append(f"struct({fold} AS d2, '{zlit}' AS zone_id)")
 
     m = F.expr(f"array_min(array({', '.join(entries)}))")
+    # NULL-coordinate contract shared with nearest_zone/both routes
+    # (review-caught r5: least() skips the NULL seg-d2 operands, so a
+    # NULL-lat point used to score Infinity against the first zone —
+    # a wrong answer, not a NULL one)
+    valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
     return points.select(*keep_cols,
-                         m["zone_id"].alias("zone_id"),
-                         m["d2"].alias("dist_deg2"))
+                         F.when(valid, m["zone_id"]).alias("zone_id"),
+                         F.when(valid, m["d2"]).alias("dist_deg2"))
 
 
 def nearest_zones_topk(points: DataFrame, zone_rects: list[tuple], k: int, *,
@@ -924,7 +935,13 @@ def nearest_zones_topk(points: DataFrame, zone_rects: list[tuple], k: int, *,
                                     keep_cols=keep_cols, with_rnk=True)
     top = F.slice(F.array_sort(F.array(
         *_rect_d2_entries(zone_rects, lat_col, lon_col))), 1, k)
+    # NULL-coordinate contract (review-caught r5, BOTH routes agree):
+    # rank rows are meaningless without a distance, so NULL-coordinate
+    # points emit NO rows (k=1 callers wanting row preservation use
+    # nearest_zone, which emits NULL rows)
     return (points
+            .where(F.col(lat_col).isNotNull()
+                   & F.col(lon_col).isNotNull())
             .select(*keep_cols, F.posexplode(top).alias("_pos", "_m"))
             .select(*keep_cols,
                     F.col("_m.zone_id").alias("zone_id"),
@@ -943,7 +960,13 @@ def _nearest_pick_res(zone_rects) -> int:
     maxy = max(float(r[4]) for r in zone_rects)
     extent = max(maxx - minx, 2.0 * (maxy - miny), 1e-9)
     target = max(extent / max(np.sqrt(len(zone_rects)), 1.0), 1e-7)
-    return min(max(cells.pick_resolution(target), 2), 16)
+    # target must go to target_cell_deg — pick_resolution's first
+    # positional is the (unused) extent hint, and passing target
+    # there silently returned the 0.05-degree default's res 13 for
+    # EVERY zone set (review-caught r5: a world-spread zone set then
+    # exploded the per-cell pruning stage)
+    return min(max(cells.pick_resolution(extent,
+                                         target_cell_deg=target), 2), 16)
 
 
 def _nearest_rect_candidates(pcells: DataFrame, zone_rects, k: int
@@ -1015,25 +1038,32 @@ def _nearest_rect_routed(points: DataFrame, zone_rects, k: int, *,
     expression as the literal fold, argmin per input row (min-struct
     agg for k=1: one exchange with map-side combine; row_number
     window for k>1 — _rid partitions are tiny and perfectly even).
-    No cartesian, no kilobyte literals, one Arrow stage total; rows
-    with NULL coordinates are dropped (their cell is NULL; the
-    literal route instead emits NULL distances for them)."""
+    No cartesian, no kilobyte literals, one Arrow stage total.
+
+    NULL-coordinate rows follow the same contract as the literal
+    route: for k=1 they emit (keep_cols, NULL, NULL); for k>1 they
+    emit no rows. The split uses an EXPLICIT isNotNull predicate —
+    cell_sql CLAMPS a NULL coordinate into grid row/col 0 (greatest/
+    least skip NULL operands), so cell nullity can never carry the
+    validity signal, and a NULL reaching the Arrow cell stage would
+    anyway arrive as float64-with-NaN and lossily round every res>13
+    cell id (review-caught r5, reproduced: ±256 on real ids)."""
     from pyspark.sql.window import Window
 
     if res is None:
         res = _nearest_pick_res(zone_rects)
-    pts = (points
-           .withColumn("_rid", F.monotonically_increasing_id())
-           .withColumn("_cell",
-                       F.expr(cells.cell_sql(lat_col, lon_col, res))))
-    pcells = pts.select(F.col("_cell").alias("cell")).distinct()
+    valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    pts = points.withColumn("_rid", F.monotonically_increasing_id())
+    vpts = pts.where(valid).withColumn(
+        "_cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
+    pcells = vpts.select(F.col("_cell").alias("cell")).distinct()
     cand_cells = _nearest_rect_candidates(pcells, zone_rects, k)
 
     lat, lon = F.col(lat_col), F.col(lon_col)
     dx = F.greatest(F.col("minx") - lon, lon - F.col("maxx"), F.lit(0.0))
     dy = F.greatest(F.col("miny") - lat, lat - F.col("maxy"), F.lit(0.0))
-    cand = (pts.join(F.broadcast(cand_cells),
-                     pts["_cell"] == cand_cells["cell"])
+    cand = (vpts.join(F.broadcast(cand_cells),
+                      vpts["_cell"] == cand_cells["cell"])
             .withColumn("_d2", dx * dx + dy * dy))
     if k == 1:
         m = F.min(F.struct(F.col("_d2").alias("d2"),
@@ -1043,6 +1073,15 @@ def _nearest_rect_routed(points: DataFrame, zone_rects, k: int, *,
         out = agg.select(*keep_cols,
                          F.col("_m.zone_id").alias("zone_id"),
                          F.col("_m.d2").alias("dist_deg2"))
+        if not with_rnk:
+            # NULL-coordinate rows re-enter with NULL outputs (the
+            # k=1 row-preservation contract shared with the literal
+            # route); nearest_zones_topk (with_rnk) drops them
+            out = out.unionByName(
+                pts.where(~valid)
+                .select(*keep_cols,
+                        F.lit(None).cast("string").alias("zone_id"),
+                        F.lit(None).cast("double").alias("dist_deg2")))
         return out.withColumn("rnk", F.lit(1).cast("int")) \
             if with_rnk else out
     w = Window.partitionBy("_rid").orderBy(F.col("_d2").asc(),
@@ -1127,16 +1166,20 @@ def _nearest_poly_routed(points: DataFrame, zone_edges, *,
         edge_rows,
         "zone_id string, x0 double, y0 double, x1 double, y1 double")
 
-    pts = (points
-           .withColumn("_rid", F.monotonically_increasing_id())
-           .withColumn("_cell",
-                       F.expr(cells.cell_sql(lat_col, lon_col, res))))
-    pcells = pts.select(F.col("_cell").alias("cell")).distinct()
+    # explicit coordinate-validity split (cell_sql CLAMPS NULL coords
+    # into cell 0, so cell nullity cannot carry the signal — see
+    # _nearest_rect_routed); NULL-coordinate rows re-enter below with
+    # NULL outputs, the contract shared with the literal route
+    valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    pts = points.withColumn("_rid", F.monotonically_increasing_id())
+    vpts = pts.where(valid).withColumn(
+        "_cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
+    pcells = vpts.select(F.col("_cell").alias("cell")).distinct()
     cand_cells = _nearest_poly_candidates(
         pcells, zid, env, np.array(vx, dtype=np.float64),
         np.array(vy, dtype=np.float64))
-    cand = pts.join(F.broadcast(cand_cells),
-                    pts["_cell"] == cand_cells["cell"])
+    cand = vpts.join(F.broadcast(cand_cells),
+                     vpts["_cell"] == cand_cells["cell"])
 
     # the SAME IEEE expression shapes as the literal fold's t_sql /
     # seg_d2 / _cross_flip_sql, with column refs instead of literals
@@ -1166,6 +1209,11 @@ def _nearest_poly_routed(points: DataFrame, zone_edges, *,
                        F.col("zone_id").alias("zone_id")))
     agg = per_zone.groupBy("_rid").agg(
         m.alias("_m"), *[F.first(c).alias(c) for c in keep_cols])
-    return agg.select(*keep_cols,
-                      F.col("_m.zone_id").alias("zone_id"),
-                      F.col("_m.d2").alias("dist_deg2"))
+    return (agg.select(*keep_cols,
+                       F.col("_m.zone_id").alias("zone_id"),
+                       F.col("_m.d2").alias("dist_deg2"))
+            .unionByName(
+                pts.where(~valid)
+                .select(*keep_cols,
+                        F.lit(None).cast("string").alias("zone_id"),
+                        F.lit(None).cast("double").alias("dist_deg2"))))

@@ -343,6 +343,24 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
                                                   dct, act)
     bw.flush()
 
+    out = _emit_headers(qts, samp, comp_qt, h, w, gray, 0xC0)
+    ncomp = 1 if gray else 3
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3F\x00"
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.buf
+    out += b"\xFF\xD9"                                  # EOI
+    return bytes(out)
+
+
+def _emit_headers(qts, samp, comp_qt, h, w, gray,
+                  sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOF + DHT — the header prefix shared by the
+    baseline (0xC0) and progressive (0xC2) encoders (one definition
+    so the two fixture generators can never drift; review-caught
+    r5)."""
     out = bytearray(b"\xFF\xD8")                       # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) \
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
@@ -354,7 +372,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, comp_qt[ci])
-    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += bytes([0xFF, sof_marker]) \
+        + struct.pack(">H", 2 + len(sof)) + sof
     hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
            (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
     if not gray:
@@ -363,14 +382,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     for tc, bits, vals in hts:
         body = bytes([tc]) + bytes(bits) + bytes(vals)
         out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3F\x00"
-    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
-    out += bw.buf
-    out += b"\xFF\xD9"                                  # EOI
-    return bytes(out)
+    return out
 
 
 def _enc_ac_first_block(bw, band, al, ac_codes):
@@ -476,25 +488,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
     max_h = max(s[0] for s in samp)
     max_v = max(s[1] for s in samp)
 
-    out = bytearray(b"\xFF\xD8")
-    out += b"\xFF\xE0" + struct.pack(">H", 16) \
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, qt in enumerate(qts[:1 if gray else 2]):
-        zz = qt[ZIGZAG].astype(np.uint8).tobytes()
-        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + zz
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, comp_qt[ci])
-    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
-    hts = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
-           (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
-    if not gray:
-        hts += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-                (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
-    for tc, bits, vals in hts:
-        body = bytes([tc]) + bytes(bits) + bytes(vals)
-        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    out = _emit_headers(qts, samp, comp_qt, h, w, gray, 0xC2)
 
     def sos_header(comp_ids, tds, tas, ss, se, ah, al):
         sos = bytes([len(comp_ids)])

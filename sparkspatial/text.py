@@ -860,6 +860,9 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame | None,
     persisted) skips rebuilding the eval side — the build-once path
     for multi-batch jobs; ``eval_docs`` may then be None.
     """
+    if eval_hashes is None and eval_docs is None:
+        raise ValueError(
+            "decontaminate: pass eval_docs or a prebuilt eval_hashes")
     ev = eval_hashes if eval_hashes is not None else \
         eval_shingle_hashes(eval_docs, text_col, id_col, shingle_k)
     # explicit broadcast: the eval hash set is small BY CONTRACT (a few

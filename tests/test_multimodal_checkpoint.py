@@ -181,8 +181,12 @@ def test_checkpoint_concurrent_writers_stay_consistent(spark, tmp_path):
     # lineage resolves through the winning manifest only
     lin = ck_a.lineage(spark, "race").collect()
     assert {r.fingerprint for r in lin} == {fp_a}
-    # vacuum drops the lost attempt's directories, keeps the winner's
-    removed = ck_a.vacuum("race")
+    # vacuum inside the retention window is a no-op (an unreferenced
+    # dir may be an in-flight attempt about to publish, r5 review);
+    # with the window waived it drops the lost attempt's directories
+    # and keeps the winner's
+    assert ck_a.vacuum("race") == 0
+    removed = ck_a.vacuum("race", min_age_s=0)
     assert removed == 2  # B's data- and lineage- dirs
     assert ck_a.load(spark, "race", expected_fingerprint=fp_a) \
         .count() == 50

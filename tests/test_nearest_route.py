@@ -110,6 +110,52 @@ def test_nearest_zones_topk_bruteforce_at_10k_zones(spark):
         assert sorted(got[p.url]) == want, p.url
 
 
+def test_nearest_zone_null_coordinate_contract(spark):
+    """NULL lat/lon rows (r5 review): BOTH routes agree — k=1 ops
+    emit one row with NULL zone_id/dist per input row (previously the
+    literal fold's greatest()/least() SKIPPED the NULL operands and
+    scored garbage zones), topk emits no rows for them, and the
+    routed path's Arrow cell stage never sees a NULL cell (a single
+    NaN would float64-corrupt every high-res cell id in the batch)."""
+    pts = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("n", None, 2.0), ("m", None, None)],
+        "url string, lat double, lon double")
+    zr = [("z2", 0.0, 0.0, 0.5, 0.5), ("z1", 2.0, 2.0, 3.0, 3.0)]
+    for route in ("literal", "cells"):
+        got = {r.url: (r.zone_id, r.dist_deg2) for r in
+               join.nearest_zone(pts, zr, route=route).collect()}
+        assert got["a"] == ("z2", 0.5), route
+        assert got["n"] == (None, None) and got["m"] == (None, None)
+        topk = join.nearest_zones_topk(pts, zr, 2, route=route).collect()
+        assert {r.url for r in topk} == {"a"}, route
+
+    from sparkspatial import geom, zones
+    g = ("Polygon", [geom.ensure_closed(np.asarray(
+        [(0, 0), (1, 0), (1, 1), (0, 1)], dtype=np.float64))])
+    zdf = spark.createDataFrame([zones.zone_row("p1", g)],
+                                zones.ZONE_SCHEMA)
+    for route in ("literal", "cells"):
+        got = {r.url: (r.zone_id, r.dist_deg2) for r in
+               join.nearest_zone_polygons(pts, zdf, route=route)
+               .collect()}
+        assert got["a"] == ("p1", 0.0), route
+        assert got["n"] == (None, None) and got["m"] == (None, None)
+
+
+def test_nearest_pick_res_scales_with_zone_spread(spark):
+    """The routed path's resolution heuristic must actually track the
+    zone spread (r5 review: the target was silently passed to an
+    unused parameter, returning res 13 for EVERY zone set — a
+    world-spread set then exploded the per-cell pruning stage)."""
+    world = _mk_zone_rects(2000, lat0=-85, lat1=85, lon0=-179, lon1=179)
+    dense = _mk_zone_rects(2000, lat0=48.0, lat1=48.4,
+                           lon0=2.0, lon1=2.4)
+    r_world = join._nearest_pick_res(world)
+    r_dense = join._nearest_pick_res(dense)
+    assert r_world < r_dense
+    assert r_world <= 7, r_world  # ~8 deg spacing -> coarse cells
+
+
 def _poly_zones_df(spark, n, seed=5):
     """n small polygon zones (triangles/quads, a few with holes)."""
     from sparkspatial import geom, zones
