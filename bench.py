@@ -230,8 +230,11 @@ def bench_queries(spark, sf_dir: str, pages_path: str):
 
 def bench_text_ops(spark, pages_path: str) -> dict:
     """Secondary block: the round-2 text-pipeline ops timed over the
-    600k-page corpus (single timed rep after one warmup rep — these
-    are coarse throughput documentation, not the primary metric)."""
+    600k-page corpus (MEDIAN of three reps after one warmup — r5:
+    single reps at the suite tail swing 1.4-2.1x under GC/persist
+    pressure, the same lesson the r3_ops block learned in r4; these
+    rows are throughput documentation, not the primary metric)."""
+    import statistics as _stats
     import time as _t
 
     from pyspark.sql import functions as F
@@ -277,9 +280,12 @@ def bench_text_ops(spark, pages_path: str) -> dict:
                      ("pack_sequences_600k", pack),
                      ("pii_scrub_600k", pii)]:
         fn()
-        t0 = _t.monotonic()
-        fn()
-        out[name] = round(_t.monotonic() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t0 = _t.monotonic()
+            fn()
+            reps.append(_t.monotonic() - t0)
+        out[name] = round(_stats.median(reps), 3)
     ev_hashes.unpersist()
     return out
 
