@@ -1317,6 +1317,27 @@ def q_ann_cosine(spark, sf_dir):
     return sim.cosine_topk(emb, queries, k=5).select("qid", "vec_id", "rnk")
 
 
+def q_ann_cosine_ivf(spark, sf_dir):
+    """IVF top-k with the DISTRIBUTED query side (sim.ivf_topk, r5:
+    mapInPandas probe assignment under broadcast centroids + the
+    cogrouped per-cluster block scorer — zero driver state, r4
+    verdict item 7). Probing ALL clusters makes IVF exact, so the
+    approximate index's full machinery (deterministic quantizer,
+    probe assignment, per-cluster cogroup partials, final window) is
+    hash-compared against the same exact-cosine DuckDB oracle shape
+    as ann_cosine — the strongest check an ANN path can take. The
+    per-pair dot products are dim-wise (blocking-invariant), so cos
+    ties break identically to cosine_topk; cos itself is excluded
+    from the compared columns (fp fold order differs across
+    engines)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 45 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return (sim.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8,
+                         q_blocks=2, c_blocks=2)
+            .select("qid", "vec_id", "rnk").orderBy("qid", "rnk"))
+
+
 def q_ann_cosine_blocked(spark, sf_dir):
     """Exact cosine top-k with a DISTRIBUTED query side
     (sim.cosine_topk_blocked — bipartite block product, zero driver
@@ -1930,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r5 operators (driver evidence r05) ---
         "nearest_zone_routed": q_nearest_zone_routed,
         "nearest_zone_poly_routed": q_nearest_zone_poly_routed,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         # --- rest of the formerly-unsampled tail (driver evidence r05) ---
         "trigram_familiarity": q_trigram_familiarity,
         "hash_sample": q_hash_sample,
@@ -2819,6 +2841,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": sim.cosine_topk_duckdb_sql(5, "vec_id % 50 = 0"),
         "ann_cosine_blocked": sim.cosine_topk_duckdb_sql(
             5, "vec_id % 40 = 0"),
+        # IVF probing all clusters IS exact top-k: same oracle shape
+        "ann_cosine_ivf": sim.cosine_topk_duckdb_sql(
+            5, "vec_id % 45 = 0") + " ORDER BY qid, rnk",
         "knn_graph": sim.knn_graph_duckdb_sql(5),
         "embedding_near_dup": (
             sim.cosine_pairs_duckdb_sql("4.44e-1")

@@ -466,7 +466,8 @@ def _enc_ac_refine_block(bw, band, al, ac_codes):
 
 def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
                             subsample: bool = False,
-                            al_chain: tuple = (1,)) -> bytes:
+                            al_chain: tuple = (1,),
+                            restart_interval: int = 0) -> bytes:
     """uint8 RGB/gray -> PROGRESSIVE (SOF2) JFIF bytes — the fixture
     generator + round-trip witness for the r5 progressive decoder.
 
@@ -477,6 +478,11 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
     to decoding encode_jpeg(arr, ...) — both paths transmit the same
     quantized coefficients (shared `_component_qblocks`), and the
     reconstruction tail is shared too.
+
+    `restart_interval` > 0 writes a DRI segment and RSTn markers
+    every that-many MCUs in every scan (one block = one MCU in the
+    non-interleaved scans, T.81 A.2.2) — the round-trip witness for
+    the decoder's progressive restart handling.
     """
     (qblocks, samp, qts, comp_qt, h, w, gray,
      mcus_x, mcus_y) = _component_qblocks(arr, quality, subsample)
@@ -489,6 +495,22 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
     max_v = max(s[1] for s in samp)
 
     out = _emit_headers(qts, samp, comp_qt, h, w, gray, 0xC2)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    rst_state = {"m": 0}
+
+    def maybe_rst(bw, mcu_count, preds=None):
+        """Byte-align + emit RSTn before MCU `mcu_count` when the
+        interval divides it (mirrors the decoder's handle_restart)."""
+        if restart_interval and mcu_count \
+                and mcu_count % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + rst_state["m"] % 8])
+            rst_state["m"] += 1
+            if preds is not None:
+                for ci in range(len(preds)):
+                    preds[ci] = 0
 
     def sos_header(comp_ids, tds, tas, ss, se, ah, al):
         sos = bytes([len(comp_ids)])
@@ -504,9 +526,11 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
                       [0 if c == 0 else 1 for c in range(ncomp)],
                       [0] * ncomp, 0, 0, 0, al0)
     bw = _BitWriter()
+    rst_state["m"] = 0
     preds = [0] * ncomp
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            maybe_rst(bw, my * mcus_x + mx, preds)
             for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
                 dct = dc_tables[0 if ci == 0 else 1]
                 for by in range(sv):
@@ -531,9 +555,11 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
         nbw, nbh = (cw + 7) // 8, (ch + 7) // 8
         out += sos_header([ci + 1], [0], [ta], 1, 63, 0, al0)
         bw = _BitWriter()
-        for by in range(nbh):
-            for bx in range(nbw):
-                _enc_ac_first_block(bw, qb[by, bx, 1:64], al0, act)
+        rst_state["m"] = 0
+        for cnt, (by, bx) in enumerate(
+                (y, x) for y in range(nbh) for x in range(nbw)):
+            maybe_rst(bw, cnt)
+            _enc_ac_first_block(bw, qb[by, bx, 1:64], al0, act)
         bw.flush()
         out += bw.buf
         for lvl in range(len(levels) - 1):
@@ -542,9 +568,11 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
                 raise ValueError("al_chain must step by 1")
             out += sos_header([ci + 1], [0], [ta], 1, 63, ah, al)
             bw = _BitWriter()
-            for by in range(nbh):
-                for bx in range(nbw):
-                    _enc_ac_refine_block(bw, qb[by, bx, 1:64], al, act)
+            rst_state["m"] = 0
+            for cnt, (by, bx) in enumerate(
+                    (y, x) for y in range(nbh) for x in range(nbw)):
+                maybe_rst(bw, cnt)
+                _enc_ac_refine_block(bw, qb[by, bx, 1:64], al, act)
             bw.flush()
             out += bw.buf
 
@@ -554,8 +582,10 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
         out += sos_header(list(range(1, ncomp + 1)), [0] * ncomp,
                           [0] * ncomp, 0, 0, ah, al)
         bw = _BitWriter()
+        rst_state["m"] = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                maybe_rst(bw, my * mcus_x + mx)
                 for ci, (qb, (sh, sv)) in enumerate(zip(qblocks, samp)):
                     for by in range(sv):
                         for bx in range(sh):

@@ -821,27 +821,39 @@ def test_jpeg_progressive_roundtrip_matches_baseline_exactly():
     grad = np.stack([(xx * 255 // 55), (yy * 255 // 39),
                      ((xx + yy) * 255 // 94)], axis=2).astype(np.uint8)
     cases = [
-        (grad, 90, False, (1,)),
-        (grad, 85, True, (1,)),
+        (grad, 90, False, (1,), 0),
+        (grad, 85, True, (1,), 0),
         (rng.randint(0, 256, (33, 41, 3)).astype(np.uint8), 70,
-         False, (2, 1)),
+         False, (2, 1), 0),
         (rng.randint(0, 256, (17, 23)).astype(np.uint8), 90,
-         False, (2, 1)),
-        (grad, 90, False, (0,)),
+         False, (2, 1), 0),
+        (grad, 90, False, (0,), 0),
         (rng.randint(0, 256, (37, 29, 3)).astype(np.uint8), 60,
-         True, (2, 1)),
+         True, (2, 1), 0),
+        # DRI/RSTn in every progressive scan kind (restart resets DC
+        # preds + EOB runs; one block = one MCU in the
+        # non-interleaved scans)
+        (grad, 90, False, (1,), 3),
+        (rng.randint(0, 256, (33, 41, 3)).astype(np.uint8), 70,
+         False, (2, 1), 2),
+        (rng.randint(0, 256, (17, 23)).astype(np.uint8), 90,
+         False, (2, 1), 1),
     ]
-    for img, q, sub, chain in cases:
+    for img, q, sub, chain, ri in cases:
         base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q,
                                                  subsample=sub))
         penc = jpeg.encode_jpeg_progressive(img, quality=q,
                                             subsample=sub,
-                                            al_chain=chain)
+                                            al_chain=chain,
+                                            restart_interval=ri)
         prog = jpeg.decode_jpeg(penc)
-        assert prog is not None, (q, sub, chain)
-        assert np.array_equal(base, prog), (q, sub, chain)
+        assert prog is not None, (q, sub, chain, ri)
+        assert np.array_equal(base, prog), (q, sub, chain, ri)
         assert jpeg.jpeg_dimensions(penc) == (img.shape[1],
                                               img.shape[0])
+        if ri:
+            assert any(bytes([0xFF, 0xD0 + i]) in penc
+                       for i in range(8))
 
 
 def test_jpeg_ac_refinement_block_fuzz():
