@@ -97,6 +97,16 @@ class Checkpointer:
         data_dir, lineage_dir = f"data-{token}", f"lineage-{token}"
         data_path = os.path.join(root, data_dir)
         lineage_path = os.path.join(root, lineage_dir)
+        # in-flight marker: vacuum() must not collect this attempt
+        # while the (possibly hours-long) materialization runs — the
+        # attempt dir's own mtime stays at creation during a parquet
+        # write, so age alone cannot prove an attempt dead
+        # (review-caught r5). Removed after publish; a crashed
+        # attempt's marker ages past the retention window with it.
+        os.makedirs(root, exist_ok=True)
+        marker = os.path.join(root, f".inflight-{token}")
+        with open(marker, "w") as f:
+            f.write("")
 
         t0 = time.monotonic()
         with_pid = df.withColumn("_pid", F.spark_partition_id())
@@ -127,6 +137,10 @@ class Checkpointer:
                        "complete": True, "wall_ms": wall_ms,
                        "data_dir": data_dir, "lineage_dir": lineage_dir}, f)
         os.replace(tmp, manifest)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
         return out.drop("_pid")
 
     def load(self, spark: SparkSession, stage: str,
@@ -190,12 +204,15 @@ class Checkpointer:
         reference (lost races, crashed attempts, superseded commits).
         Returns the number of directories removed.
 
-        `min_age_s` is the retention window (Iceberg-vacuum analog,
-        review-caught r5): an unreferenced directory younger than it
-        may belong to a writer that has materialized but not yet
-        published — deleting it would tear that writer's imminent
-        commit, breaking the concurrent-writer guarantee. Only pass
-        0 when no writer can be in flight."""
+        An attempt is collected only when (a) its `.inflight-<token>`
+        marker is gone (the writer published or never started) or
+        the marker itself is older than `min_age_s` (the writer
+        crashed — a LIVE writer's marker is younger than its write,
+        unlike the attempt dir's mtime, which a long parquet
+        materialization never touches; review-caught r5), AND (b)
+        the directory is older than `min_age_s` (Iceberg-vacuum
+        retention analog). Only pass 0 when no writer can be in
+        flight."""
         import shutil
         import time as _time
 
@@ -206,17 +223,39 @@ class Checkpointer:
         live = {m.get("data_dir"), m.get("lineage_dir")}
         n = 0
         now = _time.time()
+
+        def _age(path):
+            try:
+                return now - os.stat(path).st_mtime
+            except OSError:
+                return None
+
         for d in os.listdir(root):
             full = os.path.join(root, d)
             if (os.path.isdir(full) and d not in live
                     and (d.startswith("data-") or d.startswith("lineage-"))):
-                try:
-                    if now - os.stat(full).st_mtime < min_age_s:
-                        continue        # possibly in-flight attempt
-                except OSError:
+                token = d.split("-", 1)[1]
+                marker_age = _age(os.path.join(root, f".inflight-{token}"))
+                if marker_age is not None and marker_age < min_age_s:
+                    continue            # writer in flight
+                dir_age = _age(full)
+                if dir_age is None or dir_age < min_age_s:
                     continue
                 shutil.rmtree(full, ignore_errors=True)
                 n += 1
+        # collect orphaned markers of vanished attempts
+        for d in os.listdir(root):
+            if d.startswith(".inflight-"):
+                token = d[len(".inflight-"):]
+                if not (os.path.isdir(os.path.join(root, f"data-{token}"))
+                        or os.path.isdir(
+                            os.path.join(root, f"lineage-{token}"))):
+                    age = _age(os.path.join(root, d))
+                    if age is not None and age >= min_age_s:
+                        try:
+                            os.remove(os.path.join(root, d))
+                        except OSError:
+                            pass
         return n
 
 

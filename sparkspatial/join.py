@@ -1042,29 +1042,42 @@ def _nearest_rect_routed(points: DataFrame, zone_rects, k: int, *,
 
     NULL-coordinate rows follow the same contract as the literal
     route: for k=1 they emit (keep_cols, NULL, NULL); for k>1 they
-    emit no rows. The split uses an EXPLICIT isNotNull predicate —
-    cell_sql CLAMPS a NULL coordinate into grid row/col 0 (greatest/
-    least skip NULL operands), so cell nullity can never carry the
-    validity signal, and a NULL reaching the Arrow cell stage would
-    anyway arrive as float64-with-NaN and lossily round every res>13
-    cell id (review-caught r5, reproduced: ±256 on real ids)."""
+    emit no rows. The validity signal is created EXPLICITLY with
+    when(isNotNull) — raw cell_sql CLAMPS a NULL coordinate into grid
+    row/col 0 (greatest/least skip NULL operands) — and the cell dim
+    filters NULLs before the Arrow stage, where a single NaN would
+    lossily float64-round every res>13 cell id in the batch
+    (review-caught r5, reproduced: ±256 on real ids)."""
     from pyspark.sql.window import Window
 
     if res is None:
         res = _nearest_pick_res(zone_rects)
     valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
-    pts = points.withColumn("_rid", F.monotonically_increasing_id())
-    vpts = pts.where(valid).withColumn(
-        "_cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
-    pcells = vpts.select(F.col("_cell").alias("cell")).distinct()
+    # _cell is NULL exactly for NULL-coordinate rows (cell_sql would
+    # CLAMP them into cell 0, so the when() carries the validity
+    # signal); the candidate join below is LEFT, so those rows ride
+    # the single fact-table scan straight to NULL outputs instead of
+    # re-entering via a third scan (r5 review)
+    pts = (points
+           .withColumn("_rid", F.monotonically_increasing_id())
+           .withColumn("_cell", F.when(
+               valid, F.expr(cells.cell_sql(lat_col, lon_col, res)))))
+    pcells = (pts.select(F.col("_cell").alias("cell"))
+              .where(F.col("cell").isNotNull()).distinct())
     cand_cells = _nearest_rect_candidates(pcells, zone_rects, k)
 
     lat, lon = F.col(lat_col), F.col(lon_col)
     dx = F.greatest(F.col("minx") - lon, lon - F.col("maxx"), F.lit(0.0))
     dy = F.greatest(F.col("miny") - lat, lat - F.col("maxy"), F.lit(0.0))
-    cand = (vpts.join(F.broadcast(cand_cells),
-                      vpts["_cell"] == cand_cells["cell"])
-            .withColumn("_d2", dx * dx + dy * dy))
+    # LEFT: valid rows always match (their cell is in pcells and the
+    # pruning keeps >= 1 zone per cell); NULL-cell rows match nothing
+    # and keep NULL zone/d2 through the argmin. _d2 must be gated on
+    # the match — greatest() SKIPS the NULL zone bounds, so the raw
+    # expression would score an unmatched row 0.0, not NULL
+    cand = (pts.join(F.broadcast(cand_cells),
+                     pts["_cell"] == cand_cells["cell"], "left")
+            .withColumn("_d2", F.when(F.col("zone_id").isNotNull(),
+                                      dx * dx + dy * dy)))
     if k == 1:
         m = F.min(F.struct(F.col("_d2").alias("d2"),
                            F.col("zone_id").alias("zone_id")))
@@ -1073,20 +1086,15 @@ def _nearest_rect_routed(points: DataFrame, zone_rects, k: int, *,
         out = agg.select(*keep_cols,
                          F.col("_m.zone_id").alias("zone_id"),
                          F.col("_m.d2").alias("dist_deg2"))
-        if not with_rnk:
-            # NULL-coordinate rows re-enter with NULL outputs (the
-            # k=1 row-preservation contract shared with the literal
-            # route); nearest_zones_topk (with_rnk) drops them
-            out = out.unionByName(
-                pts.where(~valid)
-                .select(*keep_cols,
-                        F.lit(None).cast("string").alias("zone_id"),
-                        F.lit(None).cast("double").alias("dist_deg2")))
-        return out.withColumn("rnk", F.lit(1).cast("int")) \
-            if with_rnk else out
+        if with_rnk:
+            # nearest_zones_topk's contract drops NULL-coordinate rows
+            out = out.where(F.col("zone_id").isNotNull()) \
+                .withColumn("rnk", F.lit(1).cast("int"))
+        return out
     w = Window.partitionBy("_rid").orderBy(F.col("_d2").asc(),
                                            F.col("zone_id").asc())
-    return (cand.withColumn("_rnk", F.row_number().over(w))
+    return (cand.where(F.col("zone_id").isNotNull())
+            .withColumn("_rnk", F.row_number().over(w))
             .where(F.col("_rnk") <= k)
             .select(*keep_cols, "zone_id",
                     F.col("_d2").alias("dist_deg2"),
@@ -1166,20 +1174,22 @@ def _nearest_poly_routed(points: DataFrame, zone_edges, *,
         edge_rows,
         "zone_id string, x0 double, y0 double, x1 double, y1 double")
 
-    # explicit coordinate-validity split (cell_sql CLAMPS NULL coords
-    # into cell 0, so cell nullity cannot carry the signal — see
-    # _nearest_rect_routed); NULL-coordinate rows re-enter below with
-    # NULL outputs, the contract shared with the literal route
+    # _cell NULL exactly for NULL-coordinate rows (when() carries the
+    # validity signal — cell_sql would CLAMP NULLs into cell 0); both
+    # downstream joins are LEFT, so those rows ride the single fact
+    # scan to NULL outputs, never a re-entry union (r5 review)
     valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
-    pts = points.withColumn("_rid", F.monotonically_increasing_id())
-    vpts = pts.where(valid).withColumn(
-        "_cell", F.expr(cells.cell_sql(lat_col, lon_col, res)))
-    pcells = vpts.select(F.col("_cell").alias("cell")).distinct()
+    pts = (points
+           .withColumn("_rid", F.monotonically_increasing_id())
+           .withColumn("_cell", F.when(
+               valid, F.expr(cells.cell_sql(lat_col, lon_col, res)))))
+    pcells = (pts.select(F.col("_cell").alias("cell"))
+              .where(F.col("cell").isNotNull()).distinct())
     cand_cells = _nearest_poly_candidates(
         pcells, zid, env, np.array(vx, dtype=np.float64),
         np.array(vy, dtype=np.float64))
-    cand = vpts.join(F.broadcast(cand_cells),
-                     vpts["_cell"] == cand_cells["cell"])
+    cand = pts.join(F.broadcast(cand_cells),
+                    pts["_cell"] == cand_cells["cell"], "left")
 
     # the SAME IEEE expression shapes as the literal fold's t_sql /
     # seg_d2 / _cross_flip_sql, with column refs instead of literals
@@ -1197,7 +1207,7 @@ def _nearest_poly_routed(points: DataFrame, zone_edges, *,
     cross = (((y0 > lat) != (y1 > lat))
              & (lon < x0 + (lat - y0) / (y1 - y0) * (x1 - x0)))
 
-    per_zone = (cand.join(F.broadcast(edges_df), "zone_id")
+    per_zone = (cand.join(F.broadcast(edges_df), "zone_id", "left")
                 .groupBy("_rid", "zone_id")
                 .agg(F.min(seg_d2).alias("_d2min"),
                      F.sum(cross.cast("long")).alias("_nx"),
@@ -1209,11 +1219,6 @@ def _nearest_poly_routed(points: DataFrame, zone_edges, *,
                        F.col("zone_id").alias("zone_id")))
     agg = per_zone.groupBy("_rid").agg(
         m.alias("_m"), *[F.first(c).alias(c) for c in keep_cols])
-    return (agg.select(*keep_cols,
-                       F.col("_m.zone_id").alias("zone_id"),
-                       F.col("_m.d2").alias("dist_deg2"))
-            .unionByName(
-                pts.where(~valid)
-                .select(*keep_cols,
-                        F.lit(None).cast("string").alias("zone_id"),
-                        F.lit(None).cast("double").alias("dist_deg2"))))
+    return agg.select(*keep_cols,
+                      F.col("_m.zone_id").alias("zone_id"),
+                      F.col("_m.d2").alias("dist_deg2"))

@@ -192,6 +192,35 @@ def test_checkpoint_concurrent_writers_stay_consistent(spark, tmp_path):
         .count() == 50
 
 
+def test_checkpoint_vacuum_respects_inflight_marker(spark, tmp_path):
+    """A LIVE writer's attempt is protected by its .inflight marker
+    even when the attempt DIRECTORY's mtime is old (parquet
+    materialization never touches the dir's own mtime — r5 review:
+    age alone cannot prove an attempt dead); once the marker itself
+    ages past the window (crashed writer), the attempt collects."""
+    import os
+    import time
+
+    ck = Checkpointer(str(tmp_path))
+    ck.stage(spark.range(3), "s", fingerprint_of("s", "v1"))
+    root = os.path.join(str(tmp_path), "s")
+    old = time.time() - 7200
+    # simulate an in-flight attempt whose write started 2h ago
+    stale_dir = os.path.join(root, "data-deadbeefcafe")
+    os.makedirs(stale_dir)
+    os.utime(stale_dir, (old, old))
+    marker = os.path.join(root, ".inflight-deadbeefcafe")
+    with open(marker, "w"):
+        pass                          # fresh marker: writer alive
+    assert ck.vacuum("s", min_age_s=3600) == 0
+    assert os.path.isdir(stale_dir)
+    # the writer crashed 2h ago: marker aged out -> collected
+    os.utime(marker, (old, old))
+    assert ck.vacuum("s", min_age_s=3600) == 1
+    assert not os.path.isdir(stale_dir)
+    assert not os.path.exists(marker)  # orphan marker swept too
+
+
 def test_checkpoint_snapshot_id_keys_resume_to_input(spark, tmp_path):
     """Input-snapshot fingerprints (r4 verdict item 8): a corpus
     APPEND changes snapshot_id_of(corpus) and so invalidates exactly
@@ -838,6 +867,12 @@ def test_jpeg_progressive_roundtrip_matches_baseline_exactly():
          False, (2, 1), 2),
         (rng.randint(0, 256, (17, 23)).astype(np.uint8), 90,
          False, (2, 1), 1),
+        # subsampled + restarts: an interleaved MCU spans 4 luma +
+        # 2 chroma blocks, so this is the case that catches counting
+        # blocks instead of MCUs (r5 review)
+        (rng.randint(0, 256, (37, 29, 3)).astype(np.uint8), 60,
+         True, (2, 1), 2),
+        (grad, 85, True, (1,), 3),
     ]
     for img, q, sub, chain, ri in cases:
         base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q,

@@ -119,6 +119,11 @@ target_reps = {reps}
 max_attempts = target_reps * 2 + 2
 clean, dirty = [], []
 for _ in range(max_attempts):
+    # 0.5 s settle before the PRE probe lets the JVM's post-job tail
+    # (GC, shuffle cleanup) drain so the reading leans toward ambient
+    # pressure; the POST probe intentionally includes the tail window
+    # (disclosed as such — an in-process probe cannot attribute)
+    time.sleep(0.5)
     bw_pre = membw_gbps()
     s0 = proc_stat(); t0 = time.monotonic()
     run_once()
@@ -262,14 +267,15 @@ reps (not best-of), so the table is reproducible, not opportunistic.
 {rows}
 
 - corpus: {latest[n_lo]['n_pages']} pages ({sf_dir})
-- **N vs 4N (the brief's local[{n_lo}] -> local[{n_hi}] pair):
-  speedup {latest[n_lo]['sec'] / latest[n_hi]['sec']:.2f}x, efficiency
-  {eff(latest, n_lo, n_hi):.2f}** (north_rule target >= 0.8)
-- supplementary local[4] -> local[16]: speedup
+- **THIS INVOCATION'S N vs 4N pair (local[{n_lo}] ->
+  local[{n_hi}]): speedup
+  {latest[n_lo]['sec'] / latest[n_hi]['sec']:.2f}x, efficiency
+  {eff(latest, n_lo, n_hi):.2f}** (north_rule target >= 0.8; the
+  criterion's standing evidence pairs are fixed in BENCH/BASELINE.md,
+  not by which pair a given invocation exercised)
+- also measured, local[4] -> local[16]: speedup
   {latest[4]['sec'] / latest[16]['sec']:.2f}x, efficiency
-  {eff(latest, 4, 16):.2f} — the low parallelism levels are the
-  noise-sensitive ones on this shared box (their long wall times
-  integrate more co-tenant drift)
+  {eff(latest, 4, 16):.2f}
 
 ## Consecutive-run reproducibility
 
@@ -279,15 +285,18 @@ reps (not best-of), so the table is reproducible, not opportunistic.
 |---|---|---|---|---|
 {run_rows}
 
-{"**Both consecutive runs meet eff(N->4N) >= 0.8 on the brief's " + f"{n_lo}->{n_hi} pair.**" if consec and len(all_runs) >= 2 else "Target: two consecutive clean runs >= 0.8."}
+{"**Both consecutive runs meet eff(N->4N) >= 0.8 on this invocation's " + f"{n_lo}->{n_hi} pair.**" if consec and len(all_runs) >= 2 else "Target: two consecutive clean runs >= 0.8."}
 {"Both runs also >= 0.8 on 4->16." if consec_4_16 and len(all_runs) >= 2 else ""}
 
-The N->4N criterion rests on the in-envelope pairs (1->4, 2->8 —
-see BENCH/BASELINE.md); 4->16 is measured and DISCLOSED with its
-per-rep bandwidth probes below, never re-rolled: local[16] occupies
-all 16 physical cores, so a depressed membw reading in a rep's
-window is the co-tenant/bandwidth signature the steal filter cannot
-see (r4 verdict item 6).
+Per the r4 verdict (item 6) and the analysis in BENCH/BASELINE.md,
+the criterion's standing evidence rests on the in-envelope pairs
+(1->4, 2->8); 4->16 is measured and DISCLOSED with its per-rep
+bandwidth probes below, never re-rolled. A depressed probe reading
+bounds the bandwidth a rep's window offered WITHOUT attributing the
+pressure: co-tenants and the bench JVM's own tail activity (GC,
+shuffle cleanup) are indistinguishable to an in-process probe — the
+probes narrow the filter's blind spot, they do not prove innocence
+(r5 review).
 
 ## Per-rep detail (steal/sys filter inputs + bracketing membw probes)
 {rep_detail_md}
