@@ -386,43 +386,70 @@ def main():
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
-        # Summary ONLY on the one-line JSON: embedding the raw rep
-        # arrays (two runs x four levels x 11 reps) blew past the
-        # driver's tail capture in round 2 (BENCH_r02 "parsed": null).
-        # Full detail stays in BENCH/scaling.json.
+        # COMPACT summary only on the one-line JSON: the driver keeps
+        # just the LAST 2000 chars of stdout and parses the final
+        # line, so a line past ~2000 chars truncates and records
+        # "parsed": null (it happened in r2 with raw rep arrays AND
+        # AGAIN in r4 when the growing per-run history pushed the
+        # trimmed summary past the cap). Everything here is rounded
+        # and history-capped; full detail stays in BENCH/scaling.json
+        # + BENCH/SCALING_RUNS.md.
         with open(scaling_path) as f:
             sc = json.load(f)
+
+        def _r2(xs, cap=6):
+            xs = xs or []
+            return [round(float(x), 2) for x in xs[-cap:]]
+
+        def _med(xs):
+            xs = sorted(float(x) for x in (xs or []) if x is not None)
+            if not xs:
+                return None
+            mid = len(xs) // 2
+            v = xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+            return round(v, 2)
+
+        e416 = sc.get("eff_4_to_16") or []
         result["scaling"] = {
             "north_pair": sc.get("north_pair"),
-            "eff_lo_to_hi": sc.get("eff_lo_to_hi"),
-            "both_runs_ge_0_8_lo_to_hi": sc.get("both_runs_ge_0_8_lo_to_hi"),
-            # the second in-envelope 4x pair the r3 judge asked for
-            # (item 4): 4->16 stays inside the physical cores.
-            # Per-run values are noisy at local[16] (ALL physical
-            # cores — ambient load lands there; see BENCH/BASELINE.md
-            # disclosure); pooled_* is the median over every clean
-            # rep of every run — the low-variance aggregate.
-            "eff_4_to_16": sc.get("eff_4_to_16"),
-            "eff_2_to_8": sc.get("eff_2_to_8"),
-            "both_runs_ge_0_8_2_to_8": sc.get("both_runs_ge_0_8_2_to_8"),
-            "both_runs_ge_0_8_4_to_16": sc.get("both_runs_ge_0_8"),
-            "pooled_eff_1_to_4": sc.get("pooled_eff_1_to_4"),
-            "pooled_eff_2_to_8": sc.get("pooled_eff_2_to_8"),
-            "pooled_eff_4_to_16": sc.get("pooled_eff_4_to_16"),
+            # criterion pairs (both ends inside the physical-core /
+            # memory-bandwidth envelope): per-run efficiencies, most
+            # recent last, capped at 6
+            "eff_1_to_4": _r2(sc.get("eff_lo_to_hi")),
+            "eff_2_to_8": _r2(sc.get("eff_2_to_8")),
+            "pass_1_to_4": sc.get("both_runs_ge_0_8_lo_to_hi"),
+            "pass_2_to_8": sc.get("both_runs_ge_0_8_2_to_8"),
+            # 4->16 is measured + DISCLOSED (top rung rides ALL
+            # physical cores; see BENCH/BASELINE.md): median + count
+            # instead of the full per-run history
+            "eff_4_to_16_median": _med(e416),
+            "eff_4_to_16_ge_0_8": sum(1 for x in e416 if x >= 0.8),
+            "eff_4_to_16_n": len(e416),
+            "pooled_eff": {"1to4": _med([sc.get("pooled_eff_1_to_4")]),
+                           "2to8": _med([sc.get("pooled_eff_2_to_8")]),
+                           "4to16": _med([sc.get("pooled_eff_4_to_16")])},
             "n_ladder_runs": sc.get("n_ladder_runs"),
             "corpus_pages": sc.get("corpus_pages"),
-            "pages_per_sec_by_cpus": [
-                {lvl: round(run[lvl]["pages_per_sec"], 1) for lvl in run}
-                for run in sc.get("runs", [])],
-            "detail": "BENCH/scaling.json",
+            "detail": "BENCH/scaling.json + BENCH/SCALING_RUNS.md",
         }
         if "supplementary_8_32" in sc:
             result["scaling"]["eff_8_to_32"] = \
-                sc["supplementary_8_32"]["eff_8_to_32"]
+                _r2(sc["supplementary_8_32"]["eff_8_to_32"])
         if "membw" in sc:
             result["scaling"]["memcpy_eff_8_to_32"] = \
                 sc["membw"]["memcpy_eff_8_to_32"]
-    print(json.dumps(result))
+
+    line = json.dumps(result)
+    # hard guard: never emit a line the driver's 2000-char tail
+    # capture cannot hold — shed detail blocks (they all live in
+    # BENCH/ files) before ever shedding the primary metric
+    for drop in ("scaling", "r3_ops", "text_ops"):
+        if len(line) <= 1800:
+            break
+        result.pop(drop, None)
+        result.setdefault("trimmed", []).append(drop + ":see BENCH/")
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":
