@@ -1936,7 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a CORRECTNESS_r*.json lead (r4 verdict item 1), followed by the rest of
     # the previously-unsampled tail, then the long-green head. Every entry
     # keeps its oracle twin regardless of position (tools/oracle_check.py
-    # runs all 80).
+    # runs all 83: 81 hash + 2 documented rows-only).
     return {
         # --- 9 entries with no driver-side evidence through r4 ---
         "building_type_full": q_building_type_full,

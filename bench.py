@@ -446,8 +446,8 @@ def main():
     for drop in ("scaling", "r3_ops", "text_ops"):
         if len(line) <= 1800:
             break
-        result.pop(drop, None)
-        result.setdefault("trimmed", []).append(drop + ":see BENCH/")
+        if result.pop(drop, None) is not None:
+            result.setdefault("trimmed", []).append(drop + ":see BENCH/")
         line = json.dumps(result)
     print(line)
 

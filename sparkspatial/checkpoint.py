@@ -106,7 +106,14 @@ class Checkpointer:
         os.makedirs(root, exist_ok=True)
         marker = os.path.join(root, f".inflight-{token}")
         with open(marker, "w") as f:
-            f.write("")
+            # the writer's pid: vacuum() must not age-collect a LIVE
+            # writer whose materialization outlives min_age_s (the
+            # marker's mtime is creation time and a blocking write
+            # cannot heartbeat it — r5 review). Liveness is a
+            # same-host check, which matches this backend's scope
+            # (local-fs manifest fallback); a dead/unreadable pid
+            # falls back to the age rules.
+            f.write(str(os.getpid()))
 
         t0 = time.monotonic()
         with_pid = df.withColumn("_pid", F.spark_partition_id())
@@ -205,12 +212,16 @@ class Checkpointer:
         Returns the number of directories removed.
 
         An attempt is collected only when (a) its `.inflight-<token>`
-        marker is gone (the writer published or never started) or
-        the marker itself is older than `min_age_s` (the writer
-        crashed — a LIVE writer's marker is younger than its write,
-        unlike the attempt dir's mtime, which a long parquet
-        materialization never touches; review-caught r5), AND (b)
-        the directory is older than `min_age_s` (Iceberg-vacuum
+        marker is gone (the writer published or never started), OR
+        the marker's recorded writer pid is provably dead AND the
+        marker is older than `min_age_s`. A marker whose pid is still
+        alive protects its attempt at ANY age — the marker's mtime is
+        its creation time and a blocking materialization can run past
+        any retention window (r5 review: age alone would let vacuum
+        delete a live 2-hour write). Liveness is a same-host
+        `kill(pid, 0)` probe, matching this backend's local-fs scope;
+        an unreadable/legacy marker falls back to the age rule. And
+        (b) the directory is older than `min_age_s` (Iceberg-vacuum
         retention analog). Only pass 0 when no writer can be in
         flight."""
         import shutil
@@ -230,14 +241,36 @@ class Checkpointer:
             except OSError:
                 return None
 
+        def _writer_alive(marker_path):
+            """True iff the marker names a pid that is alive on this
+            host. Unreadable/empty/legacy markers return False — the
+            age rule then decides, as before pids were recorded."""
+            try:
+                with open(marker_path) as f:
+                    pid = int(f.read().strip() or "0")
+                if pid <= 0:
+                    return False
+                os.kill(pid, 0)
+                return True
+            except ProcessLookupError:
+                return False
+            except PermissionError:
+                return True         # exists, owned by another user
+            except (OSError, ValueError):
+                return False
+
         for d in os.listdir(root):
             full = os.path.join(root, d)
             if (os.path.isdir(full) and d not in live
                     and (d.startswith("data-") or d.startswith("lineage-"))):
                 token = d.split("-", 1)[1]
-                marker_age = _age(os.path.join(root, f".inflight-{token}"))
-                if marker_age is not None and marker_age < min_age_s:
-                    continue            # writer in flight
+                marker = os.path.join(root, f".inflight-{token}")
+                marker_age = _age(marker)
+                if marker_age is not None:
+                    if _writer_alive(marker):
+                        continue    # live writer: protected at any age
+                    if marker_age < min_age_s:
+                        continue    # writer in flight (or just died)
                 dir_age = _age(full)
                 if dir_age is None or dir_age < min_age_s:
                     continue
@@ -251,7 +284,8 @@ class Checkpointer:
                         or os.path.isdir(
                             os.path.join(root, f"lineage-{token}"))):
                     age = _age(os.path.join(root, d))
-                    if age is not None and age >= min_age_s:
+                    if age is not None and age >= min_age_s \
+                            and not _writer_alive(os.path.join(root, d)):
                         try:
                             os.remove(os.path.join(root, d))
                         except OSError:

@@ -969,6 +969,66 @@ def _nearest_pick_res(zone_rects) -> int:
                                          target_cell_deg=target), 2), 16)
 
 
+# out-of-domain sentinel: a non-NULL point whose lat/lon falls
+# outside [-90,90]x[-180,180] (or is NaN) would be CLAMPED into an
+# edge cell by cell_sql, breaking the candidate pruners' point-in-
+# cell-bounds argument (r5 review: a lon=236 point could lose its
+# true nearest zone). Such rows get this cell id instead, and the
+# pruners route it to ALL zones — pruning-free, so the re-rank sees
+# exactly the literal fold's candidate set for those rows.
+NEAREST_SENTINEL_CELL = -1
+
+
+def _routed_cell_col(lat_col: str, lon_col: str, res: int):
+    """The routed nearest family's cell column: NULL for NULL
+    coordinates (they ride LEFT joins to NULL outputs), the real
+    cell for in-domain points, NEAREST_SENTINEL_CELL for non-NULL
+    points outside [-90,90]x[-180,180] or NaN (NaN fails `<= hi`
+    since Spark orders NaN above all doubles) — those rows get the
+    full zone set, so the re-rank matches the literal fold exactly
+    instead of trusting a clamped cell's bounds (r5 review)."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    valid = lat.isNotNull() & lon.isNotNull()
+    in_domain = ((lat >= F.lit(-90.0)) & (lat <= F.lit(90.0))
+                 & (lon >= F.lit(-180.0)) & (lon <= F.lit(180.0)))
+    return (F.when(valid & in_domain,
+                   F.expr(cells.cell_sql(lat_col, lon_col, res)))
+            .when(valid, F.lit(NEAREST_SENTINEL_CELL).cast("bigint")))
+
+
+def _candidate_prune_gen(n_zones: int, pair_bounds, emit):
+    """Shared Arrow scaffold of the routed candidate pruners (ONE
+    definition so the rect and poly routes can never diverge on the
+    chunking, cell-bounds extraction, or sentinel handling — r5
+    review). Per cell batch: SENTINEL cells (< 0) emit ALL zones;
+    normal cells chunk to <= 2M (cell, zone) pairs, call
+    `pair_bounds(ax, bx, ay, by) -> (mind2, bound)` on the cell
+    corner arrays, and keep pairs with mind2 <= bound. `emit(cs, ci,
+    zi)` builds the output frame."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cs = pdf["cell"].to_numpy(np.int64)
+            sent = cs[cs < 0]
+            if len(sent):
+                yield emit(sent,
+                           np.repeat(np.arange(len(sent)), n_zones),
+                           np.tile(np.arange(n_zones), len(sent)))
+            norm = cs[cs >= 0]
+            if not len(norm):
+                continue
+            minlon, minlat, maxlon, maxlat = cells.cell_bounds(norm)
+            chunk = max(1, 2_000_000 // max(n_zones, 1))
+            for s in range(0, len(norm), chunk):
+                sl = slice(s, s + chunk)
+                mind2, bound = pair_bounds(
+                    minlon[sl][:, None], maxlon[sl][:, None],
+                    minlat[sl][:, None], maxlat[sl][:, None])
+                ci, zi = np.nonzero(mind2 <= bound)
+                yield emit(norm[sl], ci, zi)
+
+    return gen
+
+
 def _nearest_rect_candidates(pcells: DataFrame, zone_rects, k: int
                              ) -> DataFrame:
     """EXACT candidate pruning per distinct point-cell (one Arrow
@@ -983,7 +1043,14 @@ def _nearest_rect_candidates(pcells: DataFrame, zone_rects, k: int
     order. The FP comparisons inherit this because correctly-rounded
     subtraction/max/square/add are monotone, so the computed mind2
     lower-bounds and maxd2 upper-bounds every in-cell point's
-    computed d2 (clamp distances are convex per axis — endpoint max).
+    computed d2 (clamp distances are convex per axis — endpoint max)
+    — up to one caveat: cell ASSIGNMENT (cell_sql's floor of a
+    rounded grid coordinate) can disagree with cell_bounds by a last
+    ulp for a point sitting exactly on a cell edge, so a 1e-9
+    RELATIVE margin widens both sides (r5 review; candidates can
+    only grow, never lose the true top-k). Out-of-domain points
+    never reach these bounds at all — they carry
+    NEAREST_SENTINEL_CELL and get every zone.
 
     Cost: O(|distinct cells| x |zones|) vectorized numpy, constant in
     the corpus size (web points are heavily co-located, so distinct
@@ -995,35 +1062,31 @@ def _nearest_rect_candidates(pcells: DataFrame, zone_rects, k: int
     zmaxy = np.array([float(z[4]) for z in zone_rects])
     kk = min(int(k), len(zid))
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            cs = pdf["cell"].to_numpy(np.int64)
-            minlon, minlat, maxlon, maxlat = cells.cell_bounds(cs)
-            chunk = max(1, 2_000_000 // max(len(zid), 1))
-            for s in range(0, len(cs), chunk):
-                sl = slice(s, s + chunk)
-                ax, bx = minlon[sl][:, None], maxlon[sl][:, None]
-                ay, by = minlat[sl][:, None], maxlat[sl][:, None]
-                mindx = np.maximum(np.maximum(zminx - bx, ax - zmaxx), 0.0)
-                mindy = np.maximum(np.maximum(zminy - by, ay - zmaxy), 0.0)
-                mind2 = mindx * mindx + mindy * mindy
-                dxa = np.maximum(np.maximum(zminx - ax, ax - zmaxx), 0.0)
-                dxb = np.maximum(np.maximum(zminx - bx, bx - zmaxx), 0.0)
-                dya = np.maximum(np.maximum(zminy - ay, ay - zmaxy), 0.0)
-                dyb = np.maximum(np.maximum(zminy - by, by - zmaxy), 0.0)
-                maxdx = np.maximum(dxa, dxb)
-                maxdy = np.maximum(dya, dyb)
-                maxd2 = maxdx * maxdx + maxdy * maxdy
-                bound = np.partition(maxd2, kk - 1, axis=1)[:, kk - 1:kk]
-                ci, zi = np.nonzero(mind2 <= bound)
-                yield pd.DataFrame({
-                    "cell": cs[sl][ci], "zone_id": zid[zi],
-                    "minx": zminx[zi], "miny": zminy[zi],
-                    "maxx": zmaxx[zi], "maxy": zmaxy[zi]})
+    def pair_bounds(ax, bx, ay, by):
+        mindx = np.maximum(np.maximum(zminx - bx, ax - zmaxx), 0.0)
+        mindy = np.maximum(np.maximum(zminy - by, ay - zmaxy), 0.0)
+        mind2 = (mindx * mindx + mindy * mindy) * (1.0 - 1e-9)
+        dxa = np.maximum(np.maximum(zminx - ax, ax - zmaxx), 0.0)
+        dxb = np.maximum(np.maximum(zminx - bx, bx - zmaxx), 0.0)
+        dya = np.maximum(np.maximum(zminy - ay, ay - zmaxy), 0.0)
+        dyb = np.maximum(np.maximum(zminy - by, by - zmaxy), 0.0)
+        maxdx = np.maximum(dxa, dxb)
+        maxdy = np.maximum(dya, dyb)
+        maxd2 = maxdx * maxdx + maxdy * maxdy
+        bound = np.partition(maxd2, kk - 1, axis=1)[:, kk - 1:kk] \
+            * (1.0 + 1e-9)
+        return mind2, bound
+
+    def emit(cs, ci, zi):
+        return pd.DataFrame({
+            "cell": cs[ci], "zone_id": zid[zi],
+            "minx": zminx[zi], "miny": zminy[zi],
+            "maxx": zmaxx[zi], "maxy": zmaxy[zi]})
 
     return pcells.mapInPandas(
-        gen, "cell long, zone_id string, minx double, miny double, "
-             "maxx double, maxy double")
+        _candidate_prune_gen(len(zid), pair_bounds, emit),
+        "cell long, zone_id string, minx double, miny double, "
+        "maxx double, maxy double")
 
 
 def _nearest_rect_routed(points: DataFrame, zone_rects, k: int, *,
@@ -1052,16 +1115,15 @@ def _nearest_rect_routed(points: DataFrame, zone_rects, k: int, *,
 
     if res is None:
         res = _nearest_pick_res(zone_rects)
-    valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
     # _cell is NULL exactly for NULL-coordinate rows (cell_sql would
     # CLAMP them into cell 0, so the when() carries the validity
     # signal); the candidate join below is LEFT, so those rows ride
     # the single fact-table scan straight to NULL outputs instead of
-    # re-entering via a third scan (r5 review)
+    # re-entering via a third scan (r5 review). Out-of-domain /
+    # NaN coordinates get NEAREST_SENTINEL_CELL -> all zones.
     pts = (points
            .withColumn("_rid", F.monotonically_increasing_id())
-           .withColumn("_cell", F.when(
-               valid, F.expr(cells.cell_sql(lat_col, lon_col, res)))))
+           .withColumn("_cell", _routed_cell_col(lat_col, lon_col, res)))
     pcells = (pts.select(F.col("_cell").alias("cell"))
               .where(F.col("cell").isNotNull()).distinct())
     cand_cells = _nearest_rect_candidates(pcells, zone_rects, k)
@@ -1113,29 +1175,28 @@ def _nearest_poly_candidates(pcells: DataFrame, zid, env, vx, vy
     Unlike the rect route, the lower and upper bounds come from
     DIFFERENT formulas than the re-rank's segment projection, so a
     1e-9 RELATIVE margin on each side absorbs last-ulp rounding skew
-    — candidates can only grow, never lose the true argmin."""
+    (including cell-assignment-vs-cell-bounds edge skew, shared with
+    the rect route) — candidates can only grow, never lose the true
+    argmin. Sentinel cells (out-of-domain points) get every zone via
+    the shared scaffold."""
     eminx, eminy, emaxx, emaxy = env
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            cs = pdf["cell"].to_numpy(np.int64)
-            minlon, minlat, maxlon, maxlat = cells.cell_bounds(cs)
-            chunk = max(1, 2_000_000 // max(len(zid), 1))
-            for s in range(0, len(cs), chunk):
-                sl = slice(s, s + chunk)
-                ax, bx = minlon[sl][:, None], maxlon[sl][:, None]
-                ay, by = minlat[sl][:, None], maxlat[sl][:, None]
-                mindx = np.maximum(np.maximum(eminx - bx, ax - emaxx), 0.0)
-                mindy = np.maximum(np.maximum(eminy - by, ay - emaxy), 0.0)
-                mind2 = (mindx * mindx + mindy * mindy) * (1.0 - 1e-9)
-                maxdx = np.maximum(np.abs(ax - vx), np.abs(bx - vx))
-                maxdy = np.maximum(np.abs(ay - vy), np.abs(by - vy))
-                maxd2 = maxdx * maxdx + maxdy * maxdy
-                bound = maxd2.min(axis=1, keepdims=True) * (1.0 + 1e-9)
-                ci, zi = np.nonzero(mind2 <= bound)
-                yield pd.DataFrame({"cell": cs[sl][ci], "zone_id": zid[zi]})
+    def pair_bounds(ax, bx, ay, by):
+        mindx = np.maximum(np.maximum(eminx - bx, ax - emaxx), 0.0)
+        mindy = np.maximum(np.maximum(eminy - by, ay - emaxy), 0.0)
+        mind2 = (mindx * mindx + mindy * mindy) * (1.0 - 1e-9)
+        maxdx = np.maximum(np.abs(ax - vx), np.abs(bx - vx))
+        maxdy = np.maximum(np.abs(ay - vy), np.abs(by - vy))
+        maxd2 = maxdx * maxdx + maxdy * maxdy
+        bound = maxd2.min(axis=1, keepdims=True) * (1.0 + 1e-9)
+        return mind2, bound
 
-    return pcells.mapInPandas(gen, "cell long, zone_id string")
+    def emit(cs, ci, zi):
+        return pd.DataFrame({"cell": cs[ci], "zone_id": zid[zi]})
+
+    return pcells.mapInPandas(
+        _candidate_prune_gen(len(zid), pair_bounds, emit),
+        "cell long, zone_id string")
 
 
 def _nearest_poly_routed(points: DataFrame, zone_edges, *,
@@ -1177,12 +1238,11 @@ def _nearest_poly_routed(points: DataFrame, zone_edges, *,
     # _cell NULL exactly for NULL-coordinate rows (when() carries the
     # validity signal — cell_sql would CLAMP NULLs into cell 0); both
     # downstream joins are LEFT, so those rows ride the single fact
-    # scan to NULL outputs, never a re-entry union (r5 review)
-    valid = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    # scan to NULL outputs, never a re-entry union (r5 review).
+    # Out-of-domain / NaN coordinates get the sentinel -> all zones.
     pts = (points
            .withColumn("_rid", F.monotonically_increasing_id())
-           .withColumn("_cell", F.when(
-               valid, F.expr(cells.cell_sql(lat_col, lon_col, res)))))
+           .withColumn("_cell", _routed_cell_col(lat_col, lon_col, res)))
     pcells = (pts.select(F.col("_cell").alias("cell"))
               .where(F.col("cell").isNotNull()).distinct())
     cand_cells = _nearest_poly_candidates(
@@ -1207,11 +1267,20 @@ def _nearest_poly_routed(points: DataFrame, zone_edges, *,
     cross = (((y0 > lat) != (y1 > lat))
              & (lon < x0 + (lat - y0) / (y1 - y0) * (x1 - x0)))
 
+    # least(Infinity, min(seg_d2)) mirrors the literal fold's
+    # Infinity-seeded `least(acc.d2, ...)` accumulator: an all-NaN
+    # edge set (NaN-coordinate point) must score Infinity, not NaN,
+    # for the routes to stay bit-equal (r5 review — Spark's min()
+    # would return NaN there, while least() orders NaN LAST). Gated
+    # on the join match so unmatched rows keep NULL.
     per_zone = (cand.join(F.broadcast(edges_df), "zone_id", "left")
                 .groupBy("_rid", "zone_id")
-                .agg(F.min(seg_d2).alias("_d2min"),
+                .agg(F.min(seg_d2).alias("_d2raw"),
                      F.sum(cross.cast("long")).alias("_nx"),
                      *[F.first(c).alias(c) for c in keep_cols])
+                .withColumn("_d2min", F.when(
+                    F.col("zone_id").isNotNull(),
+                    F.least(F.lit(float("inf")), F.col("_d2raw"))))
                 .withColumn("_d2",
                             F.when(F.col("_nx") % 2 == 1, F.lit(0.0))
                             .otherwise(F.col("_d2min"))))

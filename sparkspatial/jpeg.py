@@ -789,7 +789,10 @@ def _decode_jpeg(payload: bytes):
                 return None                      # duplicate frame header
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8 or nc not in (1, 3):
+            if prec != 8 or nc not in (1, 3) or not (h and w):
+                # zero-dimension frames must reject like
+                # jpeg_dimensions does, not decode to an EMPTY array
+                # that image_features would score as NaN (r5 review)
                 return None
             if h * w > (1 << 26):
                 # 67M-pixel cap: a corrupted/adversarial SOF would
@@ -910,11 +913,11 @@ def _decode_progressive_scan(data, pos, comps, seg, qts, huffs,
             comp["dc_t"] = huffs.get(0x00 | td)
             if comp["dc_t"] is None:
                 return None
-        if not dc_scan and ah == 0:
-            comp["ac_t"] = huffs.get(0x10 | ta)
-            if comp["ac_t"] is None:
-                return None
-        if not dc_scan and ah > 0:
+        if not dc_scan:
+            # AC-first and AC-refinement use the SAME table selector
+            # (T.81 G.1.2.3: Td/Ta come from the scan header either
+            # way) — one branch, so a selection fix can't land in
+            # only one arm (r5 review)
             comp["ac_t"] = huffs.get(0x10 | ta)
             if comp["ac_t"] is None:
                 return None

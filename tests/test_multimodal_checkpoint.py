@@ -214,7 +214,19 @@ def test_checkpoint_vacuum_respects_inflight_marker(spark, tmp_path):
         pass                          # fresh marker: writer alive
     assert ck.vacuum("s", min_age_s=3600) == 0
     assert os.path.isdir(stale_dir)
-    # the writer crashed 2h ago: marker aged out -> collected
+    # a marker naming a LIVE pid protects at ANY age (r5 review: a
+    # 2h materialization outlives the retention window, and the
+    # blocking write cannot heartbeat the marker's mtime)
+    with open(marker, "w") as f:
+        f.write(str(os.getpid()))
+    os.utime(marker, (old, old))
+    assert ck.vacuum("s", min_age_s=3600) == 0
+    assert os.path.isdir(stale_dir)
+    # the writer crashed 2h ago (dead pid, marker aged out) ->
+    # collected. pid 1 is init: alive but never a writer we own —
+    # use an impossible pid instead
+    with open(marker, "w") as f:
+        f.write("999999999")
     os.utime(marker, (old, old))
     assert ck.vacuum("s", min_age_s=3600) == 1
     assert not os.path.isdir(stale_dir)

@@ -233,3 +233,96 @@ def test_nearest_zone_polygons_auto_routes_big_sets(spark):
                 best = cand
         assert got[p.url][0] == best[1], p.url
         assert got[p.url][1] == pytest.approx(best[0], abs=1e-15), p.url
+
+
+def test_nearest_routed_out_of_domain_and_nan_parity(spark):
+    """Non-NULL coordinates OUTSIDE [-90,90]x[-180,180] (and NaN,
+    which Spark orders above all doubles so it fails the domain
+    check) would be CLAMPED into an edge cell by cell_sql, breaking
+    the pruners' point-in-cell-bounds argument — a lon=236 point
+    could lose its true nearest zone (r5 review). The routed paths
+    now give such rows NEAREST_SENTINEL_CELL -> the FULL zone set,
+    so every route stays bit-equal to the literal fold."""
+    rows = [("in1", 46.0, 2.0),
+            ("east", -85.0, 236.0),       # clamps to easternmost cell
+            ("west", 10.0, -510.0),       # clamps to westernmost cell
+            ("north", 123.0, 3.0),        # lat out of range
+            ("nan", float("nan"), 2.0),   # NaN fails the domain check
+            ("nan2", 45.0, float("nan"))]
+    pts = spark.createDataFrame(rows, "url string, lat double, lon double")
+    # zones chosen so the clamped cell's argmin differs from the true
+    # one: z_far hugs the antimeridian, z_near sits mid-ocean
+    zr = [("z_far", 150.0, -88.0, 179.0, -80.0),
+          ("z_near", 60.0, -60.0, 80.0, -40.0),
+          ("z_eu", 1.0, 45.0, 3.0, 47.0)] + _mk_zone_rects(40)
+
+    def nrows(df):
+        # NaN-normalizing _rows: nan != nan would fail equality on
+        # rows whose dist is legitimately NaN (NaN-coordinate inputs)
+        return sorted(tuple("NaN" if isinstance(v, float) and v != v
+                            else v for v in r) for r in df.collect())
+
+    lit = join.nearest_zone(pts, zr, route="literal")
+    routed = join.nearest_zone(pts, zr, route="cells")
+    assert nrows(lit) == nrows(routed)
+    # the clamped-cell pruning really would have broken 'east': its
+    # true argmin under (d2, zone_id) differs from the clamped cell's
+    got = {r.url: r.zone_id for r in lit.collect()}
+    assert got["in1"] == "z_eu"
+
+    for k in (1, 3):
+        lt = join.nearest_zones_topk(pts, zr, k, route="literal")
+        rt = join.nearest_zones_topk(pts, zr, k, route="cells")
+        assert nrows(lt) == nrows(rt), k
+
+    zdf = _poly_zones_df(spark, 20)
+    lp = join.nearest_zone_polygons(pts, zdf, route="literal")
+    rp = join.nearest_zone_polygons(pts, zdf, route="cells")
+    assert nrows(lp) == nrows(rp)
+
+
+def test_nearest_routed_boundary_biased_random_parity(spark):
+    """Randomized literal-vs-routed parity with coordinates engineered
+    to sit ON cell edges at the routed resolution (where cell
+    ASSIGNMENT and cell_bounds can disagree by a last ulp — the 1e-9
+    pruning margin's reason to exist), mixed with extreme magnitudes,
+    near-domain-edge values, and exact duplicates. One DataFrame, one
+    comparison per op: the two routes must agree to the bit."""
+    rng = np.random.RandomState(11)
+    res = 6
+    n_grid = 1 << res
+    rows = []
+    for i in range(120):
+        kind = i % 4
+        if kind == 0:       # exactly on a cell edge at `res`
+            gx = rng.randint(1, n_grid - 1)
+            gy = rng.randint(1, n_grid - 1)
+            lon = gx / n_grid * 360.0 - 180.0
+            lat = gy / n_grid * 180.0 - 90.0
+        elif kind == 1:     # a few ulps around a cell edge
+            gx = rng.randint(1, n_grid - 1)
+            lon = np.nextafter(gx / n_grid * 360.0 - 180.0,
+                               rng.choice([-1e9, 1e9]))
+            lat = float(rng.uniform(-89.0, 89.0))
+        elif kind == 2:     # domain corners / extremes
+            lat = float(rng.choice([-90.0, 90.0,
+                                    np.nextafter(90.0, 0.0), -89.9999]))
+            lon = float(rng.choice([-180.0, 180.0,
+                                    np.nextafter(-180.0, 0.0), 179.9999]))
+        else:               # plain uniform
+            lat = float(rng.uniform(-90.0, 90.0))
+            lon = float(rng.uniform(-180.0, 180.0))
+        rows.append((f"r{i}", float(lat), float(lon)))
+    rows += rows[:5]        # duplicates keep one output row each
+    pts = spark.createDataFrame(
+        [(f"{u}_{j}", la, lo) for j, (u, la, lo) in enumerate(rows)],
+        "url string, lat double, lon double")
+    zr = _mk_zone_rects(80, lat0=-88.0, lat1=88.0, lon0=-178.0,
+                        lon1=178.0)
+
+    lit = join.nearest_zone(pts, zr, route="literal")
+    assert _rows(lit) == _rows(
+        join.nearest_zone(pts, zr, route="cells", res=res))
+    lt = join.nearest_zones_topk(pts, zr, 3, route="literal")
+    assert _rows(lt) == _rows(
+        join.nearest_zones_topk(pts, zr, 3, route="cells", res=res))
