@@ -18,7 +18,12 @@ Noise control (this is a shared box behind a hypervisor — see
   host-wide steal%% and sys%% over the rep window; reps with
   steal%% > STEAL_MAX or sys%% > SYS_MAX are DISCARDED as
   co-tenant/kernel noise and re-run (bounded attempts);
-- the reported number is the MEDIAN of the clean reps, not the best.
+- each rep is also BRACKETED by 0.3 s single-stream memcpy probes;
+  a probe below MEMBW_MIN_GBPS on either side discards the rep the
+  same way (user-space co-tenant memory pressure is invisible to
+  steal/sys — observed corrupting a rep at 0.33%% steal);
+- the reported number is the MEDIAN of the clean reps, not the best;
+  discarded reps stay in the report.
 
 The driver protocol asks for two consecutive clean full runs with
 eff(4->16) >= 0.8; `--runs 2` (default) executes the whole ladder
@@ -39,6 +44,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STEAL_MAX = 1.0   # %% of host CPU ticks stolen by the hypervisor
 SYS_MAX = 20.0    # %% of host CPU ticks in kernel mode
+# Severe-bandwidth-depression filter (r5, closing the loop on the r4
+# verdict's "measure the co-tenant, don't re-roll the dice"): a rep
+# whose bracketing single-stream memcpy probe reads below this on
+# EITHER side ran in a window that could not give one stream even
+# ~40%% of this box's idle ~24 GB/s — user-space co-tenant pressure
+# the steal/sys counters cannot see (observed in the wild: a 2->8
+# ladder rep at 0.33%% steal with probes at 7.1 and 1.2 GB/s and a
+# 2.6x-inflated wall). Same discard+re-run semantics as the steal
+# filter; every discarded rep stays in the report. Clean windows
+# across 48 bracketed reps never read below 14.5; contended ones
+# read 1.2-8.2.
+MEMBW_MIN_GBPS = 10.0
 
 CHILD = r"""
 import json, os, sys, time
@@ -134,7 +151,8 @@ for _ in range(max_attempts):
             "steal_pct": 100.0 * (s1["steal"] - s0["steal"]) / d_total,
             "sys_pct": 100.0 * (s1["sys"] - s0["sys"]) / d_total,
             "membw_pre_gbps": bw_pre, "membw_post_gbps": bw_post}}
-    if rep["steal_pct"] <= {steal_max} and rep["sys_pct"] <= {sys_max}:
+    if rep["steal_pct"] <= {steal_max} and rep["sys_pct"] <= {sys_max} \
+            and min(bw_pre, bw_post) >= {membw_min}:
         clean.append(rep)
     else:
         dirty.append(rep)
@@ -154,7 +172,8 @@ print(json.dumps({{"cpus": cpus, "sec": sec, "n_pages": n_pages,
 
 def run_at(cpus: int, pages_path: str, reps: int) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, pages_path=pages_path,
-                        reps=reps, steal_max=STEAL_MAX, sys_max=SYS_MAX)
+                        reps=reps, steal_max=STEAL_MAX, sys_max=SYS_MAX,
+                        membw_min=MEMBW_MIN_GBPS)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     if out.returncode != 0:
@@ -257,9 +276,12 @@ rollup. Identical input and code path at every parallelism level
 
 Noise protocol: full-job warmup per level (JIT/heap/page-cache),
 pre-sized JVM heap, then timed reps each bracketed by /proc/stat
-reads; reps with hypervisor steal > {STEAL_MAX}% or kernel time >
-{SYS_MAX}% of host ticks over the rep window are discarded as
-co-tenant noise and re-run. Reported number = MEDIAN of {reps} clean
+reads AND 0.3 s single-stream memcpy probes; reps with hypervisor
+steal > {STEAL_MAX}%, kernel time > {SYS_MAX}% of host ticks, or a
+bracketing bandwidth probe below {MEMBW_MIN_GBPS} GB/s (severe
+co-tenant memory pressure the steal counter cannot see; idle reads
+~24) are discarded as co-tenant noise and re-run — discarded reps
+stay in the per-rep tables below. Reported number = MEDIAN of {reps} clean
 reps (not best-of), so the table is reproducible, not opportunistic.
 
 | config | wall sec (median of clean) | pages/sec | clean/total reps |
