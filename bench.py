@@ -28,6 +28,53 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
+# Same severe-bandwidth-depression filter as tools/scaling_bench.py
+# (shared rationale there): sustained co-tenant memory pressure is
+# invisible to kernel/steal counters yet inflates arbitrary rows —
+# observed in r5 final-tree runs turning a 1.5 s decontaminate median
+# into 19.8 s and a 7.8 s suite into 13.8 s while steal stayed <1%.
+# Reps bracketed by 0.25 s single-stream memcpy probes; a probe below
+# this on either side marks the rep dirty (idle reads ~21-26 GB/s).
+MEMBW_MIN_GBPS = 10.0
+_BW_BUFS = []
+
+
+def _membw_gbps(sec: float = 0.25) -> float:
+    import numpy as np
+    if not _BW_BUFS:
+        a = np.ones(50_000_000 // 8, dtype=np.int64)
+        b = np.empty_like(a)
+        np.copyto(b, a)
+        _BW_BUFS.extend((a, b))
+    a, b = _BW_BUFS
+    n = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < sec:
+        np.copyto(b, a)
+        n += 1
+    return n * 0.1 / (time.monotonic() - t0)
+
+
+def _probed_median(fn, reps: int = 3) -> float:
+    """Median of `reps` probe-clean timings of fn() (one warmup
+    assumed done by the caller). Dirty reps are re-run up to reps+3
+    extra attempts; if the box never quiets down, the median falls
+    back to every rep taken (never hangs, never returns nothing)."""
+    import statistics as _stats
+
+    clean, dirty = [], []
+    for _ in range(2 * reps + 3):
+        pre = _membw_gbps()
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        post = _membw_gbps()
+        (clean if min(pre, post) >= MEMBW_MIN_GBPS else dirty).append(dt)
+        if len(clean) >= reps:
+            break
+    pool = clean if len(clean) >= reps else clean + dirty
+    return round(_stats.median(pool), 3)
+
 
 def build_pages_cache(spark, sf_dir: str, replicate: int = 1,
                       n_files: int = 64) -> str:
@@ -210,17 +257,32 @@ def bench_queries(spark, sf_dir: str, pages_path: str):
         fn()  # per-query warmup: each plan shape compiles its own codegen
     samples = {name: [] for name, _ in named}
     dirty = {name: [] for name, _ in named}
-    for _ in range(5):
+    clean_cycles = 0
+    for _ in range(8):          # up to 3 extra cycles replace dirty ones
+        # cycle-level membw probes (r5, same filter as the scaling
+        # ladder): a sustained co-tenant bandwidth burst inflates a
+        # whole round-robin cycle while kernel/steal counters stay
+        # quiet — a depressed probe on either side marks the cycle's
+        # reps dirty for EVERY query
+        bw_pre = _membw_gbps()
+        cycle = {}
         for name, fn in named:
             c0, d0 = _sys_pct()
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
             c1, d1 = _sys_pct()
-            if (d1 - d0) > 0.20 * max(c1 - c0, 1):
+            cycle[name] = (dt, (d1 - d0) > 0.20 * max(c1 - c0, 1))
+        bw_ok = min(bw_pre, _membw_gbps()) >= MEMBW_MIN_GBPS
+        for name, (dt, rep_dirty) in cycle.items():
+            if rep_dirty or not bw_ok:
                 dirty[name].append(dt)
             else:
                 samples[name].append(dt)
+        clean_cycles += bw_ok and not any(
+            d for _, d in cycle.values())
+        if clean_cycles >= 5:
+            break
     for name, _ in named:
         reps = sorted(samples[name] if len(samples[name]) >= 3
                       else samples[name] + dirty[name])
@@ -234,9 +296,6 @@ def bench_text_ops(spark, pages_path: str) -> dict:
     single reps at the suite tail swing 1.4-2.1x under GC/persist
     pressure, the same lesson the r3_ops block learned in r4; these
     rows are throughput documentation, not the primary metric)."""
-    import statistics as _stats
-    import time as _t
-
     from pyspark.sql import functions as F
 
     from sparkspatial import text
@@ -280,12 +339,10 @@ def bench_text_ops(spark, pages_path: str) -> dict:
                      ("pack_sequences_600k", pack),
                      ("pii_scrub_600k", pii)]:
         fn()
-        reps = []
-        for _ in range(3):
-            t0 = _t.monotonic()
-            fn()
-            reps.append(_t.monotonic() - t0)
-        out[name] = round(_stats.median(reps), 3)
+        # probe-filtered reps (r5): a sustained co-tenant bandwidth
+        # burst once turned this block's decontaminate median into
+        # 19.8 s at <1% steal — same filter as the scaling ladder
+        out[name] = _probed_median(fn, reps=3)
     ev_hashes.unpersist()
     return out
 
@@ -297,9 +354,6 @@ def bench_r3_ops(spark, sf_dir: str) -> dict:
     pressure, medians are reproducible): polygon x polygon overlay
     (JVM probe fast path), distributed embedding near-dup, trigram
     familiarity."""
-    import statistics as _stats
-    import time as _t
-
     import __spark_entry__ as entry
     from sparkspatial import sim
 
@@ -335,12 +389,8 @@ def bench_r3_ops(spark, sf_dir: str) -> dict:
                      ("knn_graph_exact", knng),
                      ("ann_cosine_blocked", topk_blocked)]:
         fn()
-        reps = []
-        for _ in range(3):
-            t0 = _t.monotonic()
-            fn()
-            reps.append(_t.monotonic() - t0)
-        out[name] = round(_stats.median(reps), 3)
+        # probe-filtered reps (r5) — see bench_text_ops
+        out[name] = _probed_median(fn, reps=3)
     return out
 
 
