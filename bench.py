@@ -28,31 +28,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
-# Same severe-bandwidth-depression filter as tools/scaling_bench.py
-# (shared rationale there): sustained co-tenant memory pressure is
-# invisible to kernel/steal counters yet inflates arbitrary rows —
+# Severe-bandwidth-depression filter — probe and threshold shared
+# with tools/scaling_bench.py via tools/membw_probe.py (ONE
+# definition; rationale there): sustained co-tenant memory pressure
+# is invisible to kernel/steal counters yet inflates arbitrary rows —
 # observed in r5 final-tree runs turning a 1.5 s decontaminate median
 # into 19.8 s and a 7.8 s suite into 13.8 s while steal stayed <1%.
 # Reps bracketed by 0.25 s single-stream memcpy probes; a probe below
-# this on either side marks the rep dirty (idle reads ~21-26 GB/s).
-MEMBW_MIN_GBPS = 10.0
-_BW_BUFS = []
-
-
-def _membw_gbps(sec: float = 0.25) -> float:
-    import numpy as np
-    if not _BW_BUFS:
-        a = np.ones(50_000_000 // 8, dtype=np.int64)
-        b = np.empty_like(a)
-        np.copyto(b, a)
-        _BW_BUFS.extend((a, b))
-    a, b = _BW_BUFS
-    n = 0
-    t0 = time.monotonic()
-    while time.monotonic() - t0 < sec:
-        np.copyto(b, a)
-        n += 1
-    return n * 0.1 / (time.monotonic() - t0)
+# the floor on either side marks the rep dirty (idle ~21-26 GB/s).
+from tools.membw_probe import MEMBW_MIN_GBPS  # noqa: E402
+from tools.membw_probe import membw_gbps as _membw_gbps  # noqa: E402
 
 
 def _probed_median(fn, reps: int = 3) -> float:
@@ -499,6 +484,20 @@ def main():
         if result.pop(drop, None) is not None:
             result.setdefault("trimmed", []).append(drop + ":see BENCH/")
         line = json.dumps(result)
+    if len(line) > 1800:
+        # last resort (r5 second review: the named blocks may not be
+        # the growth source — e.g. more suite queries): shed to the
+        # irreducible core rather than ever printing a line the
+        # driver's 2000-char tail capture would truncate to
+        # parsed:null
+        core = {k: result[k] for k in
+                ("metric", "value", "unit", "queries", "sf",
+                 "n_pages", "pages_per_sec", "cpus") if k in result}
+        core["trimmed"] = "see BENCH/"
+        line = json.dumps(core)
+        if len(line) > 1800:        # a huge queries dict, even
+            core.pop("queries", None)
+            line = json.dumps(core)
     print(line)
 
 

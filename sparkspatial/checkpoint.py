@@ -52,6 +52,22 @@ class StaleCheckpointError(RuntimeError):
     not match the caller's expectation."""
 
 
+def _proc_starttime(pid: int) -> int | None:
+    """The process's starttime (clock ticks since boot, field 22 of
+    /proc/<pid>/stat) — the identity that distinguishes a live writer
+    from an unrelated process that inherited its recycled pid. None
+    when unreadable (non-Linux, vanished pid)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens: parse after the
+        # LAST ')' per proc(5)
+        fields = stat[stat.rindex(b")") + 2:].split()
+        return int(fields[19])      # field 22 overall, 20th after comm
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 class Checkpointer:
     def __init__(self, base_path: str, spark: SparkSession | None = None):
         self.base = base_path
@@ -106,48 +122,61 @@ class Checkpointer:
         os.makedirs(root, exist_ok=True)
         marker = os.path.join(root, f".inflight-{token}")
         with open(marker, "w") as f:
-            # the writer's pid: vacuum() must not age-collect a LIVE
-            # writer whose materialization outlives min_age_s (the
-            # marker's mtime is creation time and a blocking write
-            # cannot heartbeat it — r5 review). Liveness is a
-            # same-host check, which matches this backend's scope
-            # (local-fs manifest fallback); a dead/unreadable pid
-            # falls back to the age rules.
-            f.write(str(os.getpid()))
+            # "pid:starttime" of the writer: vacuum() must not
+            # age-collect a LIVE writer whose materialization outlives
+            # min_age_s (the marker's mtime is creation time and a
+            # blocking write cannot heartbeat it — r5 review). The
+            # /proc starttime pins the IDENTITY: a recycled pid after
+            # a crash must not protect the dead attempt forever
+            # (r5 second review). Same-host check, matching this
+            # backend's local-fs scope; a dead/unreadable/mismatched
+            # pid falls back to the age rules.
+            f.write(f"{os.getpid()}:{_proc_starttime(os.getpid()) or ''}")
 
-        t0 = time.monotonic()
-        with_pid = df.withColumn("_pid", F.spark_partition_id())
-        with_pid.write.mode("overwrite").parquet(data_path)
-        wall_ms = int((time.monotonic() - t0) * 1000)
-
-        out = spark.read.parquet(data_path)
-        lineage = (out.groupBy("_pid")
-                   .agg(F.count(F.lit(1)).alias("rows_out"))
-                   .select(F.lit(stage).alias("stage"),
-                           F.lit(fingerprint).alias("fingerprint"),
-                           F.col("_pid").cast("int").alias("partition_id"),
-                           "rows_out",
-                           F.lit(wall_ms).cast("long").alias("wall_ms"),
-                           F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                               time.gmtime()))
-                           .alias("written_at")))
-        lineage.write.mode("overwrite").parquet(lineage_path)
-
-        # atomic publish: write-then-rename so a crash mid-write can
-        # never leave a truncated manifest that claims completion; the
-        # temp name is attempt-unique so racing writers never
-        # interleave inside one temp file
-        manifest = self._manifest_path(stage)
-        tmp = f"{manifest}.{token}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"stage": stage, "fingerprint": fingerprint,
-                       "complete": True, "wall_ms": wall_ms,
-                       "data_dir": data_dir, "lineage_dir": lineage_dir}, f)
-        os.replace(tmp, manifest)
         try:
-            os.remove(marker)
-        except OSError:
-            pass
+            t0 = time.monotonic()
+            with_pid = df.withColumn("_pid", F.spark_partition_id())
+            with_pid.write.mode("overwrite").parquet(data_path)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+
+            out = spark.read.parquet(data_path)
+            lineage = (out.groupBy("_pid")
+                       .agg(F.count(F.lit(1)).alias("rows_out"))
+                       .select(F.lit(stage).alias("stage"),
+                               F.lit(fingerprint).alias("fingerprint"),
+                               F.col("_pid").cast("int")
+                               .alias("partition_id"),
+                               "rows_out",
+                               F.lit(wall_ms).cast("long").alias("wall_ms"),
+                               F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                   time.gmtime()))
+                               .alias("written_at")))
+            lineage.write.mode("overwrite").parquet(lineage_path)
+
+            # atomic publish: write-then-rename so a crash mid-write
+            # can never leave a truncated manifest that claims
+            # completion; the temp name is attempt-unique so racing
+            # writers never interleave inside one temp file
+            manifest = self._manifest_path(stage)
+            tmp = f"{manifest}.{token}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"stage": stage, "fingerprint": fingerprint,
+                           "complete": True, "wall_ms": wall_ms,
+                           "data_dir": data_dir,
+                           "lineage_dir": lineage_dir}, f)
+            os.replace(tmp, manifest)
+        finally:
+            # ALWAYS drop the marker — on success (published) and on a
+            # failed write alike. After an exception nothing can
+            # publish this attempt, and leaving the marker would let
+            # the writer's own still-alive pid protect the partial
+            # directories from vacuum for the process's entire
+            # lifetime (r5 second review: a long-lived driver
+            # retrying stage() would leak every failed attempt).
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
         return out.drop("_pid")
 
     def load(self, spark: SparkSession, stage: str,
@@ -243,21 +272,30 @@ class Checkpointer:
 
         def _writer_alive(marker_path):
             """True iff the marker names a pid that is alive on this
-            host. Unreadable/empty/legacy markers return False — the
-            age rule then decides, as before pids were recorded."""
+            host AND (when the marker recorded one) whose /proc
+            starttime matches — a recycled pid must not protect a
+            crashed attempt forever (r5 second review). Unreadable/
+            empty/legacy markers return False — the age rule then
+            decides, as before pids were recorded."""
             try:
                 with open(marker_path) as f:
-                    pid = int(f.read().strip() or "0")
+                    body = f.read().strip()
+                pid_s, _, start_s = body.partition(":")
+                pid = int(pid_s or "0")
                 if pid <= 0:
                     return False
                 os.kill(pid, 0)
-                return True
             except ProcessLookupError:
                 return False
             except PermissionError:
-                return True         # exists, owned by another user
+                pass                # exists, owned by another user
             except (OSError, ValueError):
                 return False
+            if start_s:
+                now_start = _proc_starttime(pid)
+                if now_start is not None and str(now_start) != start_s:
+                    return False    # pid recycled: not our writer
+            return True
 
         for d in os.listdir(root):
             full = os.path.join(root, d)

@@ -225,12 +225,56 @@ def test_checkpoint_vacuum_respects_inflight_marker(spark, tmp_path):
     # the writer crashed 2h ago (dead pid, marker aged out) ->
     # collected. pid 1 is init: alive but never a writer we own —
     # use an impossible pid instead
+    # pid recycling (r5 second review): a marker naming a LIVE pid
+    # with a DIFFERENT /proc starttime is not our writer — the age
+    # rule applies and the stale attempt collects
+    from sparkspatial.checkpoint import _proc_starttime
+    if _proc_starttime(os.getpid()) is not None:      # Linux only
+        os.makedirs(stale_dir, exist_ok=True)
+        os.utime(stale_dir, (old, old))
+        with open(marker, "w") as f:
+            f.write(f"{os.getpid()}:1")               # wrong starttime
+        os.utime(marker, (old, old))
+        assert ck.vacuum("s", min_age_s=3600) == 1
+        assert not os.path.isdir(stale_dir)
+    # the writer crashed 2h ago (dead pid, marker aged out) ->
+    # collected
+    os.makedirs(stale_dir, exist_ok=True)
+    os.utime(stale_dir, (old, old))
     with open(marker, "w") as f:
         f.write("999999999")
     os.utime(marker, (old, old))
     assert ck.vacuum("s", min_age_s=3600) == 1
     assert not os.path.isdir(stale_dir)
     assert not os.path.exists(marker)  # orphan marker swept too
+
+
+def test_checkpoint_failed_write_drops_inflight_marker(spark, tmp_path):
+    """A failed materialization must NOT leave its .inflight marker:
+    nothing can publish the attempt after the exception, and in a
+    long-lived driver the writer's own still-alive pid would
+    otherwise protect the partial directories from vacuum for the
+    process's entire lifetime (r5 second review)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ck = Checkpointer(str(tmp_path))
+    bad = spark.range(5).withColumn(
+        "x", F.assert_true(F.col("id") < 2).cast("string"))
+    with pytest.raises(Exception):
+        ck.stage(bad, "boom", fingerprint_of("boom", "v1"))
+    root = os.path.join(str(tmp_path), "boom")
+    leftover = [d for d in os.listdir(root)] if os.path.isdir(root) else []
+    assert not any(d.startswith(".inflight-") for d in leftover), leftover
+    # with the marker gone, the partial attempt ages out normally
+    old = __import__("time").time() - 7200
+    for d in leftover:
+        os.utime(os.path.join(root, d), (old, old))
+    ck.vacuum("boom", min_age_s=3600)
+    assert not any(d.startswith("data-")
+                   for d in (os.listdir(root)
+                             if os.path.isdir(root) else []))
 
 
 def test_checkpoint_snapshot_id_keys_resume_to_input(spark, tmp_path):

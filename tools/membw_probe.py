@@ -29,6 +29,36 @@ import time
 
 import numpy as np
 
+# THE severe-bandwidth-depression threshold shared by bench.py and
+# tools/scaling_bench.py (one definition — r5 second review: two
+# drifting copies would classify the same co-tenant window
+# differently): a rep whose bracketing single-stream probe reads
+# below this on either side ran under severe co-tenant memory
+# pressure that kernel/steal counters cannot see. ~40% of this box's
+# idle ~24 GB/s; clean windows across 48 bracketed ladder reps never
+# read below 14.5, contended ones read 1.2-8.2.
+MEMBW_MIN_GBPS = 10.0
+
+_BUFS: list = []
+
+
+def membw_gbps(sec: float = 0.25) -> float:
+    """Single-stream memcpy bandwidth over a short window — the
+    in-process rep-bracketing probe (buffers allocated once)."""
+    if not _BUFS:
+        a = np.ones(50_000_000 // 8, dtype=np.int64)  # 50 MB
+        b = np.empty_like(a)
+        np.copyto(b, a)                 # fault pages in
+        _BUFS.extend((a, b))
+    a, b = _BUFS
+    n = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < sec:
+        np.copyto(b, a)
+        n += 1
+    # 0.05 GB read + 0.05 GB written per copy
+    return n * 0.1 / (time.monotonic() - t0)
+
 
 def worker(q, sec: float = 3.0) -> None:
     a = np.ones(50_000_000 // 8, dtype=np.int64)  # 50 MB

@@ -46,16 +46,17 @@ STEAL_MAX = 1.0   # %% of host CPU ticks stolen by the hypervisor
 SYS_MAX = 20.0    # %% of host CPU ticks in kernel mode
 # Severe-bandwidth-depression filter (r5, closing the loop on the r4
 # verdict's "measure the co-tenant, don't re-roll the dice"): a rep
-# whose bracketing single-stream memcpy probe reads below this on
-# EITHER side ran in a window that could not give one stream even
-# ~40%% of this box's idle ~24 GB/s — user-space co-tenant pressure
-# the steal/sys counters cannot see (observed in the wild: a 2->8
-# ladder rep at 0.33%% steal with probes at 7.1 and 1.2 GB/s and a
+# whose bracketing single-stream memcpy probe reads below the floor
+# on EITHER side ran under user-space co-tenant pressure the
+# steal/sys counters cannot see (observed in the wild: a 2->8 ladder
+# rep at 0.33%% steal with probes at 7.1 and 1.2 GB/s and a
 # 2.6x-inflated wall). Same discard+re-run semantics as the steal
-# filter; every discarded rep stays in the report. Clean windows
-# across 48 bracketed reps never read below 14.5; contended ones
-# read 1.2-8.2.
-MEMBW_MIN_GBPS = 10.0
+# filter; every discarded rep stays in the report. Probe + threshold
+# live in tools/membw_probe.py — ONE definition shared with bench.py
+# (r5 second review: drifting copies would classify the same window
+# differently).
+sys.path.insert(0, REPO)
+from tools.membw_probe import MEMBW_MIN_GBPS  # noqa: E402
 
 CHILD = r"""
 import json, os, sys, time
@@ -95,25 +96,16 @@ def proc_stat():
 
 
 # Per-rep memory-bandwidth probe (r4 verdict item 6): one process
-# stream-copying a 50 MB buffer for 0.3 s measures the bandwidth the
-# box can give a single stream IN THAT WINDOW — user-space co-tenant
-# pressure (which the steal/sys filter cannot see: it shows in
-# NEITHER counter) depresses this reading. Each timed rep is
-# bracketed by a probe so the report can show the ceiling the rep
-# actually ran under instead of re-rolling dice on 4->16.
-import numpy as _np
-_bwa = _np.ones(50_000_000 // 8, dtype=_np.int64)
-_bwb = _np.empty_like(_bwa)
-_np.copyto(_bwb, _bwa); _np.copyto(_bwb, _bwa)   # fault pages in
+# stream-copying a 50 MB buffer measures the bandwidth the box can
+# give a single stream IN THAT WINDOW — user-space co-tenant pressure
+# (which the steal/sys filter cannot see: it shows in NEITHER
+# counter) depresses this reading. Each timed rep is bracketed by a
+# probe; shared definition with bench.py (tools/membw_probe.py).
+from tools.membw_probe import membw_gbps as _raw_membw_gbps
 
 
 def membw_gbps(sec=0.3):
-    n = 0
-    t0 = time.monotonic()
-    while time.monotonic() - t0 < sec:
-        _np.copyto(_bwb, _bwa)
-        n += 1
-    return round(n * 0.1 / (time.monotonic() - t0), 2)
+    return round(_raw_membw_gbps(sec), 2)
 
 
 def run_once():
@@ -352,11 +344,29 @@ Raw (latest run): {raw}
     hist = prev.get("runs", []) + [
         {str(c): r for c, r in run.items()} for run in all_runs]
     # per-level pooling over every run that measured that level
-    # (ladders with different level sets still pool what they share)
+    # (ladders with different level sets still pool what they share).
+    # Pool only reps that pass the SAME noise filter the per-level
+    # medians use — steal/sys thresholds plus, when the rep carries
+    # probe readings, the membw floor (r5 second review: pooling
+    # clean+dirty let the diagnosed co-tenant reps drag the pooled
+    # efficiencies the driver-parsed bench line embeds, contradicting
+    # the filter). Pre-probe-era reps carry no membw keys and pass
+    # the bandwidth leg vacuously.
+    def _rep_clean(x):
+        if x.get("steal_pct", 0.0) > STEAL_MAX \
+                or x.get("sys_pct", 0.0) > SYS_MAX:
+            return False
+        bw = [x[k] for k in ("membw_pre_gbps", "membw_post_gbps")
+              if k in x]
+        return not bw or min(bw) >= MEMBW_MIN_GBPS
+
     pooled = {}
     for lvl in sorted({lvl for r in hist for lvl in r}, key=int):
         reps_all = [x["sec"] for r in hist if lvl in r
-                    for x in r[lvl]["reps"]]
+                    for x in r[lvl]["reps"] if _rep_clean(x)]
+        if not reps_all:            # box never quieted: fall back
+            reps_all = [x["sec"] for r in hist if lvl in r
+                        for x in r[lvl]["reps"]]
         if reps_all:
             pooled[lvl] = statistics.median(reps_all)
 
