@@ -277,6 +277,31 @@ def trigram_sql(col: str, dialect: str = "spark") -> str:
     return trigram_from_norm_sql(norm_text_sql(col, dialect), dialect)
 
 
+def trigram_from_chars_sql(chars_col: str) -> str:
+    """O(n) trigram array over a MATERIALIZED per-character array
+    column (``split(norm, '')`` — code-point splitting, matching
+    substring's code-point indexing, astral chars included; pinned by
+    pytest). Spark dialect only — the hot path.
+
+    Why not :func:`trigram_from_norm_sql`: ``substring(s, i, 3)``
+    walks the UTF-8 byte stream from the start to find code point i,
+    so building all trigrams of one document is O(len²) — measured
+    15-30 s for 5k docs of ~3k chars (r6), invisible on the ~300-char
+    sf0.1 docs that hid it through r3-r5. ``element_at`` on the char
+    array is an O(1) offset lookup, so this formulation is O(len).
+    `chars_col` MUST be a materialized column reference, not an inline
+    ``split(...)`` — the lambda references it once per trigram and an
+    inlined split would re-run O(len) times per doc (the same
+    projection-collapse trap trigram_from_norm_sql documents).
+    """
+    c = chars_col
+    return (f"CASE WHEN size({c}) >= 3 THEN "
+            f"transform(sequence(1, size({c}) - 2), "
+            f"i -> concat(element_at({c}, i), element_at({c}, i + 1), "
+            f"element_at({c}, i + 2))) "
+            f"ELSE array() END")
+
+
 def trigram_familiarity(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         broadcast_model: bool = True) -> DataFrame:
@@ -303,14 +328,18 @@ def trigram_familiarity(docs: DataFrame, text_col: str = "text",
     exchange. `broadcast_model=False` shuffles the join for
     pathological alphabets.
     """
-    # project the normalization ONCE; the trigram lambda then reads the
-    # materialized `_n` attribute instead of re-running regexp_replace
-    # per element (r3 judge finding: 45 s -> ~1 s at 5k sf0.1 docs)
+    # project the normalized CHAR ARRAY once; the trigram lambda then
+    # does three O(1) element_at lookups per trigram instead of an
+    # O(i) substring walk — O(len) per doc, not O(len²) (r6: the
+    # substring formulation cost 15-30 s on 5k docs of ~3k chars; the
+    # r3-era fix of materializing `_n` only removed the re-normalize,
+    # not the substring walk)
     tri = (docs
            .select(F.col(id_col),
-                   F.expr(norm_text_sql(text_col, "spark")).alias("_n"))
+                   F.split(F.expr(norm_text_sql(text_col, "spark")),
+                           "").alias("_nc"))
            .selectExpr(id_col,
-                       f"explode({trigram_from_norm_sql('_n')}) AS tri"))
+                       f"explode({trigram_from_chars_sql('_nc')}) AS tri"))
     model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("tri_n"))
     m = F.broadcast(model) if broadcast_model else model
     return (tri.join(m, "tri")

@@ -202,6 +202,26 @@ def test_trigram_familiarity_bruteforce(spark):
     assert avg[5] == max(avg.values())
 
 
+def test_trigram_chars_path_matches_substring_path(spark):
+    """The O(n) char-array trigram formulation (r6 hot path —
+    trigram_from_chars_sql over split(norm, '')) emits the EXACT array
+    the O(n²) substring formulation does, per row, including unicode
+    (code-point indexed), astral chars (surrogate pairs must not
+    split), empty/NULL/short strings, and whitespace runs."""
+    rows = [("abc def ghi",), ("ab",), ("",), (None,), ("a\U0001F600b\U0001F601c",),
+            ("héllo wörld",), ("  spaced  out  ",),
+            ("你好世界 xyz",)]
+    df = spark.createDataFrame(rows, "s string")
+    old = text.trigram_from_norm_sql("_n")
+    new = text.trigram_from_chars_sql("_nc")
+    both = (df.selectExpr(
+                "s",
+                f"{text.norm_text_sql('s', 'spark')} AS _n",
+                f"split({text.norm_text_sql('s', 'spark')}, '') AS _nc")
+            .selectExpr("s", f"{old} AS o", f"{new} AS c"))
+    assert both.where("NOT (o <=> c)").count() == 0
+
+
 def test_cosine_topk_matches_duckdb(emb, duck):
     queries = emb.where("vec_id % 100 = 0").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
