@@ -808,29 +808,39 @@ def shingle_hash_pos(docs: DataFrame, text_col: str = "text",
     rolling combine — the array formulation's projection collapse is
     O(tokens^2), measured) in one place.
     """
+    # Per-row ARRAY formulation, map-only (r6): the pre-r6 version
+    # posexploded tokens and combined them with window lead() — which
+    # shuffled and sorted EVERY token row on id (measured 9.5 s for a
+    # 6M-doc corpus, ~260M token rows, the entire decontaminate cost).
+    # Token hashes materialize once per row as an array column; the
+    # rolling combine reads them back with O(1) element_at lookups, so
+    # the whole derivation is one codegen projection off the scan with
+    # NO exchange. Arithmetic is unchanged term for term (th_j*coef_j
+    # % M summed, % M — all < 2^62, no overflow), so every downstream
+    # consumer (MinHash, decontaminate, winnowing, spans) sees
+    # bit-identical (id, pos, sh[, tok]) rows; pinned by the oracle
+    # gate and test_pipeline_ops.
     norm = norm_text_sql(text_col, "spark")
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.expr(norm), " ")).alias("pos", "tok"),
-        F.size(F.split(F.expr(norm), " ")).alias("ntok"))
-    th = toks.select(
-        id_col, "pos", "ntok", "tok",
-        (F.expr(h32_spark_sql("tok")) % MERSENNE31).alias("th"))
-    w = Window.partitionBy(id_col).orderBy("pos")
     coefs = [pow(SHINGLE_B, shingle_k - 1 - j, MERSENNE31)
              for j in range(shingle_k)]
-    parts = [(F.lead("th", j).over(w) if j else F.col("th"))
-             * F.lit(coefs[j]) % MERSENNE31
-             for j in range(shingle_k)]
-    sh_expr = parts[0]
-    for p in parts[1:]:
-        sh_expr = sh_expr + p
-    cols = [id_col, "pos", (sh_expr % MERSENNE31).alias("sh")]
+    d = docs.select(F.col(id_col),
+                    F.split(F.expr(norm), " ").alias("_toks"))
+    d = d.select(id_col, "_toks",
+                 F.expr(f"transform(_toks, t -> {h32_spark_sql('t')} "
+                        f"% {MERSENNE31})").alias("_th"))
+    terms = " + ".join(
+        f"element_at(_th, p + {j + 1}) * {coefs[j]} % {MERSENNE31}"
+        for j in range(shingle_k))
+    sh_arr = (f"CASE WHEN size(_toks) >= {shingle_k} THEN "
+              f"transform(sequence(0, size(_toks) - {shingle_k}), "
+              f"p -> ({terms}) % {MERSENNE31}) "
+              f"ELSE array() END")
+    out = d.select(F.col(id_col), "_toks",
+                   F.posexplode(F.expr(sh_arr)).alias("pos", "sh"))
+    cols = [id_col, "pos", F.col("sh")]
     if keep_tok:
-        cols.append(F.col("tok"))
-    return (th.where(F.col("ntok") >= shingle_k)
-            .select(*cols)
-            .where(F.col("sh").isNotNull()))
+        cols.append(F.expr("element_at(_toks, pos + 1)").alias("tok"))
+    return out.select(*cols).where(F.col("sh").isNotNull())
 
 
 def _short_doc_hashes(docs: DataFrame, text_col: str, id_col: str,
