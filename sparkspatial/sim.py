@@ -48,6 +48,42 @@ def _topk_order(ids: np.ndarray, cos_row: np.ndarray, kk: int) -> np.ndarray:
     return np.lexsort((ids, -cos_row))[:kk]
 
 
+def _topk_partial_cols(ids: np.ndarray, cos: np.ndarray, kk: int) -> np.ndarray:
+    """Vectorized per-COLUMN partial top-kk of `cos` (n x q) under the
+    exact-ANN total order (cos desc, id asc): returns a (kk, q) row-
+    index matrix whose column j holds the exact top-kk SET for query j
+    (unordered — every caller re-ranks in a JVM window, so only set
+    membership must be exact).
+
+    One argpartition call replaces the per-query Python lexsort loop
+    (r6: the loop was the dominant cost of every exact-ANN partial
+    stage — O(q) Python iterations per batch). Tie exactness: for a
+    column whose kk-th value v has its full tie set inside the
+    candidate set, the set {cos > v} ∪ {cos == v} is exactly the
+    top-kk under ANY id order; the rare columns where argpartition
+    split a tie at the boundary (detected by counting rows == v) fall
+    back to the exact per-column :func:`_topk_order`. NaN scores sort
+    as smallest under both paths (argpartition on -cos puts NaN last;
+    lexsort's -cos key does too), so the fallback detection and the
+    loop agree.
+    """
+    n, q = cos.shape
+    if kk >= n:
+        return np.broadcast_to(np.arange(n)[:, None], (n, q))
+    part = np.argpartition(-cos, kk - 1, axis=0)[:kk, :]
+    cand_cos = np.take_along_axis(cos, part, axis=0)
+    v = cand_cos.min(axis=0)
+    ties_all = (cos == v[None, :]).sum(axis=0)
+    ties_in = (cand_cos == v[None, :]).sum(axis=0)
+    # NaN boundary values mean NaN rows reached the candidate set —
+    # their tie set is invisible to == comparisons, so resolve those
+    # columns exactly too
+    bad = np.flatnonzero((ties_all != ties_in) | np.isnan(v))
+    for j in bad:
+        part[:, j] = _topk_order(ids, cos[:, j], kk)
+    return part
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
@@ -91,21 +127,22 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             cos = (mat @ qmat_b.T) / qnorm_b[None, :] / norm[:, None]
             n, q = cos.shape
             # keep k+1 per query (self-match may occupy one slot);
-            # lexsort applies the exact (cos desc, id asc) tie order
+            # _topk_partial_cols applies the exact (cos desc, id asc)
+            # tie order set-wise, one vectorized call for all queries
             kk = min(k + 1, n)
-            out_q, out_i, out_c = [], [], []
-            for j in range(q):
-                top = _topk_order(ids, cos[:, j], kk)
-                out_q.append(np.full(kk, qids_b[j]))
-                out_i.append(ids[top])
-                out_c.append(cos[top, j])
+            part = _topk_partial_cols(ids, cos, kk)
             yield pd.DataFrame({
-                "qid": np.concatenate(out_q),
-                id_col: np.concatenate(out_i),
-                "cos": np.concatenate(out_c),
+                "qid": np.repeat(qids_b, kk),
+                id_col: ids[part].ravel(order="F"),
+                "cos": np.take_along_axis(cos, part, axis=0)
+                       .ravel(order="F"),
             })
 
-    scored = corpus.mapInPandas(_score, schema=schema)
+    from .session import fan_out
+
+    # a small corpus often arrives as one parquet row group; the scan
+    # must fan out or the matmul stage runs 1-2 wide (guide §6 / §2)
+    scored = fan_out(corpus).mapInPandas(_score, schema=schema)
     scored = scored.where(F.col("qid") != F.col(id_col))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
                                           F.col(id_col).asc())
@@ -288,23 +325,33 @@ def knn_graph(corpus: DataFrame, k: int, *, id_col: str = "vec_id",
                 / norm[ci][None, :]
             cids = ids[ci]
             kk = min(k + (1 if same else 0), len(ci))
-            for r in range(len(qi)):
-                row = cos[r]
-                order = _topk_order(cids, row, kk)
-                if same:
-                    order = order[cids[order] != ids[qi[r]]][:k]
-                out_q.extend([ids[qi[r]]] * len(order))
-                out_n.extend(cids[order])
-                out_c.extend(row[order])
+            # vectorized exact partial top-kk (queries are rows ->
+            # transpose view); on the diagonal group self-matches are
+            # masked out afterwards — a column may then emit k+1
+            # non-self rows (no self present), which is harmless: the
+            # final window re-rank truncates to k and the extras are
+            # still members of the exact top set
+            part = _topk_partial_cols(cids, cos.T, kk)
+            qrep = np.repeat(ids[qi], kk)
+            nbr = cids[part].ravel(order="F")
+            cosv = np.take_along_axis(cos.T, part, axis=0).ravel(order="F")
+            if same:
+                keep = nbr != qrep
+                qrep, nbr, cosv = qrep[keep], nbr[keep], cosv[keep]
+            out_q.append(qrep)
+            out_n.append(nbr)
+            out_c.append(cosv)
 
         if pa == pb:
             emit(blk == pa, blk == pa, True)
         else:
             emit(blk == pa, blk == pb, False)
             emit(blk == pb, blk == pa, False)
-        return pd.DataFrame({id_col: np.asarray(out_q),
-                             "nbr": np.asarray(out_n),
-                             "cos": np.asarray(out_c, dtype=np.float64)})
+        return pd.DataFrame({
+            id_col: np.concatenate(out_q) if out_q else np.asarray([]),
+            "nbr": np.concatenate(out_n) if out_n else np.asarray([]),
+            "cos": (np.concatenate(out_c) if out_c
+                    else np.asarray([])).astype(np.float64)})
 
     partials = rep.groupBy("_pa", "_pb").applyInPandas(
         _partials,
@@ -341,16 +388,13 @@ def _partial_topk_fn(id_col: str, k: int):
         cids = cpdf["_cid"].to_numpy()
         qids = qpdf["_qid"].to_numpy()
         kk = min(k + 1, len(cids))
-        out_q, out_i, out_c = [], [], []
-        for r in range(len(qids)):
-            row = cos[r]
-            top = _topk_order(cids, row, kk)
-            out_q.append(np.full(kk, qids[r]))
-            out_i.append(cids[top])
-            out_c.append(row[top])
-        return pd.DataFrame({"qid": np.concatenate(out_q),
-                             id_col: np.concatenate(out_i),
-                             "cos": np.concatenate(out_c)})
+        # queries are ROWS here; one vectorized exact partial top-kk
+        # over the transpose replaces the per-query lexsort loop
+        part = _topk_partial_cols(cids, cos.T, kk)
+        return pd.DataFrame({"qid": np.repeat(qids, kk),
+                             id_col: cids[part].ravel(order="F"),
+                             "cos": np.take_along_axis(cos.T, part, axis=0)
+                                    .ravel(order="F")})
 
     return _partials
 

@@ -222,6 +222,34 @@ def test_trigram_chars_path_matches_substring_path(spark):
     assert both.where("NOT (o <=> c)").count() == 0
 
 
+def test_topk_partial_cols_exact_under_ties():
+    """The vectorized partial top-k (r6 — one argpartition replacing
+    the per-query lexsort loop in every exact-ANN partial stage) must
+    return the exact top-kk SET per column under the (cos desc,
+    id asc) total order, including boundary ties that argpartition
+    alone would split arbitrarily, duplicate scores, kk >= n, and
+    columns of identical values."""
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(40).astype(np.int64)
+    for trial in range(50):
+        # heavy ties: scores drawn from 5 distinct values
+        cos = rng.choice([0.1, 0.25, 0.5, 0.5, 0.9], size=(40, 7))
+        if trial % 3 == 0:
+            cos[:, 2] = 0.5          # an all-tied column
+        for kk in (1, 3, 10, 40, 55):
+            part = sim._topk_partial_cols(ids, cos, kk)
+            for j in range(cos.shape[1]):
+                want = set(sim._topk_order(ids, cos[:, j],
+                                           min(kk, 40)).tolist())
+                got = set(part[:, j].tolist())
+                # set equality is the contract (callers re-rank);
+                # under ties the exact set is id-determined, so
+                # compare the (cos, id) keys, which ARE unique
+                wk = sorted((cos[i, j], ids[i]) for i in want)
+                gk = sorted((cos[i, j], ids[i]) for i in got)
+                assert wk == gk
+
+
 def test_cosine_topk_matches_duckdb(emb, duck):
     queries = emb.where("vec_id % 100 = 0").select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
