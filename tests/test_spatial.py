@@ -611,6 +611,44 @@ def test_knn_matches_bruteforce(spark, points_df):
     assert g == w
 
 
+def test_knn_density_prefilter_exact_in_dense_cluster(spark):
+    """The r6 density-aware prefilter engages when a query's ring
+    window holds >> k points (it shrinks the candidate disc to an
+    expected DENSITY_TARGET_K*k points). Results must stay bit-exact
+    vs brute force in exactly that regime — a dense clustered blob
+    with queries inside it, at its edge, and just outside it — and
+    for a mixed set where sparse queries coexist (no tightening for
+    them). Also exercises the prebuilt-index cell_counts path."""
+    import itertools
+
+    from sparkspatial.knn import build_knn_index
+
+    # 40x40 dense lattice (1600 points in ~0.2 deg) around (40, -74):
+    # any ring-1 window at res 8 holds far more than 8*k points
+    rows = [(f"p{i}_{j}", 40.0 + i * 0.005, -74.0 + j * 0.005)
+            for i, j in itertools.product(range(40), range(40))]
+    # a sparse far-away pair so mixed query sets hit both regimes
+    rows += [("s1", -20.0, 100.0), ("s2", -20.3, 100.4)]
+    pts = spark.createDataFrame(rows, "url string, lat double, lon double")
+    queries = spark.createDataFrame(
+        [("inside", 40.101, -73.899),      # deep in the blob
+         ("edge", 40.0001, -74.0001),      # blob corner
+         ("outside", 40.31, -74.31),       # near the blob, locally empty
+         ("sparse", -20.1, 100.2)],        # window spans the sparse pair
+        "qid string, qlat double, qlon double")
+    idx = build_knn_index(pts, res=8, k_max=8).persist()
+    try:
+        got = knn_join(pts, queries, k=8, res=8, index=idx)
+        want = knn_bruteforce(pts, queries, k=8)
+        g = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6))
+             for r in got.collect()}
+        w = {(r.qid, r.rnk): (r.url, round(r.dist_m, 6))
+             for r in want.collect()}
+        assert g == w
+    finally:
+        idx.release()
+
+
 def test_knn_query_far_from_all_points(spark):
     """Ring expansion exhausts without reaching distant data -> the
     brute-force fallback must still return the true neighbors
