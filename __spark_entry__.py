@@ -296,11 +296,16 @@ def q_spatial_join_pairs(spark, sf_dir):
 
 def q_spatial_join_shuffle_salted(spark, sf_dir):
     """J5 at-scale path: shuffle join with hot-cell salting — must
-    produce the identical pair set as the broadcast plan."""
+    produce the identical pair set as the broadcast plan.
+    hot_relative=False: this query deliberately forces salting on the
+    small oracle fixture so the salted machinery itself stays
+    driver-verified; the adaptive relative threshold (r6) would
+    correctly decline to salt it."""
     pts = _points(spark, sf_dir)
     zdf = _zones_df(spark)
     return (join.spatial_join(pts, zdf, how="inner", broadcast=False,
-                              salt=True, hot_threshold=50)
+                              salt=True, hot_threshold=50,
+                              hot_relative=False)
             .select("url", "zone_id"))
 
 

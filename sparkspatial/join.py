@@ -346,6 +346,7 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
                  broadcast: bool | None = None,
                  salt: bool = False,
                  hot_threshold: int = skew.DEFAULT_HOT_THRESHOLD,
+                 hot_relative: bool = True,
                  keep_poly_cols: list[str] | None = None,
                  single_res: bool = True,
                  index: ZoneIndex | None = None) -> DataFrame:
@@ -367,6 +368,12 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
     salt : salt hot cells before the shuffle join (skew.py). Only
         meaningful on the shuffle path — a broadcast join has no
         per-key reducer to overload.
+    hot_relative : combine `hot_threshold` with a relative criterion
+        (cell > 5x the average reducer fill — see skew.plan_salts) so
+        balanced data is never salted and the threshold scales with
+        the shuffle width instead of being a fixed row count. False
+        restores the absolute-only pre-r6 behavior (used by callers
+        that deliberately force salting on small fixtures).
     """
     point_id_cols = point_id_cols or ["url"]
     keep_poly_cols = keep_poly_cols if keep_poly_cols is not None else [poly_id]
@@ -416,12 +423,32 @@ def spatial_join(points: DataFrame, polys: DataFrame, *,
 
     join_keys = ["cell"]
     if salt and not broadcast:
+        # min_count=1 keeps every sampled cell in the histogram so the
+        # relative-threshold total (plan_salts) is unbiased. The
+        # histogram materializes ONCE (localCheckpoint of the small
+        # per-cell result — bounded by the grid size, not the data):
+        # pre-r6 both salt_points and salt_cover broadcast their own
+        # copy of the plan subtree, each re-running the sampled scan,
+        # and the relative-threshold scalar would re-run it a third
+        # time. Everything downstream (total, plan, emptiness) reads
+        # the checkpointed rows.
         hist = skew.cell_histogram(pts, "cell", sample_fraction=0.01,
-                                   min_count=max(1, hot_threshold // 200))
-        plan = skew.plan_salts(hist, "cell", hot_threshold=hot_threshold)
-        pts = skew.salt_points(pts, plan, id_cols=point_id_cols)
-        cover = skew.salt_cover(cover, plan)
-        join_keys = ["cell", "salt"]
+                                   min_count=1).localCheckpoint(eager=True)
+        n_reducers = None
+        if hot_relative:
+            n_reducers = int(points.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        plan = skew.plan_salts(hist, "cell", hot_threshold=hot_threshold,
+                               n_reducers=n_reducers)
+        # skip salting entirely when no cell is hot: the salted and
+        # unsalted joins are row-identical when every n_salt is 1, so
+        # paying the per-row salt hash + cover explode + wider key is
+        # pure overhead exactly when there is no skew to fix (guide
+        # §2.5: salt hot keys, not every key)
+        if not plan.isEmpty():
+            pts = skew.salt_points(pts, plan, id_cols=point_id_cols)
+            cover = skew.salt_cover(cover, plan)
+            join_keys = ["cell", "salt"]
 
     right = F.broadcast(cover) if broadcast else cover
     coarse = pts.join(right, on=join_keys, how="inner")
