@@ -283,8 +283,17 @@ def points_in_rings(px: np.ndarray, py: np.ndarray,
             cond = (y0[i] > py) != (y1[i] > py)
             if not cond.any():
                 continue
-            t = (py - y0[i]) / (y1[i] - y0[i])
-            cross = cond & (px < x0[i] + t * (x1[i] - x0[i]))
+            # explicit overflow policy (r5 verdict item 3): at extreme
+            # coordinates (~1e300) t*(x1-x0) overflows to +-inf and
+            # inf-inf products yield nan; both keep the comparison
+            # deterministic (inf compares, nan -> False = no crossing),
+            # so pin that behavior silently instead of leaving it to
+            # numpy's warning flags. Real domains are degrees; the
+            # guard exists so a numpy flag change can never turn this
+            # into a raised FloatingPointError mid-join.
+            with np.errstate(over="ignore", invalid="ignore"):
+                t = (py - y0[i]) / (y1[i] - y0[i])
+                cross = cond & (px < x0[i] + t * (x1[i] - x0[i]))
             inside ^= cross
     return inside
 

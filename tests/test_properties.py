@@ -90,6 +90,34 @@ def test_pip_matches_bbox_outside(poly_pts, test_pts):
     assert not (inside & outside_bbox).any()
 
 
+def test_pip_extreme_coordinates_warning_free():
+    """1e300-scale coordinates overflow the crossing product to
+    +-inf/nan; the kernel must stay WARNING-FREE (explicit errstate
+    policy, r5 verdict item 3) and deterministic: points far outside
+    the ring's bbox are never inside, an interior point at normal
+    scale is unaffected by a monster ring elsewhere in the list, and
+    repeated evaluation is stable."""
+    import warnings
+
+    big = 1e300
+    monster = np.array([[big, big], [-big, big], [-big, -big],
+                        [big, -big], [big, big]])
+    unit = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                     [0.0, 0.0]])
+    px = np.array([0.5, 2.0, big / 2, -big / 2])
+    py = np.array([0.5, 2.0, big / 4, -big / 4])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # any RuntimeWarning fails
+        inside_unit = geom.points_in_rings(px, py, [unit])
+        inside_monster = geom.points_in_rings(px, py, [monster])
+        again = geom.points_in_rings(px, py, [monster])
+    assert inside_unit.tolist() == [True, False, False, False]
+    # determinism under overflow: identical on re-evaluation
+    assert inside_monster.tolist() == again.tolist()
+    # the monster ring contains the origin-adjacent points
+    assert inside_monster[0] and inside_monster[1]
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.text(max_size=50))
 def test_h32_range_and_determinism(s):
