@@ -277,6 +277,7 @@ class Checkpointer:
             crashed attempt forever (r5 second review). Unreadable/
             empty/legacy markers return False — the age rule then
             decides, as before pids were recorded."""
+            denied = False
             try:
                 with open(marker_path) as f:
                     body = f.read().strip()
@@ -288,13 +289,20 @@ class Checkpointer:
             except ProcessLookupError:
                 return False
             except PermissionError:
-                pass                # exists, owned by another user
+                denied = True       # exists, owned by another user
             except (OSError, ValueError):
                 return False
             if start_s:
                 now_start = _proc_starttime(pid)
                 if now_start is not None and str(now_start) != start_s:
                     return False    # pid recycled: not our writer
+                if now_start is None and denied:
+                    # the marker recorded a starttime we cannot verify
+                    # (hidepid / non-Linux) on a pid we don't own: a
+                    # recycled pid held by another user's long-lived
+                    # process would otherwise be protected from vacuum
+                    # forever — fall back to the age rule (r5 ADVICE)
+                    return False
             return True
 
         for d in os.listdir(root):

@@ -1146,8 +1146,11 @@ def _nearest_rect_candidates(pcells: DataFrame, zone_rects, k: int
         maxdx = np.maximum(dxa, dxb)
         maxdy = np.maximum(dya, dyb)
         maxd2 = maxdx * maxdx + maxdy * maxdy
+        # + tiny ABSOLUTE epsilon (r5 ADVICE): the relative margin
+        # degenerates when bound is ~0 (cell fully inside a zone) while
+        # the assignment-vs-bounds skew it guards against is absolute
         bound = np.partition(maxd2, kk - 1, axis=1)[:, kk - 1:kk] \
-            * (1.0 + 1e-9)
+            * (1.0 + 1e-9) + 1e-24
         return mind2, bound
 
     def emit(cs, ci, zi):
@@ -1261,7 +1264,9 @@ def _nearest_poly_candidates(pcells: DataFrame, zid, env, vx, vy
         maxdx = np.maximum(np.abs(ax - vx), np.abs(bx - vx))
         maxdy = np.maximum(np.abs(ay - vy), np.abs(by - vy))
         maxd2 = maxdx * maxdx + maxdy * maxdy
-        bound = maxd2.min(axis=1, keepdims=True) * (1.0 + 1e-9)
+        # absolute epsilon alongside the relative one — see the rect
+        # route's bound (r5 ADVICE: a ~0 bound collapses the margin)
+        bound = maxd2.min(axis=1, keepdims=True) * (1.0 + 1e-9) + 1e-24
         return mind2, bound
 
     def emit(cs, ci, zi):

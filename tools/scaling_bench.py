@@ -361,12 +361,17 @@ Raw (latest run): {raw}
         return not bw or min(bw) >= MEMBW_MIN_GBPS
 
     pooled = {}
+    pooled_fallback_levels = []
     for lvl in sorted({lvl for r in hist for lvl in r}, key=int):
         reps_all = [x["sec"] for r in hist if lvl in r
                     for x in r[lvl]["reps"] if _rep_clean(x)]
-        if not reps_all:            # box never quieted: fall back
+        if not reps_all:            # box never quieted: fall back —
+            # and DISCLOSE it (r5 ADVICE): a pooled value built from
+            # diagnosed-dirty reps must never masquerade as clean
             reps_all = [x["sec"] for r in hist if lvl in r
                         for x in r[lvl]["reps"]]
+            if reps_all:
+                pooled_fallback_levels.append(int(lvl))
         if reps_all:
             pooled[lvl] = statistics.median(reps_all)
 
@@ -408,6 +413,10 @@ Raw (latest run): {raw}
         "both_runs_ge_0_8": last_two_ge(e416),
         "n_ladder_runs": len(hist),
         "pooled_median_sec": pooled,
+        # levels whose pooled median had to pool DIRTY reps because no
+        # clean rep exists across history (r5 ADVICE disclosure flag;
+        # [] = every pooled value is filter-clean)
+        "pooled_fallback_levels": pooled_fallback_levels,
         "steal_max_pct": STEAL_MAX, "sys_max_pct": SYS_MAX,
         "corpus_pages": latest[n_lo]["n_pages"],
         "sf_dir": sf_dir,
