@@ -91,6 +91,17 @@ PREFILTER_PHI = 1.0
 # exchange is ~10^5 rows.
 DENSITY_TARGET_K = 8.0
 
+# The probe costs a fixed ~2 extra broadcast exchanges per round
+# (measured +0.3 s at local[32]) and its benefit scales with how many
+# candidate rows it prunes, so it only engages when the location
+# index is big enough that an unpruned hot window could actually
+# flood the top-k exchange. Below this many locations the whole index
+# scans in one cheap stage and the pre-r6 plan is strictly faster
+# (sf0.1 A/B: 1.16 s without probe vs 1.47 s with). A prebuilt
+# KnnIndex knows its size for free (persist() counts it); the inline
+# path can't know and stays conservative (probe on).
+DENSITY_PROBE_MIN_LOCS = 1_000_000
+
 
 def _ring_cells(queries: DataFrame, res: int) -> DataFrame:
     """(qid, qlat, qlon, ring) -> one row per (query, k-ring cell).
@@ -188,11 +199,14 @@ class KnnIndex:
         # cells| rows (collapsed locations collapse further here).
         self.cell_counts = (loc.groupBy("cell")
                             .agg(F.sum("n_pts").alias("c_pts")))
+        # known after persist(); gates the density probe (see
+        # DENSITY_PROBE_MIN_LOCS) without costing a job
+        self.n_loc: int | None = None
 
     def persist(self) -> "KnnIndex":
         from . import session as _session
         self.loc = self.loc.persist()
-        self.loc.count()
+        self.n_loc = self.loc.count()
         _session.register_persisted(self.loc)
         self.cell_counts = (self.loc.groupBy("cell")
                             .agg(F.sum("n_pts").alias("c_pts")).persist())
@@ -266,7 +280,10 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
                 f"KnnIndex k_max={index.k_max} < requested k={k}")
         loc = index.loc
         cell_counts = index.cell_counts
+        use_probe = index.n_loc is None \
+            or index.n_loc >= DENSITY_PROBE_MIN_LOCS
     else:
+        use_probe = True
         # lazy localCheckpoint: materializes inside round 1's window
         # job and pins the built index so rounds 2+ reuse the stored
         # blocks instead of re-running the build shuffle per round
@@ -312,21 +329,31 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, *,
         # the tiny ring table broadcast as the build side; the
         # per-query scalar then rides the ring rows into the
         # candidate join
-        qdens = (F.broadcast(ring_df.select("qid", "cell"))
-                 .join(cell_counts, "cell", "inner")
-                 .groupBy("qid").agg(F.sum("c_pts").alias("n_window")))
         base_cov = _cover_m_col(F.col("ring"), res) / F.lit(PREFILTER_PHI)
-        w_cells = F.col("ring").cast("double") * 2.0 + 1.0
-        h_m = w_cells * F.lit(180.0 / (1 << res)) * F.lit(M_PER_DEG_LAT)
-        w_m = (w_cells * F.lit(360.0 / (1 << res)) * F.lit(M_PER_DEG_LAT)
-               * F.greatest(F.cos(F.radians(F.col("qlat"))), F.lit(1e-6)))
-        r_est = F.sqrt(F.lit(DENSITY_TARGET_K * k) * h_m * w_m
-                       / (F.lit(math.pi) * F.col("n_window")))
-        cov_eff = F.when(F.col("n_window") > F.lit(DENSITY_TARGET_K * k),
-                         F.least(base_cov, r_est)).otherwise(base_cov)
-        ring_df = (ring_df.join(F.broadcast(qdens), "qid", "left")
-                   .withColumn("_cov_eff", cov_eff)
-                   .drop("n_window"))
+        if use_probe:
+            qdens = (F.broadcast(ring_df.select("qid", "cell"))
+                     .join(cell_counts, "cell", "inner")
+                     .groupBy("qid").agg(F.sum("c_pts").alias("n_window")))
+            w_cells = F.col("ring").cast("double") * 2.0 + 1.0
+            h_m = (w_cells * F.lit(180.0 / (1 << res))
+                   * F.lit(M_PER_DEG_LAT))
+            w_m = (w_cells * F.lit(360.0 / (1 << res))
+                   * F.lit(M_PER_DEG_LAT)
+                   * F.greatest(F.cos(F.radians(F.col("qlat"))),
+                                F.lit(1e-6)))
+            r_est = F.sqrt(F.lit(DENSITY_TARGET_K * k) * h_m * w_m
+                           / (F.lit(math.pi) * F.col("n_window")))
+            cov_eff = F.when(
+                F.col("n_window") > F.lit(DENSITY_TARGET_K * k),
+                F.least(base_cov, r_est)).otherwise(base_cov)
+            ring_df = (ring_df.join(F.broadcast(qdens), "qid", "left")
+                       .withColumn("_cov_eff", cov_eff)
+                       .drop("n_window"))
+        else:
+            # small index: the probe's fixed broadcast cost exceeds
+            # its pruning benefit — keep the full covered disc (plan
+            # identical to the unprobed one, certification unchanged)
+            ring_df = ring_df.withColumn("_cov_eff", base_cov)
         if ring_rows <= BROADCAST_MAX_RING_ROWS:
             ring_df = F.broadcast(ring_df)
         dist = haversine_col(F.col("qlat"), F.col("qlon"),

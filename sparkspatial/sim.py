@@ -138,11 +138,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                        .ravel(order="F"),
             })
 
-    from .session import fan_out
-
-    # a small corpus often arrives as one parquet row group; the scan
-    # must fan out or the matmul stage runs 1-2 wide (guide §6 / §2)
-    scored = fan_out(corpus).mapInPandas(_score, schema=schema)
+    # NOT fanned out (measured r6): with the vectorized partial top-k
+    # the per-batch work is one matmul + one argpartition, so even a
+    # single-row-group scan finishes in one task faster than a
+    # repartition exchange costs (sf0.1 A/B: 0.35 s vs 0.64 s with
+    # fan_out; sf1.0: a wash). The pre-vectorization 13 s case that
+    # motivated fanning out was the Python per-query loop, now gone.
+    scored = corpus.mapInPandas(_score, schema=schema)
     scored = scored.where(F.col("qid") != F.col(id_col))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
                                           F.col(id_col).asc())
