@@ -100,6 +100,25 @@ def test_decontaminate_shared_shingle_substrate(docs):
     assert {r.doc_id for r in ev.collect()} <= flagged
 
 
+def test_shingle_hashes_per_row_under_duplicate_doc_ids(spark):
+    """Duplicate doc_ids (id-hash collisions, or the same url crawled
+    twice) must not cross-contaminate shingles: the frozen oracle side
+    (shingle_hashes_duckdb_sql) shingles each document ROW
+    independently, so the Spark substrate must too. The pre-r6
+    window-lead formulation partitioned by doc_id and interleaved the
+    two token streams tie-order-dependently — surfaced by a duplicate
+    url in the replicate=10 scaling corpus (see OPTIMIZATION_r06.md,
+    post-restart re-verification)."""
+    a = (7, "alpha beta gamma delta epsilon zeta eta")
+    b = (7, "one two three four five six seven eight")
+    schema = "doc_id long, text string"
+    def rows(data):
+        df = spark.createDataFrame(data, schema)
+        return sorted((r.pos, r.sh) for r in
+                      text.shingle_hash_pos(df, shingle_k=5).collect())
+    assert rows([a, b]) == sorted(rows([a]) + rows([b]))
+
+
 def test_contamination_report_counts(spark):
     """Per-eval-doc overlap counts: a fully-leaked eval doc reports
     n_matched == n_shingles, a partial 5-gram hit reports exactly the
